@@ -1,0 +1,157 @@
+"""T-extract: the byte-identical extraction invariant (SURVEY.md §5.2) plus
+frontmatter edge cases, against the generator's built-in expected outputs."""
+
+import pytest
+
+from tika_xapian_spark.operators.extract import (
+    extract_pages,
+    normalize_date,
+    parse_page,
+    quarantine,
+    split_frontmatter,
+)
+from tika_xapian_spark.sources.pages import gen_row, synth_pages
+
+
+class TestSplitFrontmatter:
+    def test_basic(self):
+        raw = b"---\ntitle: x\n---\n\nbody\n"
+        y, body = split_frontmatter(raw)
+        assert y == b"title: x\n"
+        assert body == b"\nbody\n"
+
+    def test_crlf_body_preserved(self):
+        raw = b"---\ntitle: x\n---\nline\r\ncrlf\r\n"
+        _, body = split_frontmatter(raw)
+        assert body == b"line\r\ncrlf\r\n"
+
+    def test_inner_dashes_stay_in_body(self):
+        raw = b"---\ntitle: x\n---\nbefore\n---\nafter\n"
+        _, body = split_frontmatter(raw)
+        assert body == b"before\n---\nafter\n"
+
+    def test_empty_body(self):
+        y, body = split_frontmatter(b"---\ntitle: x\n---\n")
+        assert y is not None
+        assert body == b""
+
+    def test_no_frontmatter(self):
+        y, body = split_frontmatter(b"plain text")
+        assert y is None
+
+    def test_unterminated(self):
+        y, _ = split_frontmatter(b"---\ntitle: x\nno close")
+        assert y is None
+
+    def test_non_utf8_body_bytes_unchanged(self):
+        raw = b"---\ntitle: x\n---\n\xff\xfe raw bytes"
+        _, body = split_frontmatter(raw)
+        assert body == b"\xff\xfe raw bytes"
+
+
+class TestNormalizeDate:
+    def test_no_colon_offset(self):
+        # the reference's documented example date (src/tika_document.rs:12)
+        assert normalize_date("2021-06-22T12:48:16-0400") == "2021-06-22T16:48:16+00:00"
+
+    def test_rfc3339_colon_offset(self):
+        assert normalize_date("2021-06-22T22:18:16+05:30") == "2021-06-22T16:48:16+00:00"
+
+    def test_zulu(self):
+        assert normalize_date("2021-06-22T16:48:16Z") == "2021-06-22T16:48:16+00:00"
+
+    def test_naive_rejected(self):
+        assert normalize_date("2021-06-22T16:48:16") is None
+
+    def test_garbage_rejected(self):
+        assert normalize_date("not a date") is None
+
+
+class TestParsePage:
+    def test_reference_example(self):
+        raw = (
+            b"---\n"
+            b"author: Steve Sosik\n"
+            b"date: 2021-06-22T12:48:16-0400\n"
+            b"tags:\n- tika\n"
+            b"title: This is an example note\n"
+            b"---\n\n"
+            b"Some note here formatted with Markdown syntax\n"
+        )
+        d = parse_page("https://h.example/p/note1.md", raw)
+        assert d["status"] == "ok"
+        assert d["author"] == "Steve Sosik"
+        assert d["date"] == "2021-06-22T16:48:16+00:00"
+        assert d["tags"] == ["tika"]
+        assert d["title"] == "This is an example note"
+        assert d["body_bytes"] == b"\nSome note here formatted with Markdown syntax\n"
+        assert d["filename"] == "note1.md"  # backfilled
+
+    def test_scalar_tags(self):
+        raw = b"---\ndate: 2021-06-22T12:48:16-0400\ntags: tika\ntitle: t\n---\nb"
+        d = parse_page("u/x.md", raw)
+        assert d["tags"] == ["tika"]
+
+    def test_missing_required(self):
+        raw = b"---\ntitle: t\n---\nb"
+        d = parse_page("u/x.md", raw)
+        assert d["status"] == "error"
+        assert "missing required" in d["error"]
+
+    def test_bad_date_quarantined(self):
+        raw = b"---\ndate: nope\ntags: t\ntitle: t\n---\nb"
+        d = parse_page("u/x.md", raw)
+        assert d["status"] == "error"
+
+    def test_explicit_filename_kept(self):
+        raw = b"---\nfilename: custom.md\ndate: 2021-06-22T12:48:16-0400\ntags: t\ntitle: t\n---\nb"
+        d = parse_page("u/else.md", raw)
+        assert d["filename"] == "custom.md"
+
+
+@pytest.mark.usefixtures("spark")
+class TestExtractPagesSpark:
+    N = 256
+
+    def test_byte_identical_against_expected(self, spark):
+        pages = synth_pages(spark, self.N, with_expected=True)
+        docs = extract_pages(
+            pages.select("url", "warc_ts", "html", "text", "lang")
+        )
+        exp = pages.select(
+            "url", "exp_status", "exp_body_bytes", "exp_author", "exp_title",
+            "exp_subtitle", "exp_date", "exp_tags", "exp_filename",
+        )
+        j = docs.join(exp, "url").collect()
+        assert len(j) == self.N
+        bad = []
+        for r in j:
+            if r["status"] != r["exp_status"]:
+                bad.append(f"{r['url']}: status {r['status']} != {r['exp_status']} ({r['error']})")
+                continue
+            if r["status"] != "ok":
+                continue
+            if bytes(r["body_bytes"] or b"") != bytes(r["exp_body_bytes"] or b""):
+                bad.append(
+                    f"{r['url']}: body {bytes(r['body_bytes'] or b'')!r} != {bytes(r['exp_body_bytes'] or b'')!r}"
+                )
+            for col in ("author", "title", "subtitle", "date", "filename"):
+                if (r[col] or None) != (r[f"exp_{col}"] or None):
+                    bad.append(f"{r['url']}: {col} {r[col]!r} != {r['exp_' + col]!r}")
+            if list(r["tags"] or []) != list(r["exp_tags"] or []):
+                bad.append(f"{r['url']}: tags {r['tags']} != {r['exp_tags']}")
+        assert not bad, "\n".join(bad[:20])
+
+    def test_quarantine_channel(self, spark):
+        pages = synth_pages(spark, 64)
+        docs = extract_pages(pages)
+        q = quarantine(docs)
+        # every 8th row is the no-frontmatter error case
+        assert q.count() == 8
+        assert all("frontmatter" in r["error"] for r in q.collect())
+
+
+def test_gen_row_deterministic():
+    a = gen_row(12345)
+    b = gen_row(12345)
+    assert a == b

@@ -1,0 +1,213 @@
+"""T-rank + T-ops: BM25 hand-computed fixtures (FIXTURES.md §5) and the
+boolean/positional operator algebra on a tiny corpus."""
+
+import math
+
+import pytest
+
+from tika_xapian_spark.operators import search as S
+from tika_xapian_spark.operators.index import InvertedIndex
+
+CORPUS = [
+    (1, "spark join fast"),
+    (2, "spark spark merge"),
+    (3, "join slow"),
+    (4, "merge join spark fast fast"),
+]
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    idx = InvertedIndex.build_from_body(docs, key="doc_id", stem=False)
+    yield idx
+    idx.unpersist()
+
+
+def bm25(n_docs, df, wdf, doclen, avg_len, k1=1.0, k3=1.0, b=0.5, min_normlen=0.5, wqf=1):
+    tw = (n_docs - df + 0.5) / (df + 0.5)
+    if tw < 2:
+        tw = tw * 0.5 + 1
+    termweight = math.log(tw) * ((k3 + 1) * wqf / (k3 + wqf)) * (k1 + 1)
+    normlen = max(doclen / avg_len, min_normlen)
+    return termweight * wdf / (k1 * (normlen * b + (1 - b)) + wdf)
+
+
+def scores_of(df):
+    return {r["doc"]: r["score"] for r in df.collect()}
+
+
+class TestBM25:
+    def test_collection_stats(self, index):
+        assert index.n_docs == 4
+        assert index.avg_len == pytest.approx((3 + 3 + 2 + 5) / 4)
+
+    def test_single_term_scores(self, index):
+        got = scores_of(S.score_terms(index, ["spark"]))
+        avg = 13 / 4
+        exp = {
+            1: bm25(4, 3, 1, 3, avg),
+            2: bm25(4, 3, 2, 3, avg),
+            4: bm25(4, 3, 1, 5, avg),
+        }
+        assert set(got) == set(exp)
+        for d in exp:
+            assert got[d] == pytest.approx(exp[d], rel=1e-12), d
+
+    def test_tw_smoothing_branch(self, index):
+        # 'slow': df=1 -> tw = (4-1+.5)/1.5 = 2.333 >= 2, no smoothing
+        got = scores_of(S.score_terms(index, ["slow"]))
+        avg = 13 / 4
+        assert got[3] == pytest.approx(bm25(4, 1, 1, 2, avg), rel=1e-12)
+
+    def test_wqf_factor(self, index):
+        got1 = scores_of(S.score_terms(index, {"slow": 1}))
+        got2 = scores_of(S.score_terms(index, {"slow": 2}))
+        # (k3+1)*wqf/(k3+wqf): wqf=2 -> 4/3 vs 1 at wqf=1
+        assert got2[3] == pytest.approx(got1[3] * 4 / 3, rel=1e-12)
+
+    def test_sum_over_terms(self, index):
+        got = scores_of(S.score_terms(index, ["spark", "join"]))
+        s = scores_of(S.score_terms(index, ["spark"]))
+        j = scores_of(S.score_terms(index, ["join"]))
+        for d in got:
+            assert got[d] == pytest.approx(s.get(d, 0) + j.get(d, 0), rel=1e-12)
+
+    def test_top_k_tie_break_ascending_doc(self, index):
+        # 'fast': doc1 (wdf1, len3) vs doc4 (wdf2, len5) — check ordering stable
+        ranked = S.top_k(S.score_terms(index, ["fast"]), k=10).collect()
+        assert len(ranked) == 2
+        assert ranked[0]["score"] >= ranked[1]["score"]
+
+
+class TestBooleanOps:
+    def test_and(self, index):
+        l = S.score_terms(index, ["spark"])
+        r = S.score_terms(index, ["merge"])
+        got = scores_of(S.op_and(l, r))
+        assert set(got) == {2, 4}
+        ls, rs = scores_of(l), scores_of(r)
+        assert got[2] == pytest.approx(ls[2] + rs[2], rel=1e-12)
+
+    def test_or(self, index):
+        got = scores_of(
+            S.op_or(S.score_terms(index, ["spark"]), S.score_terms(index, ["slow"]))
+        )
+        assert set(got) == {1, 2, 3, 4}
+
+    def test_and_not(self, index):
+        got = scores_of(
+            S.op_and_not(S.score_terms(index, ["spark"]), S.score_terms(index, ["merge"]))
+        )
+        assert set(got) == {1}
+
+    def test_xor(self, index):
+        got = scores_of(
+            S.op_xor(S.score_terms(index, ["spark"]), S.score_terms(index, ["slow"]))
+        )
+        assert set(got) == {1, 2, 3, 4} - {1, 2, 4} | {1, 2, 4} - {3} | {3}
+        assert set(got) == {1, 2, 3, 4}  # disjoint matches here
+        got2 = scores_of(
+            S.op_xor(S.score_terms(index, ["spark"]), S.score_terms(index, ["join"]))
+        )
+        # spark: 1,2,4; join: 1,3,4 -> xor = {2,3}
+        assert set(got2) == {2, 3}
+
+    def test_and_maybe(self, index):
+        l = S.score_terms(index, ["join"])
+        r = S.score_terms(index, ["merge"])
+        got = scores_of(S.op_and_maybe(l, r))
+        assert set(got) == {1, 3, 4}
+        ls, rs = scores_of(l), scores_of(r)
+        assert got[4] == pytest.approx(ls[4] + rs[4], rel=1e-12)
+        assert got[1] == pytest.approx(ls[1], rel=1e-12)
+
+    def test_filter(self, index):
+        l = S.score_terms(index, ["join"])
+        got = scores_of(S.op_filter(l, S.score_terms(index, ["spark"])))
+        ls = scores_of(l)
+        assert set(got) == {1, 4}
+        assert got[1] == pytest.approx(ls[1], rel=1e-12)  # weight from left only
+
+    def test_scale(self, index):
+        l = S.score_terms(index, ["slow"])
+        got = scores_of(S.op_scale(l, 2.5))
+        assert got[3] == pytest.approx(scores_of(l)[3] * 2.5, rel=1e-12)
+
+    def test_pure_not(self, index):
+        got = scores_of(S.op_pure_not(index, S.score_terms(index, ["spark"])))
+        assert set(got) == {3}
+        assert got[3] == 0.0
+
+
+class TestPositionalOps:
+    def test_phrase_consecutive(self, index):
+        # "spark join" consecutive only in doc1
+        got = scores_of(S.match_phrase(index, ["spark", "join"]))
+        assert set(got) == {1}
+
+    def test_phrase_order_matters(self, index):
+        got = scores_of(S.match_phrase(index, ["join", "spark"]))
+        assert set(got) == {4}  # 'merge join spark'
+
+    def test_phrase_three_terms(self, index):
+        got = scores_of(S.match_phrase(index, ["merge", "join", "spark"]))
+        assert set(got) == {4}
+
+    def test_near_any_order(self, index):
+        got = scores_of(S.match_near(index, ["fast", "join"], window=10))
+        assert set(got) == {1, 4}
+
+    def test_near_window_enforced(self, index):
+        # doc4: merge@1, fast@{4,5} -> min span 3; matches iff span < window
+        got = scores_of(S.match_near(index, ["merge", "fast"], window=3))
+        assert set(got) == set()
+        got2 = scores_of(S.match_near(index, ["merge", "fast"], window=4))
+        assert set(got2) == {4}
+
+
+class TestSynonymElite:
+    def test_synonym_single_weight(self, index):
+        got = scores_of(S.op_synonym(index, ["slow", "merge"]))
+        # matches docs 2,3,4 as one pseudo-term with df=3
+        avg = 13 / 4
+        assert set(got) == {2, 3, 4}
+        assert got[3] == pytest.approx(bm25(4, 3, 1, 2, avg), rel=1e-12)
+
+    def test_elite_keeps_rarest(self, index):
+        # df: slow=1 < merge=2 < spark=3; elite(2) keeps slow+merge
+        got = scores_of(S.op_elite_set(index, ["spark", "merge", "slow"], 2))
+        exp = scores_of(S.score_terms(index, ["merge", "slow"]))
+        assert set(got) == set(exp)
+
+
+class TestRanking:
+    def test_percent(self, index):
+        got = S.with_percent(S.score_terms(index, ["spark"])).collect()
+        by_doc = {r["doc"]: r["percent"] for r in got}
+        assert by_doc[2] == 100
+
+    def test_cutoff(self, index):
+        m = S.score_terms(index, ["spark"])
+        top = max(scores_of(m).values())
+        got = scores_of(S.cutoff(m, weight_cutoff=top))
+        assert set(got) == {2}
+
+    def test_collapse(self, index, spark):
+        m = S.score_terms(index, ["spark"]).withColumn("host", S.F.col("doc") % 2)
+        got = S.collapse(m, "host", 1).collect()
+        assert len(got) == 2  # one per parity class
+
+
+class TestStemmedProfile:
+    def test_stemmed_z_terms(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "merging tables quickly"), (2, "merge table")],
+            "doc_id long, text string",
+        )
+        idx = InvertedIndex.build_from_body(docs, key="doc_id", stem=True)
+        try:
+            got = scores_of(S.score_terms(index=idx, terms=[S.stem_query_term("merge")]))
+            assert set(got) == {1, 2}  # 'merging' and 'merge' both stem to 'merg'
+        finally:
+            idx.unpersist()

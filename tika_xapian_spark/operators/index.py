@@ -1,0 +1,270 @@
+"""Posting-list index construction (SURVEY.md §2.1 S4-S5, §2.2 T4, §2.3).
+
+Replaces the reference's local Xapian database (/root/reference/src/main.rs:114-143)
+with columnar posting-list DataFrames/tables:
+
+  postings(doc, term, wdf, positions)   — K11 wdf; positions of unstemmed terms
+  doc_stats(doc, doclen)                — doclen = sum of wdf over ALL terms of
+                                          the doc (incl. Z-stems), Xapian's
+                                          document-length definition
+  term_stats(term, df, cf, max_wdf)     — collection frequencies for BM25 R1
+                                          and the WAND-style max-score bound
+
+Scale design (100 TB / 10^12 rows):
+  - term generation is one Arrow pandas UDF returning array<struct<term,pos>>
+    + JVM-side explode — no per-row Python, no driver involvement;
+  - the single wide shuffle is groupBy(doc, term); doc-skew (hot hosts) is
+    handled by AQE skew splitting plus an optional salt on the doc key;
+  - ``term_bucket``/``doc_bucket`` columns (hash-bucketing) are written as
+    partition columns so `term = X` probes prune to 1/B of files — the
+    DataFrame equivalent of Iceberg's `bucket(B, term)` partition transform
+    (no Iceberg runtime is available in this sandbox; the layout is the same).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions import tokenizer as tok
+
+TOKEN_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("term", StringType()),
+            # null pos == Z-stemmed term (STEM_SOME adds stems positionless)
+            StructField("pos", IntegerType()),
+        ]
+    )
+)
+
+N_BUCKETS = 64  # bucket count for term/doc hash partitioning
+
+# Reference field order — /root/reference/src/main.rs:123-133
+DOC_FIELD_PREFIXES = [
+    ("A", "author"),
+    ("D", "date"),
+    ("F", "filename"),
+    ("F", "full_path"),
+    ("S", "title"),
+    ("XS", "subtitle"),
+    # K per tag, then unprefixed body — handled specially below
+]
+
+
+def _tokens_to_rows(fields: list[tuple[str, str]], stem: bool) -> list[dict]:
+    toks = tok.index_document(fields) if stem else _index_document_nostem(fields)
+    return [{"term": t.term, "pos": t.pos} for t in toks]
+
+
+def _index_document_nostem(fields: list[tuple[str, str]]) -> list[tok.Token]:
+    """STEM_NONE profile: positional terms only, no Z-stems
+    (TermGenerator strategy STEM_NONE — termgenerator_internal.cc:269-282)."""
+    out: list[tok.Token] = []
+    pos = 0
+    for prefix, text in fields:
+        if not text:
+            continue
+        for term in tok.scan_terms(text):
+            if len(term.encode("utf-8")) > tok.MAX_TERM_BYTES:
+                continue
+            pos += 1
+            out.append(tok.Token(prefix + term, pos, False))
+    return out
+
+
+def make_body_tokenizer(stem: bool = True):
+    """Tokenizer UDF over a single body column (documents-table profile)."""
+
+    @pandas_udf(TOKEN_SCHEMA)
+    def _udf(body: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_tokens_to_rows([("", b or "")], stem) for b in body]
+        )
+
+    return _udf
+
+
+def make_doc_tokenizer(stem: bool = True):
+    """Tokenizer UDF over the full extracted-document fields, reference field
+    order with one shared position counter (K8)."""
+
+    @pandas_udf(TOKEN_SCHEMA)
+    def _udf(
+        author: pd.Series,
+        date: pd.Series,
+        filename: pd.Series,
+        full_path: pd.Series,
+        title: pd.Series,
+        subtitle: pd.Series,
+        tags: pd.Series,
+        body: pd.Series,
+    ) -> pd.Series:
+        out = []
+        for a, d, fn, fp, ti, su, tg, bo in zip(
+            author, date, filename, full_path, title, subtitle, tags, body
+        ):
+            fields = [
+                ("A", a or ""),
+                ("D", d or ""),
+                ("F", fn or ""),
+                ("F", fp or ""),
+                ("S", ti or ""),
+                ("XS", su or ""),
+            ]
+            if tg is not None:
+                for one_tag in tg:
+                    fields.append(("K", one_tag or ""))
+            fields.append(("", bo or ""))
+            out.append(_tokens_to_rows(fields, stem))
+        return pd.Series(out)
+
+    return _udf
+
+
+def bucket_col(col: str | Column, n: int = N_BUCKETS) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c), F.lit(n)).cast("int")
+
+
+def tokenize_body(docs: DataFrame, key: str, body_col: str = "text", stem: bool = True) -> DataFrame:
+    """docs -> token rows (key, term, pos). Body-only profile."""
+    udf = make_body_tokenizer(stem)
+    return (
+        docs.select(F.col(key).alias("doc"), udf(F.col(body_col)).alias("toks"))
+        .select("doc", F.explode("toks").alias("t"))
+        .select("doc", "t.term", "t.pos")
+    )
+
+
+def tokenize_extracted(docs: DataFrame, key: str = "url", stem: bool = True) -> DataFrame:
+    """Extracted docs (extract.extract_pages output) -> token rows, reference
+    field order with shared positions."""
+    udf = make_doc_tokenizer(stem)
+    return (
+        docs.filter(F.col("status") == "ok")
+        .select(
+            F.col(key).alias("doc"),
+            udf(
+                F.col("author"),
+                F.col("date"),
+                F.col("filename"),
+                F.col("full_path"),
+                F.col("title"),
+                F.col("subtitle"),
+                F.col("tags"),
+                F.col("body"),
+            ).alias("toks"),
+        )
+        .select("doc", F.explode("toks").alias("t"))
+        .select("doc", "t.term", "t.pos")
+    )
+
+
+def build_postings(tokens: DataFrame) -> DataFrame:
+    """(doc, term, pos) -> postings(doc, term, wdf, positions).
+
+    One shuffle on (doc, term); partial aggregation (map-side combine) is
+    automatic for hash aggregates. collect_list drops null positions of
+    Z-terms; sort_array gives deterministic position order.
+    """
+    return tokens.groupBy("doc", "term").agg(
+        F.count(F.lit(1)).cast("int").alias("wdf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+
+
+def build_doc_stats(postings: DataFrame) -> DataFrame:
+    return postings.groupBy("doc").agg(F.sum("wdf").cast("long").alias("doclen"))
+
+
+def build_term_stats(postings: DataFrame) -> DataFrame:
+    # postings is unique per (doc, term) so df = count(*)
+    return postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("wdf").cast("long").alias("cf"),
+        F.max("wdf").cast("int").alias("max_wdf"),
+    )
+
+
+@dataclass
+class InvertedIndex:
+    """The index tables + cached collection-level stats."""
+
+    postings: DataFrame
+    doc_stats: DataFrame
+    term_stats: DataFrame
+    n_docs: int
+    avg_len: float
+
+    @classmethod
+    def from_tokens(cls, tokens: DataFrame, persist: bool = True) -> "InvertedIndex":
+        postings = build_postings(tokens)
+        if persist:
+            postings = postings.persist()
+        doc_stats = build_doc_stats(postings)
+        term_stats = build_term_stats(postings)
+        if persist:
+            doc_stats = doc_stats.persist()
+            term_stats = term_stats.persist()
+        row = doc_stats.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avg")
+        ).collect()[0]
+        return cls(
+            postings=postings,
+            doc_stats=doc_stats,
+            term_stats=term_stats,
+            n_docs=int(row["n"] or 0),
+            avg_len=float(row["avg"] or 0.0),
+        )
+
+    @classmethod
+    def build_from_body(
+        cls, docs: DataFrame, key: str, body_col: str = "text", stem: bool = True,
+        persist: bool = True,
+    ) -> "InvertedIndex":
+        return cls.from_tokens(tokenize_body(docs, key, body_col, stem), persist)
+
+    @classmethod
+    def build_from_extracted(
+        cls, docs: DataFrame, key: str = "url", stem: bool = True, persist: bool = True
+    ) -> "InvertedIndex":
+        return cls.from_tokens(tokenize_extracted(docs, key, stem), persist)
+
+    def unpersist(self) -> None:
+        for df in (self.postings, self.doc_stats, self.term_stats):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+    def write(self, base_dir: str) -> None:
+        """Write bucket-partitioned index tables (Iceberg-shaped layout: the
+        partition columns are hash buckets, so term/doc point lookups prune
+        to 1/N of files — SURVEY.md §4 predicate-pushdown row)."""
+        (
+            self.postings.withColumn("term_bucket", bucket_col("term"))
+            .repartition("term_bucket")
+            .write.partitionBy("term_bucket")
+            .mode("overwrite")
+            .parquet(f"{base_dir}/postings")
+        )
+        (
+            self.doc_stats.withColumn("doc_bucket", bucket_col("doc"))
+            .repartition("doc_bucket")
+            .write.partitionBy("doc_bucket")
+            .mode("overwrite")
+            .parquet(f"{base_dir}/doc_stats")
+        )
+        self.term_stats.write.mode("overwrite").parquet(f"{base_dir}/term_stats")

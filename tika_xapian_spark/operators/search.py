@@ -1,0 +1,343 @@
+"""BM25 retrieval + the reference's query-operator algebra.
+
+Maps the Xapian match layer (SURVEY.md §2.4 Q1-Q17, §2.5 R1-R11) onto
+DataFrame algebra over the InvertedIndex tables. All scoring is JVM-side
+column math (whole-stage codegen); the only Python was upstream in the
+tokenizer UDF.
+
+BM25 (exact formula of xapian-core-1.4.17.tar.xz!weight/bm25weight.cc):
+  init (lines 45-129, no relevance set):
+      tw = (N - df + 0.5) / (df + 0.5);  if tw < 2: tw = tw*0.5 + 1
+      termweight = ln(tw) * (k3+1)*wqf/(k3+wqf) * (k1+1)
+  per-posting (lines 163-174):
+      normlen = max(doclen/avg_len, min_normlen)
+      score   = termweight * wdf / (k1*(normlen*b + (1-b)) + wdf)
+  defaults k1=1, k2=0, k3=1, b=0.5, min_normlen=0.5
+  (include/xapian/weight.h:585-587; installed as the default scheme by
+  /root/reference/omenquire.cc:565-567).
+
+Weights sum across matched terms (R4); ties break by ascending doc key (R6,
+Enquire::ASCENDING — omenquire.cc:524-528); page size 100 matches the
+reference's get_mset(0, 100) (/root/reference/src/xapian_utils.rs:700).
+
+Scale notes: query-term statistics are tiny (q terms) — they broadcast-join
+against postings; the postings side is bucket-partitioned by term so the scan
+prunes. Top-k is TakeOrderedAndProject — the distributed analogue of the
+reference's bounded result heap (XC matcher/multimatch.cc:794-830).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.porter2 import stem as porter2_stem
+from .index import InvertedIndex
+
+K1 = 1.0
+K2 = 0.0
+K3 = 1.0
+B = 0.5
+MIN_NORMLEN = 0.5
+PAGE_SIZE = 100  # get_mset(0, 100)
+
+
+def stem_query_term(term: str) -> str:
+    """Free query terms match the Z-stemmed index forms, as the reference's
+    QueryParser does with STEM_SOME (golden `Zfoo@1` trees,
+    /root/reference/src/xapian_utils.rs:504-508)."""
+    return "Z" + porter2_stem(term.lower())
+
+
+def _termweight(df_col: Column, n_docs: int, wqf: Column) -> Column:
+    tw = (F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5)
+    tw = F.when(tw < 2.0, tw * 0.5 + 1.0).otherwise(tw)
+    wqf_factor = (F.lit(K3 + 1) * wqf) / (F.lit(K3) + wqf)
+    return F.log(tw) * wqf_factor * F.lit(K1 + 1)
+
+
+def score_terms(
+    index: InvertedIndex,
+    terms: list[str] | dict[str, int],
+) -> DataFrame:
+    """BM25 match set for a bag of index terms -> (doc, score).
+
+    ``terms`` maps term -> wqf (within-query frequency); a list means wqf=1
+    each. Terms are index-vocabulary terms (callers pre-stem free text with
+    stem_query_term / prefix field terms).
+    """
+    if isinstance(terms, list):
+        terms = {t: 1 for t in terms}
+    if not terms:
+        return _empty_matches(index)
+    spark = index.postings.sparkSession
+    qdf = spark.createDataFrame(
+        [(t, int(w)) for t, w in terms.items()], "term string, wqf int"
+    )
+    # tiny build side: broadcast term stats + query terms into the postings scan
+    weights = (
+        index.term_stats.join(F.broadcast(qdf), "term")
+        .withColumn("termweight", _termweight(F.col("df"), index.n_docs, F.col("wqf")))
+        .select("term", "termweight")
+    )
+    avg_len = index.avg_len if index.avg_len > 0 else 1.0
+    normlen = F.greatest(F.col("doclen") / F.lit(avg_len), F.lit(MIN_NORMLEN))
+    denom = F.lit(K1) * (normlen * F.lit(B) + F.lit(1 - B)) + F.col("wdf")
+    part = F.col("termweight") * (F.col("wdf") / denom)
+    return (
+        index.postings.join(F.broadcast(weights), "term")
+        .join(index.doc_stats, "doc")
+        .withColumn("part", part)
+        .groupBy("doc")
+        .agg(F.sum("part").alias("score"))
+    )
+
+
+def score_free_text(index: InvertedIndex, text: str) -> DataFrame:
+    """Free-text query: tokenize+stem each word, OR-fold (Q13/Q20)."""
+    from ..functions.tokenizer import scan_terms
+
+    terms: dict[str, int] = {}
+    for t in scan_terms(text):
+        zt = "Z" + porter2_stem(t)
+        terms[zt] = terms.get(zt, 0) + 1
+    return score_terms(index, terms)
+
+
+def _empty_matches(index: InvertedIndex) -> DataFrame:
+    return index.doc_stats.select("doc", F.lit(0.0).alias("score")).limit(0)
+
+
+# ---------------------------------------------------------------- boolean ops
+# Match sets are (doc, score) DataFrames. Engine semantics per
+# XC include/xapian/query.h:84-230 (SURVEY.md §2.4).
+
+
+def op_and(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Q1: intersection, weights summed."""
+    r = right.withColumnRenamed("score", "rscore")
+    return left.join(r, "doc").select(
+        "doc", (F.col("score") + F.col("rscore")).alias("score")
+    )
+
+
+def op_or(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Q2: union, weights summed."""
+    return (
+        left.unionByName(right).groupBy("doc").agg(F.sum("score").alias("score"))
+    )
+
+
+def op_and_not(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Q3: left minus right, left weights."""
+    return left.join(right, "doc", "left_anti")
+
+
+def op_xor(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Q4: symmetric difference; the surviving side's weight."""
+    l = left.select("doc", F.col("score").alias("lscore"))
+    r = right.select("doc", F.col("score").alias("rscore"))
+    j = l.join(r, "doc", "full_outer")
+    return j.filter(
+        F.col("lscore").isNull() != F.col("rscore").isNull()
+    ).select("doc", F.coalesce("lscore", "rscore").alias("score"))
+
+
+def op_and_maybe(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Q5: docs of left; weight left + right-if-matched."""
+    r = right.select("doc", F.col("score").alias("rscore"))
+    return left.join(r, "doc", "left_outer").select(
+        "doc", (F.col("score") + F.coalesce(F.col("rscore"), F.lit(0.0))).alias("score")
+    )
+
+
+def op_filter(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Q6: intersection, weight from left only."""
+    return left.join(right.select("doc"), "doc", "left_semi")
+
+
+def op_scale(m: DataFrame, factor: float) -> DataFrame:
+    """Q10: multiply weights."""
+    return m.select("doc", (F.col("score") * F.lit(float(factor))).alias("score"))
+
+
+def op_pure_not(index: InvertedIndex, m: DataFrame) -> DataFrame:
+    """Q17: all docs minus matches, weight 0 (boolean)."""
+    return index.doc_stats.select("doc").join(m, "doc", "left_anti").select(
+        "doc", F.lit(0.0).alias("score")
+    )
+
+
+# ----------------------------------------------------------- positional ops
+
+
+def _positions_for(index: InvertedIndex, terms: list[str]) -> DataFrame:
+    """doc rows carrying one positions array column per query term (p0..pn-1);
+    inner n-way join on doc — docs containing ALL terms."""
+    out = None
+    for i, t in enumerate(terms):
+        cur = index.postings.filter(F.col("term") == t).select(
+            "doc", F.col("positions").alias(f"p{i}")
+        )
+        out = cur if out is None else out.join(cur, "doc")
+    return out
+
+
+def match_phrase(index: InvertedIndex, terms: list[str], score: bool = True) -> DataFrame:
+    """Q8 PHRASE: consecutive positions in order (exactphrasepostlist
+    semantics). Position check is a higher-order exists over the first term's
+    positions — fully vectorized, no Python."""
+    if not terms:
+        raise ValueError("empty phrase")
+    j = _positions_for(index, terms)
+    if j is None:
+        raise ValueError("empty phrase")
+    cond = None
+    if len(terms) == 1:
+        matched = j.select("doc")
+    else:
+        def phrase_at(x: Column) -> Column:
+            c = F.lit(True)
+            for k in range(1, len(terms)):
+                c = c & F.array_contains(F.col(f"p{k}"), x + k)
+            return c
+
+        cond = F.exists(F.col("p0"), phrase_at)
+        matched = j.filter(cond).select("doc")
+    if not score:
+        return matched.select("doc", F.lit(0.0).alias("score"))
+    scored = score_terms(index, list(dict.fromkeys(terms)))
+    return scored.join(matched, "doc", "left_semi")
+
+
+def match_near(
+    index: InvertedIndex, terms: list[str], window: int | None = None,
+    score: bool = True,
+) -> DataFrame:
+    """Q7 NEAR: all terms within a ``window``-wide span, any order
+    (nearpostlist semantics: max(pos)-min(pos) < window). Default window is
+    the parser's 10 + n_terms... the reference's pre-parser routes NEAR with
+    the QueryParser default window 10 (XC queryparser/queryparser.lemony:1722-1729).
+    """
+    if window is None:
+        window = 10
+    if len(terms) < 2:
+        raise ValueError("NEAR needs >= 2 terms")
+    j = _positions_for(index, terms)
+
+    # nested exists over each term's positions; span check at the innermost
+    # (each lambda must be unary — pyspark derives HOF arity from the signature)
+    def build(k: int, xs: list[Column]) -> Column:
+        if k == len(terms):
+            span = F.greatest(*xs) - F.least(*xs)
+            return span < F.lit(window)
+
+        def inner(x: Column) -> Column:
+            return build(k + 1, xs + [x])
+
+        return F.exists(F.col(f"p{k}"), inner)
+
+    matched = j.filter(build(0, [])).select("doc")
+    if not score:
+        return matched.select("doc", F.lit(0.0).alias("score"))
+    scored = score_terms(index, list(dict.fromkeys(terms)))
+    return scored.join(matched, "doc", "left_semi")
+
+
+# ------------------------------------------------------------- synonym/elite
+
+
+def op_synonym(index: InvertedIndex, terms: list[str], wqf: int = 1) -> DataFrame:
+    """Q12 SYNONYM: match like OR but weight as a single pseudo-term whose
+    postings are the merged member postings (synonympostlist.cc semantics,
+    with df = docs matching any member, wdf summed)."""
+    sub = index.postings.filter(F.col("term").isin(terms))
+    merged = sub.groupBy("doc").agg(F.sum("wdf").cast("int").alias("wdf"))
+    n_match = merged.count()
+    if n_match == 0:
+        return _empty_matches(index)
+    tw = _termweight(F.lit(float(n_match)), index.n_docs, F.lit(float(wqf)))
+    avg_len = index.avg_len if index.avg_len > 0 else 1.0
+    normlen = F.greatest(F.col("doclen") / F.lit(avg_len), F.lit(MIN_NORMLEN))
+    denom = F.lit(K1) * (normlen * F.lit(B) + F.lit(1 - B)) + F.col("wdf")
+    return (
+        merged.join(index.doc_stats, "doc")
+        .select("doc", (tw * (F.col("wdf") / denom)).alias("score"))
+    )
+
+
+def expand_wildcard(index: InvertedIndex, prefix: str, limit: int = 1000) -> list[str]:
+    """Q15: term-dictionary expansion of a trailing-* pattern. Bounded collect
+    of matching vocabulary terms (ordered by df desc, then term, for a
+    deterministic cap)."""
+    rows = (
+        index.term_stats.filter(F.col("term").startswith(prefix))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(limit)
+        .select("term")
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def op_elite_set(index: InvertedIndex, terms: list[str], n: int) -> DataFrame:
+    """Q11 ELITE: keep the N highest-weight subterms (lowest df as the weight
+    proxy — XC api/queryinternal.cc elite selection), then OR them."""
+    stats = (
+        index.term_stats.filter(F.col("term").isin(terms))
+        .orderBy(F.asc("df"), F.asc("term"))
+        .limit(n)
+        .collect()
+    )
+    keep = [r["term"] for r in stats]
+    return score_terms(index, keep)
+
+
+# ------------------------------------------------------------------- ranking
+
+
+def top_k(matches: DataFrame, k: int = PAGE_SIZE, key: str = "doc") -> DataFrame:
+    """R5/R6: bounded ranked page; ties break by ascending doc key."""
+    return matches.orderBy(F.desc("score"), F.asc(key)).limit(k)
+
+
+def with_percent(matches: DataFrame) -> DataFrame:
+    """R8: 100 * wt / max weight (omenquire.cc:331-347)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
+    return matches.withColumn(
+        "percent",
+        F.least(
+            F.lit(100),
+            F.ceil(F.col("score") * 100.0 / F.max("score").over(w)).cast("int"),
+        ),
+    )
+
+
+def collapse(matches: DataFrame, key_col: str, collapse_max: int = 1) -> DataFrame:
+    """R9: keep <= collapse_max best docs per key value (collapser.cc)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.desc("score"), F.asc("doc"))
+    return (
+        matches.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= collapse_max)
+        .drop("_rn")
+    )
+
+
+def cutoff(matches: DataFrame, weight_cutoff: float = 0.0, percent_cutoff: int = 0) -> DataFrame:
+    """R11: drop matches below thresholds."""
+    out = matches
+    if weight_cutoff > 0:
+        out = out.filter(F.col("score") >= weight_cutoff)
+    if percent_cutoff > 0:
+        out = with_percent(out).filter(F.col("percent") >= percent_cutoff).drop("percent")
+    return out
+
+
+def fetch_documents(matches: DataFrame, docs: DataFrame, key: str) -> DataFrame:
+    """S6: join the (small) ranked page back to the docs table — Catalyst
+    broadcasts the top-k side."""
+    return docs.join(F.broadcast(matches), on=docs[key] == matches["doc"]).drop("doc")

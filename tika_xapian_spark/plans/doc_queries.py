@@ -1,0 +1,244 @@
+"""Driver-facing query registry over the synthetic ``documents`` table.
+
+Each entry here is a real engine path — tokenizer UDF -> posting tables ->
+BM25 DataFrame algebra (operators/index.py, operators/search.py) — paired
+with a pure-SQL DuckDB oracle from plans/oracles.py. Column names and the
+``score_micro`` integerized score are aligned on both sides so the driver's
+order-insensitive value-hash comparison is byte-stable.
+
+The index for a given sf_dir is built once per process and cached — the
+driver invokes every query callable in one session.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import search as S
+from ..operators.index import InvertedIndex
+from . import oracles
+
+_INDEX_CACHE: dict[tuple[str, bool], InvertedIndex] = {}
+
+K = 100
+
+
+def get_index(spark: SparkSession, sf_dir: str, stem: bool = True) -> InvertedIndex:
+    key = (sf_dir, stem)
+    if key not in _INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _INDEX_CACHE[key] = InvertedIndex.build_from_body(
+            docs, key="doc_id", body_col="text", stem=stem
+        )
+    return _INDEX_CACHE[key]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _finalize(matches: DataFrame, k: int = K) -> DataFrame:
+    out = matches.select(
+        F.col("doc").alias("doc_id"),
+        F.round(F.col("score") * 1_000_000).cast("long").alias("score_micro"),
+    )
+    return out.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(k)
+
+
+def _zt(words: list[str]) -> list[str]:
+    return oracles.zterms(words)
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_search_or(spark, sf_dir):
+    """Q2/Q13: free-text OR over stemmed terms."""
+    idx = get_index(spark, sf_dir)
+    return _finalize(S.score_terms(idx, _zt(["spark", "merge"])))
+
+
+def q_search_and(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    return _finalize(
+        S.op_and(S.score_terms(idx, _zt(["spark"])), S.score_terms(idx, _zt(["merge"])))
+    )
+
+
+def q_search_and_not(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    return _finalize(
+        S.op_and_not(
+            S.score_terms(idx, _zt(["spark"])), S.score_terms(idx, _zt(["merge"]))
+        )
+    )
+
+
+def q_search_xor(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    return _finalize(
+        S.op_xor(S.score_terms(idx, _zt(["spark"])), S.score_terms(idx, _zt(["slow"])))
+    )
+
+
+def q_search_and_maybe(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    return _finalize(
+        S.op_and_maybe(
+            S.score_terms(idx, _zt(["join"])), S.score_terms(idx, _zt(["merge"]))
+        )
+    )
+
+
+def q_search_filter(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    return _finalize(
+        S.op_filter(
+            S.score_terms(idx, _zt(["join"])), S.score_terms(idx, _zt(["spark"]))
+        )
+    )
+
+
+def q_search_phrase(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    return _finalize(S.match_phrase(idx, ["group", "order"]))
+
+
+def q_search_near(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    return _finalize(S.match_near(idx, ["hash", "join"], window=10))
+
+
+def q_search_synonym(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    return _finalize(S.op_synonym(idx, _zt(["merge", "slow"])))
+
+
+def q_search_wildcard(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    expanded = [
+        t for t in S.expand_wildcard(idx, "sp") if not t.startswith("Z")
+    ]
+    return _finalize(S.op_synonym(idx, expanded))
+
+
+def q_search_elite(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    return _finalize(S.op_elite_set(idx, _zt(["spark", "merge", "slow"]), 2))
+
+
+def q_search_pure_not(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    return _finalize(S.op_pure_not(idx, S.score_terms(idx, _zt(["spark"]))))
+
+
+def q_metadata_range(spark, sf_dir):
+    """Q9: metadata-filtered retrieval (the range op the reference surfaces
+    but never wires — we implement it for real, SURVEY.md §2.4 Q9)."""
+    return (
+        _docs(spark, sf_dir)
+        .filter((F.col("n_chars") >= 100) & (F.col("n_chars") <= 300))
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "n_chars", "lang")
+        .orderBy("doc_id")
+        .limit(K)
+    )
+
+
+def q_collapse_best_per_source(spark, sf_dir):
+    """R9 collapse: best match per source key (host-dedup analogue)."""
+    idx = get_index(spark, sf_dir)
+    m = S.score_terms(idx, _zt(["spark"]))
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("doc"), "source")
+    joined = m.join(docs, "doc")
+    best = S.collapse(joined, "source", 1)
+    return best.select(
+        "source",
+        F.col("doc").alias("doc_id"),
+        F.round(F.col("score") * 1_000_000).cast("long").alias("score_micro"),
+    ).orderBy("source")
+
+
+def q_search_percent(spark, sf_dir):
+    """R8: percent-of-max scores for the top page."""
+    idx = get_index(spark, sf_dir)
+    m = S.with_percent(S.score_terms(idx, _zt(["spark"])))
+    return (
+        m.select(
+            F.col("doc").alias("doc_id"),
+            F.round(F.col("score") * 1_000_000).cast("long").alias("score_micro"),
+            F.col("percent").cast("int").alias("percent"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(K)
+    )
+
+
+QUERIES = {
+    "search_or": q_search_or,
+    "search_and": q_search_and,
+    "search_and_not": q_search_and_not,
+    "search_xor": q_search_xor,
+    "search_and_maybe": q_search_and_maybe,
+    "search_filter": q_search_filter,
+    "search_phrase": q_search_phrase,
+    "search_near": q_search_near,
+    "search_synonym": q_search_synonym,
+    "search_wildcard": q_search_wildcard,
+    "search_elite": q_search_elite,
+    "search_pure_not": q_search_pure_not,
+    "metadata_range": q_metadata_range,
+    "collapse_best_per_source": q_collapse_best_per_source,
+    "search_percent": q_search_percent,
+}
+
+
+def oracle_sqls() -> dict[str, str]:
+    zt = oracles.zterms
+    return {
+        "search_or": oracles.bm25_topk(["spark", "merge"]),
+        "search_and": oracles.bool_op("and", ["spark"], ["merge"]),
+        "search_and_not": oracles.bool_op("and_not", ["spark"], ["merge"]),
+        "search_xor": oracles.bool_op("xor", ["spark"], ["slow"]),
+        "search_and_maybe": oracles.bool_op("and_maybe", ["join"], ["merge"]),
+        "search_filter": oracles.bool_op("filter", ["join"], ["spark"]),
+        "search_phrase": oracles.phrase(["group", "order"]),
+        "search_near": oracles.near(["hash", "join"], window=10),
+        "search_synonym": oracles.synonym(zt(["merge", "slow"])),
+        "search_wildcard": oracles.wildcard("sp"),
+        "search_elite": oracles.elite(["spark", "merge", "slow"], 2),
+        "search_pure_not": oracles.pure_not(["spark"]),
+        "metadata_range": f"""
+            SELECT doc_id, n_chars, lang FROM documents
+            WHERE n_chars BETWEEN 100 AND 300 AND lang = 'en'
+            ORDER BY doc_id LIMIT {K}""",
+        "collapse_best_per_source": _collapse_oracle(),
+        "search_percent": _percent_oracle(),
+    }
+
+
+def _collapse_oracle() -> str:
+    tw = oracles._tweight_sql(oracles.qvalues(oracles.zterms(["spark"])))
+    sc = oracles._score_sql()
+    return f"""WITH {oracles.base_ctes()},{tw},{sc},
+ranked AS (
+  SELECT d.source, m.doc_id, m.score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY m.score DESC, m.doc_id ASC) AS rn
+  FROM matches m JOIN documents d USING (doc_id)
+)
+SELECT source, doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micro
+FROM ranked WHERE rn = 1 ORDER BY source"""
+
+
+def _percent_oracle() -> str:
+    tw = oracles._tweight_sql(oracles.qvalues(oracles.zterms(["spark"])))
+    sc = oracles._score_sql()
+    return f"""WITH {oracles.base_ctes()},{tw},{sc}
+SELECT doc_id,
+       CAST(round(score * 1000000) AS BIGINT) AS score_micro,
+       CAST(least(100, ceil(score * 100.0 / max(score) OVER ())) AS INT) AS percent
+FROM matches
+ORDER BY score_micro DESC, doc_id
+LIMIT {K}"""

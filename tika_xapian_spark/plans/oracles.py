@@ -1,0 +1,314 @@
+"""ANSI-SQL (DuckDB) oracle builders for the driver's correctness gate.
+
+Each oracle replicates, in pure SQL over the raw ``documents`` parquet view,
+what the engine computes through its tokenizer UDF + posting tables + BM25
+DataFrame algebra. The corpus is plain lowercase space-separated ASCII words,
+on which the Xapian tokenizer (SURVEY.md §2.3) reduces exactly to
+split-on-space — so SQL tokenization is term-for-term identical.
+
+Stemming cannot be expressed in SQL, but the corpus vocabulary is a fixed
+31-word set (the synthetic generator's word list), so the Porter2 stem map is
+embedded as a VALUES table computed from our (golden-tested) stemmer. The
+oracle therefore independently re-derives postings, Z-postings, document
+lengths, collection stats and the full BM25 formula
+(xapian-core-1.4.17.tar.xz!weight/bm25weight.cc:45-174) from the raw text.
+
+Scores are compared as ``score_micro = round(score * 1e6) :: BIGINT`` —
+integer-stable across engines.
+"""
+
+from __future__ import annotations
+
+from ..functions.porter2 import stem as porter2_stem
+
+# The synthetic documents vocabulary (all scale factors share the generator).
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+]
+
+K1, K3, B, MIN_NORMLEN = 1.0, 1.0, 0.5, 0.5
+
+
+def stem_map_values() -> str:
+    rows = ", ".join(f"('{w}', '{porter2_stem(w)}')" for w in VOCAB)
+    return f"(VALUES {rows})"
+
+
+def base_ctes() -> str:
+    """Shared CTE prelude: tokens, postings (unstemmed + Z-stemmed), doclen,
+    collection stats — the SQL mirror of operators/index.py."""
+    return f"""
+raw_tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, w AS term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+  FROM raw_tok WHERE w <> ''
+),
+stem_map(word, stemmed) AS {stem_map_values()},
+posting AS (
+  SELECT doc_id, term, count(*) AS wdf FROM tok GROUP BY doc_id, term
+),
+zposting AS (
+  SELECT t.doc_id, 'Z' || coalesce(m.stemmed, t.term) AS term, count(*) AS wdf
+  FROM tok t LEFT JOIN stem_map m ON m.word = t.term
+  GROUP BY t.doc_id, 'Z' || coalesce(m.stemmed, t.term)
+),
+allpost AS (
+  SELECT * FROM posting UNION ALL SELECT * FROM zposting
+),
+doclen AS (
+  SELECT doc_id, sum(wdf)::DOUBLE AS doclen FROM allpost GROUP BY doc_id
+),
+coll AS (
+  SELECT count(*)::DOUBLE AS n, avg(doclen)::DOUBLE AS avg_len FROM doclen
+),
+tstats AS (
+  SELECT term, count(*)::DOUBLE AS df FROM allpost GROUP BY term
+)"""
+
+
+def _score_sql(matchset: str = "allpost p JOIN tweight w USING (term)") -> str:
+    """BM25 per-posting part + per-doc sum (R2/R4)."""
+    return f"""
+matches AS (
+  SELECT p.doc_id,
+         sum(w.termweight * p.wdf /
+             ({K1} * (greatest(d.doclen / c.avg_len, {MIN_NORMLEN}) * {B} + {1 - B}) + p.wdf)
+         ) AS score
+  FROM {matchset}
+       JOIN doclen d USING (doc_id)
+       CROSS JOIN coll c
+  GROUP BY p.doc_id
+)"""
+
+
+def _tweight_sql(qterms_values: str) -> str:
+    """R1 term weights for a VALUES list of (term, wqf)."""
+    return f"""
+qterms(term, wqf) AS (VALUES {qterms_values}),
+tweight AS (
+  SELECT term,
+         ln(CASE WHEN tw < 2 THEN tw * 0.5 + 1 ELSE tw END)
+           * (({K3} + 1) * wqf / ({K3} + wqf)) * ({K1} + 1) AS termweight
+  FROM (
+    SELECT q.term, q.wqf::DOUBLE AS wqf, (c.n - s.df + 0.5) / (s.df + 0.5) AS tw
+    FROM qterms q JOIN tstats s USING (term) CROSS JOIN coll c
+  )
+)"""
+
+
+def zterms(words: list[str]) -> list[str]:
+    return ["Z" + porter2_stem(w) for w in words]
+
+
+def qvalues(terms: list[str], wqf: dict[str, int] | None = None) -> str:
+    seen: dict[str, int] = {}
+    for t in terms:
+        seen[t] = seen.get(t, 0) + 1
+    if wqf:
+        seen.update(wqf)
+    return ", ".join(f"('{t}', {w})" for t, w in seen.items())
+
+
+TOPK_TAIL = """
+SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micro
+FROM matches
+ORDER BY score_micro DESC, doc_id
+LIMIT {k}"""
+
+
+def bm25_topk(words: list[str], k: int = 100) -> str:
+    """Free-text OR query (Q2/Q13): stemmed Z-terms, weights summed, top-k."""
+    return (
+        "WITH " + base_ctes() + "," + _tweight_sql(qvalues(zterms(words)))
+        + "," + _score_sql() + TOPK_TAIL.format(k=k)
+    )
+
+
+def _two_sided(words_l: list[str], words_r: list[str]) -> str:
+    """CTEs producing lmatch/rmatch scored match sets for boolean ops."""
+    lv = qvalues([t + "" for t in zterms(words_l)])
+    rv = qvalues(zterms(words_r))
+    return f"""WITH {base_ctes()},
+lq(term, wqf) AS (VALUES {lv}),
+rq(term, wqf) AS (VALUES {rv}),
+lw AS (
+  SELECT term, ln(CASE WHEN tw < 2 THEN tw*0.5 + 1 ELSE tw END) * 2.0 AS termweight
+  FROM (SELECT q.term, (c.n - s.df + 0.5)/(s.df + 0.5) AS tw
+        FROM lq q JOIN tstats s USING (term) CROSS JOIN coll c)
+),
+rw AS (
+  SELECT term, ln(CASE WHEN tw < 2 THEN tw*0.5 + 1 ELSE tw END) * 2.0 AS termweight
+  FROM (SELECT q.term, (c.n - s.df + 0.5)/(s.df + 0.5) AS tw
+        FROM rq q JOIN tstats s USING (term) CROSS JOIN coll c)
+),
+lmatch AS (
+  SELECT p.doc_id, sum(w.termweight * p.wdf /
+      (1.0*(greatest(d.doclen/c.avg_len, 0.5)*0.5 + 0.5) + p.wdf)) AS score
+  FROM allpost p JOIN lw w USING (term) JOIN doclen d USING (doc_id) CROSS JOIN coll c
+  GROUP BY p.doc_id
+),
+rmatch AS (
+  SELECT p.doc_id, sum(w.termweight * p.wdf /
+      (1.0*(greatest(d.doclen/c.avg_len, 0.5)*0.5 + 0.5) + p.wdf)) AS score
+  FROM allpost p JOIN rw w USING (term) JOIN doclen d USING (doc_id) CROSS JOIN coll c
+  GROUP BY p.doc_id
+)"""
+
+
+def bool_op(op: str, words_l: list[str], words_r: list[str], k: int = 100) -> str:
+    """Q1/Q3/Q4/Q5/Q6 oracles over two free-text sides."""
+    pre = _two_sided(words_l, words_r)
+    if op == "and":
+        sel = """SELECT l.doc_id, l.score + r.score AS score
+                 FROM lmatch l JOIN rmatch r USING (doc_id)"""
+    elif op == "and_not":
+        sel = """SELECT l.doc_id, l.score FROM lmatch l
+                 WHERE NOT EXISTS (SELECT 1 FROM rmatch r WHERE r.doc_id = l.doc_id)"""
+    elif op == "and_maybe":
+        sel = """SELECT l.doc_id, l.score + coalesce(r.score, 0) AS score
+                 FROM lmatch l LEFT JOIN rmatch r USING (doc_id)"""
+    elif op == "filter":
+        sel = """SELECT l.doc_id, l.score FROM lmatch l
+                 WHERE EXISTS (SELECT 1 FROM rmatch r WHERE r.doc_id = l.doc_id)"""
+    elif op == "xor":
+        sel = """SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+                        coalesce(l.score, r.score) AS score
+                 FROM lmatch l FULL OUTER JOIN rmatch r USING (doc_id)
+                 WHERE (l.doc_id IS NULL) <> (r.doc_id IS NULL)"""
+    else:
+        raise ValueError(op)
+    return (
+        pre + f", matches AS ({sel})" + TOPK_TAIL.format(k=k)
+    )
+
+
+def _scored_in(docset_cte: str) -> str:
+    """matches CTE: BM25 sum restricted to docs in ``docset_cte``."""
+    return f"""matches AS (
+  SELECT p.doc_id,
+         sum(w.termweight * p.wdf /
+             (1.0 * (greatest(d.doclen / c.avg_len, 0.5) * 0.5 + 0.5) + p.wdf)) AS score
+  FROM allpost p JOIN tweight w USING (term)
+       JOIN doclen d USING (doc_id)
+       CROSS JOIN coll c
+  WHERE p.doc_id IN (SELECT doc_id FROM {docset_cte})
+  GROUP BY p.doc_id
+)"""
+
+
+def phrase(words: list[str], k: int = 100) -> str:
+    """Q8: consecutive unstemmed positions, scored over the member terms."""
+    conds = " AND ".join(
+        f"EXISTS (SELECT 1 FROM tok t{i} WHERE t{i}.doc_id = ph.doc_id "
+        f"AND t{i}.term = '{w}' AND t{i}.pos = ph.pos + {i})"
+        for i, w in enumerate(words[1:], start=1)
+    )
+    uniq = list(dict.fromkeys(words))
+    return f"""WITH {base_ctes()},
+{_tweight_sql(qvalues(uniq)).lstrip()},
+phrase_docs AS (
+  SELECT DISTINCT ph.doc_id
+  FROM tok ph WHERE ph.term = '{words[0]}' AND {conds}
+),
+{_scored_in('phrase_docs')}""" + TOPK_TAIL.format(k=k)
+
+
+def near(words: list[str], window: int = 10, k: int = 100) -> str:
+    """Q7 (two-term form): span (max-min) < window, any order."""
+    assert len(words) == 2
+    w1, w2 = words
+    uniq = list(dict.fromkeys(words))
+    return f"""WITH {base_ctes()},
+{_tweight_sql(qvalues(uniq)).lstrip()},
+near_docs AS (
+  SELECT DISTINCT a.doc_id
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+  WHERE a.term = '{w1}' AND b.term = '{w2}'
+    AND abs(a.pos - b.pos) < {window}
+),
+{_scored_in('near_docs')}""" + TOPK_TAIL.format(k=k)
+
+
+def synonym(members: list[str], k: int = 100) -> str:
+    """Q12: merged postings scored as one pseudo-term (df = matching docs)."""
+    in_list = ", ".join(f"'{m}'" for m in members)
+    return f"""WITH {base_ctes()},
+merged AS (
+  SELECT doc_id, sum(wdf) AS wdf FROM allpost
+  WHERE term IN ({in_list}) GROUP BY doc_id
+),
+syn_df AS (SELECT count(*)::DOUBLE AS df FROM merged),
+syn_w AS (
+  SELECT ln(CASE WHEN tw < 2 THEN tw*0.5 + 1 ELSE tw END) * 2.0 AS termweight
+  FROM (SELECT (c.n - s.df + 0.5)/(s.df + 0.5) AS tw FROM syn_df s CROSS JOIN coll c)
+),
+matches AS (
+  SELECT m.doc_id,
+         w.termweight * m.wdf /
+           (1.0 * (greatest(d.doclen / c.avg_len, 0.5) * 0.5 + 0.5) + m.wdf) AS score
+  FROM merged m CROSS JOIN syn_w w
+       JOIN doclen d ON d.doc_id = m.doc_id
+       CROSS JOIN coll c
+)""" + TOPK_TAIL.format(k=k)
+
+
+def wildcard(prefix: str, k: int = 100) -> str:
+    """Q15: expand unstemmed vocabulary by prefix, then synonym-score."""
+    return f"""WITH {base_ctes()},
+expanded AS (
+  SELECT term FROM posting GROUP BY term HAVING term LIKE '{prefix}%'
+),
+merged AS (
+  SELECT doc_id, sum(wdf) AS wdf FROM posting
+  WHERE term IN (SELECT term FROM expanded) GROUP BY doc_id
+),
+syn_df AS (SELECT count(*)::DOUBLE AS df FROM merged),
+syn_w AS (
+  SELECT ln(CASE WHEN tw < 2 THEN tw*0.5 + 1 ELSE tw END) * 2.0 AS termweight
+  FROM (SELECT (c.n - s.df + 0.5)/(s.df + 0.5) AS tw FROM syn_df s CROSS JOIN coll c)
+),
+matches AS (
+  SELECT m.doc_id,
+         w.termweight * m.wdf /
+           (1.0 * (greatest(d.doclen / c.avg_len, 0.5) * 0.5 + 0.5) + m.wdf) AS score
+  FROM merged m CROSS JOIN syn_w w
+       JOIN doclen d ON d.doc_id = m.doc_id
+       CROSS JOIN coll c
+)""" + TOPK_TAIL.format(k=k)
+
+
+def elite(words: list[str], n: int, k: int = 100) -> str:
+    """Q11: keep the n rarest (df asc, term asc) of the candidate terms."""
+    in_list = ", ".join(f"'{t}'" for t in zterms(words))
+    return f"""WITH {base_ctes()},
+kept AS (
+  SELECT term, 1 AS wqf FROM tstats WHERE term IN ({in_list})
+  ORDER BY df ASC, term ASC LIMIT {n}
+),
+tweight AS (
+  SELECT term,
+         ln(CASE WHEN tw < 2 THEN tw*0.5 + 1 ELSE tw END) * 2.0 AS termweight
+  FROM (SELECT q.term, (c.n - s.df + 0.5)/(s.df + 0.5) AS tw
+        FROM kept q JOIN tstats s USING (term) CROSS JOIN coll c)
+),
+{_score_sql()[1:]}""" + TOPK_TAIL.format(k=k)
+
+
+def pure_not(words: list[str], k: int = 100) -> str:
+    """Q17: all docs minus matches, weight 0."""
+    in_list = ", ".join(f"'{t}'" for t in zterms(words))
+    return f"""WITH {base_ctes()},
+matched AS (SELECT DISTINCT doc_id FROM allpost WHERE term IN ({in_list})),
+matches AS (
+  SELECT d.doc_id, 0.0 AS score FROM doclen d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM matched)
+)""" + TOPK_TAIL.format(k=k)
