@@ -24,12 +24,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from tika_xapian_spark.plans.data_queries import DATA_QUERIES
     from tika_xapian_spark.plans.doc_queries import QUERIES
 
-    return dict(QUERIES)
+    return {**QUERIES, **DATA_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
+    from tika_xapian_spark.plans.data_queries import data_oracle_sqls
     from tika_xapian_spark.plans.doc_queries import oracle_sqls
 
-    return oracle_sqls()
+    return {**oracle_sqls(), **data_oracle_sqls()}

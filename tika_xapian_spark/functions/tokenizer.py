@@ -72,12 +72,27 @@ class Token(NamedTuple):
     stemmed: bool
 
 
+# Fast-path gates: texts made only of ASCII alphanumerics/underscore and
+# whitespace tokenize identically under a plain regex split — none of the
+# acronym/infix/suffix rules can trigger without '.', ',', ';', "'", '&',
+# '+', '#' or non-ASCII. (Uppercase is fine on the medium path: without '.'
+# an acronym can never form, so lowercasing first is equivalent.)
+import re as _re
+
+_NO_SPECIALS = _re.compile(r"[^A-Za-z0-9_ \t\r\n]")
+_SIMPLE_TOKEN = _re.compile(r"[a-z0-9_]+")
+
+
 def scan_terms(text: str) -> list[str]:
     """Run the parse_terms state machine; yield raw (lowercased) terms in order.
 
     Mirrors termgenerator_internal.cc parse_terms without CJK n-gramming
     (the reference never enables FLAG_CJK_NGRAM — SURVEY.md K12).
+    A regex fast path covers plain alphanumeric text (~10x), falling back to
+    the exact scanner whenever any rule-triggering character is present.
     """
+    if not _NO_SPECIALS.search(text):
+        return _SIMPLE_TOKEN.findall(text.lower())
     out: list[str] = []
     n = len(text)
     i = 0

@@ -1,0 +1,218 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All four families are pure DataFrame algebra (JVM-side, whole-stage codegen) —
+no Python in the hot path. Hash primitives are md5-based so every result is
+reproducible across engines (the DuckDB oracles recompute them bit-for-bit).
+
+  exact          md5(text) grouping -> canonical doc per group
+  minhash + LSH  word-shingles -> 16-permutation minhash signature -> banded
+                 bucket join -> candidate pairs -> exact Jaccard verify
+  simhash        60-bit sign-of-weighted-bits fingerprint from token tf
+  ngram-Jaccard  shared-shingle candidate join -> exact Jaccard top pairs
+
+Scale notes (10^12 docs):
+  - minhash signature build is one explode + one groupBy(doc, seed): the
+    shuffle is bounded by n_docs * n_perms rows, not by shingle count
+    (map-side partial min); band join is an equi-join on (band, band_key),
+    AQE handles bucket skew; hot shingles are dropped by a df cap before the
+    candidate join (standard "stop-shingle" pruning).
+  - simhash's bit explode (x60) can be swapped for a pandas-UDF per-doc
+    variant at extreme scale; the relational form keeps it inside codegen and
+    oracle-checkable.
+
+Tokenization here uses the SQL-expressible split (lowercase + non-alnum
+separators), which equals the engine tokenizer on simple text; plug
+operators.index's tokenizer UDF for full Unicode corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_PERMS = 16
+N_BANDS = 4  # 4 bands x 4 rows
+SHINGLE_K = 3
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """lowercase word tokens, SQL-split (matches the engine tokenizer on
+    plain text; see module docstring)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9_]+"), lambda x: x != ""
+    )
+
+
+def exact_duplicates(docs: DataFrame, key: str, text_col: str = "text") -> DataFrame:
+    """(key, content_hash, canonical_id, group_size): canonical = min key of
+    each identical-text group. One shuffle on the content hash."""
+    h = docs.select(F.col(key).alias("doc"), F.md5(F.col(text_col)).alias("content_hash"))
+    groups = h.groupBy("content_hash").agg(
+        F.min("doc").alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return h.join(groups, "content_hash").select(
+        "doc", "content_hash", "canonical_id", "group_size"
+    )
+
+
+def shingles_df(
+    docs: DataFrame, key: str, text_col: str = "text", k: int = SHINGLE_K
+) -> DataFrame:
+    """(doc, shingle): distinct k-word shingles; texts shorter than k words
+    contribute their whole token sequence as one shingle."""
+    toks = tokens_col(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return (
+        docs.select(F.col(key).alias("doc"), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_perms: int = N_PERMS
+) -> DataFrame:
+    """(doc, seed, minhash): minhash = lexicographic min of md5('<seed>:'||shingle)
+    over the doc's shingles. A fixed-width hex string is an order-isomorphic
+    128-bit hash — engine-portable."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("seed")
+    return (
+        shingles.select("doc", "shingle", seeds)
+        .select(
+            "doc",
+            "seed",
+            F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def band_buckets(signatures: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """(doc, band, band_key): band_key hashes the band's minhashes in seed
+    order (zero-padded seed keeps string sort == numeric sort)."""
+    rows_per_band = N_PERMS // n_bands
+    return (
+        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .withColumn("tagged", F.concat(F.lpad(F.col("seed").cast("string"), 2, "0"), F.lit(":"), F.col("minhash")))
+        .groupBy("doc", "band")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("tagged")))).alias("band_key"))
+    )
+
+
+def lsh_candidates(buckets: DataFrame) -> DataFrame:
+    """(doc_a, doc_b): pairs sharing at least one band bucket."""
+    a = buckets.select(F.col("doc").alias("doc_a"), "band", "band_key")
+    b = buckets.select(F.col("doc").alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def exact_jaccard(candidates: DataFrame, shingles: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard_micro): exact Jaccard over distinct shingle
+    sets, verified by joining the shingle index twice (broadcast the small
+    candidate set)."""
+    sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = shingles.select(F.col("doc").alias("doc_a"), "shingle")
+    sb = shingles.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        candidates.join(inter, ["doc_a", "doc_b"], "left_outer")
+        .na.fill({"n_inter": 0})
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") * 1_000_000.0
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).cast("long").alias("jaccard_micro"),
+        )
+    )
+
+
+def ngram_jaccard_top_pairs(
+    docs: DataFrame,
+    key: str,
+    text_col: str = "text",
+    k: int = 2,
+    max_shingle_df: int = 10_000,
+    top: int = 20,
+) -> DataFrame:
+    """n-gram Jaccard near-dup: candidates = pairs sharing any (non-hot)
+    k-shingle; exact Jaccard; top pairs by similarity. ``max_shingle_df``
+    drops stop-shingles so the candidate join stays bounded at scale."""
+    sh = shingles_df(docs, key, text_col, k)
+    df_per_shingle = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    pruned = sh.join(
+        df_per_shingle.filter(F.col("sdf") <= max_shingle_df).select("shingle"),
+        "shingle",
+    )
+    a = pruned.select(F.col("doc").alias("doc_a"), "shingle")
+    b = pruned.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    scored = inter.join(na, "doc_a").join(nb, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("n_inter") * 1_000_000.0
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        ).cast("long").alias("jaccard_micro"),
+    )
+    return scored.orderBy(F.desc("jaccard_micro"), "doc_a", "doc_b").limit(top)
+
+
+def simhash(docs: DataFrame, key: str, text_col: str = "text", bits: int = 60) -> DataFrame:
+    """(doc, simhash): 60-bit simhash. Token hash = first 15 md5 hex chars as
+    int; each bit accumulates +tf/-tf; positive sums set the bit."""
+    tf = (
+        docs.select(F.col(key).alias("doc"), F.explode(tokens_col(text_col)).alias("token"))
+        .groupBy("doc", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "h", F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+        )
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    contrib = tf.select(
+        "doc",
+        "tf",
+        "h",
+        bit,
+    ).select(
+        "doc",
+        "b",
+        # shiftright/shiftleft builtins take only literal shift amounts;
+        # the SQL operators accept a column
+        F.when(F.expr("(h >> b) & 1") == 1, F.col("tf"))
+        .otherwise(-F.col("tf"))
+        .alias("c"),
+    )
+    per_bit = contrib.groupBy("doc", "b").agg(F.sum("c").alias("s"))
+    return per_bit.groupBy("doc").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )

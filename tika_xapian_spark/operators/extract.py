@@ -32,13 +32,13 @@ from datetime import datetime, timezone, timedelta
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from .html_extract import extract_main_content
@@ -229,8 +229,9 @@ def parse_page(url: str, raw: bytes) -> dict:
     yaml_bytes, body = split_frontmatter(raw)
     if yaml_bytes is None:
         return _err("markdown", "unterminated frontmatter block")
+    loader = getattr(_yaml, "CSafeLoader", _yaml.SafeLoader)  # libyaml: ~10x
     try:
-        meta = _yaml.safe_load(yaml_bytes.decode("utf-8", errors="replace"))
+        meta = _yaml.load(yaml_bytes.decode("utf-8", errors="replace"), Loader=loader)
     except _yaml.YAMLError as e:
         return _err("markdown", f"yaml parse error: {e}")
     if not isinstance(meta, dict):
@@ -273,10 +274,14 @@ def parse_page(url: str, raw: bytes) -> dict:
     }
 
 
-@pandas_udf(EXTRACT_RESULT_SCHEMA)
-def _extract_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
-    rows = [parse_page(u, h) for u, h in zip(url, html)]
-    return pd.DataFrame(rows, columns=[f.name for f in EXTRACT_RESULT_SCHEMA.fields])
+DOCS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("lang", StringType()),
+    ]
+    + EXTRACT_RESULT_SCHEMA.fields
+)
 
 
 def extract_pages(pages: DataFrame) -> DataFrame:
@@ -285,14 +290,28 @@ def extract_pages(pages: DataFrame) -> DataFrame:
     Output: url, warc_ts, lang + extracted fields + status/error channel.
     Filter ``status = 'ok'`` downstream; keep the error rows for the
     quarantine sink (S3) and lineage metrics.
+
+    Implemented with ``mapInPandas`` rather than a struct-returning
+    ``pandas_udf``: a later filter on a udf-struct field makes Spark
+    re-evaluate the whole UDF on both sides of the filter (measured 3-5x
+    slowdown); mapInPandas materializes the extracted columns once.
     """
-    ex = pages.select(
-        "url",
-        "warc_ts",
-        "lang",
-        _extract_udf(F.col("url"), F.col("html")).alias("x"),
-    )
-    return ex.select("url", "warc_ts", "lang", "x.*")
+    cols = [f.name for f in DOCS_SCHEMA.fields]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for u, ts, lang, h in zip(
+                pdf["url"], pdf["warc_ts"], pdf["lang"], pdf["html"]
+            ):
+                d = parse_page(u, h)
+                d["url"] = u
+                d["warc_ts"] = ts
+                d["lang"] = lang
+                rows.append(d)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.mapInPandas(run, DOCS_SCHEMA)
 
 
 def quarantine(docs: DataFrame) -> DataFrame:

@@ -39,14 +39,31 @@ from pyspark.sql.types import (
 
 from ..functions import tokenizer as tok
 
-TOKEN_SCHEMA = ArrayType(
-    StructType(
-        [
-            StructField("term", StringType()),
-            # null pos == Z-stemmed term (STEM_SOME adds stems positionless)
-            StructField("pos", IntegerType()),
-        ]
-    )
+# Parallel primitive arrays (not array<struct>): list<string>/list<int> cross
+# the Arrow boundary as vectorized buffers, ~10x cheaper than per-token
+# structs; they are zipped back into rows JVM-side with arrays_zip+explode.
+TOKEN_SCHEMA = StructType(
+    [
+        StructField("terms", ArrayType(StringType())),
+        # null pos == Z-stemmed term (STEM_SOME adds stems positionless)
+        StructField("poss", ArrayType(IntegerType())),
+    ]
+)
+
+# Per-document PRE-AGGREGATED postings: a document's tokens are already
+# colocated inside the UDF batch, so (term -> wdf, positions) is computed
+# there and the expensive groupBy(doc, term) shuffle + collect_list
+# disappears entirely. doclen comes out as a scalar the same way. The only
+# shuffle left in index construction is the light term_stats aggregation.
+# This is the map-side-combine design that survives 10^12 rows: posting
+# construction is embarrassingly parallel per document.
+DOC_POSTINGS_SCHEMA = StructType(
+    [
+        StructField("terms", ArrayType(StringType())),
+        StructField("wdfs", ArrayType(IntegerType())),
+        StructField("positions", ArrayType(ArrayType(IntegerType()))),
+        StructField("doclen", IntegerType()),
+    ]
 )
 
 N_BUCKETS = 64  # bucket count for term/doc hash partitioning
@@ -63,9 +80,33 @@ DOC_FIELD_PREFIXES = [
 ]
 
 
-def _tokens_to_rows(fields: list[tuple[str, str]], stem: bool) -> list[dict]:
+def _tokens_to_rows(fields: list[tuple[str, str]], stem: bool) -> dict:
     toks = tok.index_document(fields) if stem else _index_document_nostem(fields)
-    return [{"term": t.term, "pos": t.pos} for t in toks]
+    return {
+        "terms": [t.term for t in toks],
+        "poss": [t.pos for t in toks],
+    }
+
+
+def _doc_postings(fields: list[tuple[str, str]], stem: bool) -> dict:
+    """Per-document posting aggregation (K11 wdf + positions), sorted by term
+    for deterministic output."""
+    toks = tok.index_document(fields) if stem else _index_document_nostem(fields)
+    agg: dict[str, list] = {}
+    for t in toks:
+        e = agg.get(t.term)
+        if e is None:
+            agg[t.term] = e = [0, []]
+        e[0] += 1
+        if t.pos is not None:
+            e[1].append(t.pos)
+    terms = sorted(agg)
+    return {
+        "terms": terms,
+        "wdfs": [agg[t][0] for t in terms],
+        "positions": [agg[t][1] for t in terms],
+        "doclen": len(toks),
+    }
 
 
 def _index_document_nostem(fields: list[tuple[str, str]]) -> list[tok.Token]:
@@ -88,10 +129,8 @@ def make_body_tokenizer(stem: bool = True):
     """Tokenizer UDF over a single body column (documents-table profile)."""
 
     @pandas_udf(TOKEN_SCHEMA)
-    def _udf(body: pd.Series) -> pd.Series:
-        return pd.Series(
-            [_tokens_to_rows([("", b or "")], stem) for b in body]
-        )
+    def _udf(body: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame([_tokens_to_rows([("", b or "")], stem) for b in body])
 
     return _udf
 
@@ -110,7 +149,7 @@ def make_doc_tokenizer(stem: bool = True):
         subtitle: pd.Series,
         tags: pd.Series,
         body: pd.Series,
-    ) -> pd.Series:
+    ) -> pd.DataFrame:
         out = []
         for a, d, fn, fp, ti, su, tg, bo in zip(
             author, date, filename, full_path, title, subtitle, tags, body
@@ -128,9 +167,82 @@ def make_doc_tokenizer(stem: bool = True):
                     fields.append(("K", one_tag or ""))
             fields.append(("", bo or ""))
             out.append(_tokens_to_rows(fields, stem))
-        return pd.Series(out)
+        return pd.DataFrame(out)
 
     return _udf
+
+
+def make_body_postings_udf(stem: bool = True):
+    """Per-doc aggregated postings over a single body column."""
+
+    @pandas_udf(DOC_POSTINGS_SCHEMA)
+    def _udf(body: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame([_doc_postings([("", b or "")], stem) for b in body])
+
+    return _udf
+
+
+def make_doc_postings_udf(stem: bool = True):
+    """Per-doc aggregated postings over the full extracted-document fields
+    (reference field order, shared positions — K8)."""
+
+    @pandas_udf(DOC_POSTINGS_SCHEMA)
+    def _udf(
+        author: pd.Series,
+        date: pd.Series,
+        filename: pd.Series,
+        full_path: pd.Series,
+        title: pd.Series,
+        subtitle: pd.Series,
+        tags: pd.Series,
+        body: pd.Series,
+    ) -> pd.DataFrame:
+        out = []
+        for a, d, fn, fp, ti, su, tg, bo in zip(
+            author, date, filename, full_path, title, subtitle, tags, body
+        ):
+            fields = [
+                ("A", a or ""),
+                ("D", d or ""),
+                ("F", fn or ""),
+                ("F", fp or ""),
+                ("S", ti or ""),
+                ("XS", su or ""),
+            ]
+            if tg is not None:
+                for one_tag in tg:
+                    fields.append(("K", one_tag or ""))
+            fields.append(("", bo or ""))
+            out.append(_doc_postings(fields, stem))
+        return pd.DataFrame(out)
+
+    return _udf
+
+
+def _doc_postings_df(docs: DataFrame, key: str, udf_col: Column) -> DataFrame:
+    """(doc, p:struct<terms,wdfs,positions,doclen>) carrier frame."""
+    return docs.select(F.col(key).alias("doc"), udf_col.alias("p"))
+
+
+def explode_doc_postings(carrier: DataFrame) -> DataFrame:
+    """carrier -> postings(doc, term, wdf, positions) with no shuffle."""
+    return (
+        carrier.select(
+            "doc",
+            F.explode(F.arrays_zip("p.terms", "p.wdfs", "p.positions")).alias("e"),
+        )
+        .select(
+            "doc",
+            F.col("e.terms").alias("term"),
+            F.col("e.wdfs").alias("wdf"),
+            F.col("e.positions").alias("positions"),
+        )
+    )
+
+
+def doc_stats_from_carrier(carrier: DataFrame) -> DataFrame:
+    """doclen without any shuffle — it was computed inside the UDF."""
+    return carrier.select("doc", F.col("p.doclen").cast("long").alias("doclen"))
 
 
 def bucket_col(col: str | Column, n: int = N_BUCKETS) -> Column:
@@ -138,13 +250,40 @@ def bucket_col(col: str | Column, n: int = N_BUCKETS) -> Column:
     return F.pmod(F.xxhash64(c), F.lit(n)).cast("int")
 
 
+def salted_repartition(
+    df: DataFrame, key: str, n_partitions: int, salt: int = 8
+) -> DataFrame:
+    """Skew-safe repartition: hot key values (e.g. one host dominating a
+    Common-Crawl slice — the Zipf hosts of the fixtures) are spread over
+    ``salt`` partitions instead of landing on one. The salt column is
+    derived deterministically from the row's own key hash + a rotation, so
+    no RNG state is involved, and it is dropped after the exchange.
+
+    Use before the extraction/tokenization map stages when the source layout
+    clusters by host; AQE's skew-join splitting covers the join side, this
+    covers the map side."""
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col(key), F.spark_partition_id()), F.lit(salt)).cast("int"),
+    )
+    return salted.repartition(n_partitions, F.col(key), F.col("_salt")).drop("_salt")
+
+
+def _explode_tokens(with_toks: DataFrame) -> DataFrame:
+    """(doc, toks:struct<terms,poss>) -> (doc, term, pos) via JVM-side zip."""
+    return (
+        with_toks.select(
+            "doc", F.explode(F.arrays_zip("toks.terms", "toks.poss")).alias("t")
+        )
+        .select("doc", F.col("t.terms").alias("term"), F.col("t.poss").alias("pos"))
+    )
+
+
 def tokenize_body(docs: DataFrame, key: str, body_col: str = "text", stem: bool = True) -> DataFrame:
     """docs -> token rows (key, term, pos). Body-only profile."""
     udf = make_body_tokenizer(stem)
-    return (
+    return _explode_tokens(
         docs.select(F.col(key).alias("doc"), udf(F.col(body_col)).alias("toks"))
-        .select("doc", F.explode("toks").alias("t"))
-        .select("doc", "t.term", "t.pos")
     )
 
 
@@ -152,9 +291,8 @@ def tokenize_extracted(docs: DataFrame, key: str = "url", stem: bool = True) -> 
     """Extracted docs (extract.extract_pages output) -> token rows, reference
     field order with shared positions."""
     udf = make_doc_tokenizer(stem)
-    return (
-        docs.filter(F.col("status") == "ok")
-        .select(
+    return _explode_tokens(
+        docs.filter(F.col("status") == "ok").select(
             F.col(key).alias("doc"),
             udf(
                 F.col("author"),
@@ -167,8 +305,6 @@ def tokenize_extracted(docs: DataFrame, key: str = "url", stem: bool = True) -> 
                 F.col("body"),
             ).alias("toks"),
         )
-        .select("doc", F.explode("toks").alias("t"))
-        .select("doc", "t.term", "t.pos")
     )
 
 
@@ -230,17 +366,57 @@ class InvertedIndex:
         )
 
     @classmethod
+    def from_carrier(cls, carrier: DataFrame, persist: bool = True) -> "InvertedIndex":
+        """Shuffle-free build from the per-doc aggregated postings carrier:
+        postings and doc_stats are pure map-side projections; only term_stats
+        aggregates (one light shuffle)."""
+        if persist:
+            carrier = carrier.persist()
+        postings = explode_doc_postings(carrier)
+        doc_stats = doc_stats_from_carrier(carrier)
+        term_stats = build_term_stats(postings)
+        if persist:
+            term_stats = term_stats.persist()
+        row = doc_stats.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avg")
+        ).collect()[0]
+        return cls(
+            postings=postings,
+            doc_stats=doc_stats,
+            term_stats=term_stats,
+            n_docs=int(row["n"] or 0),
+            avg_len=float(row["avg"] or 0.0),
+        )
+
+    @classmethod
     def build_from_body(
         cls, docs: DataFrame, key: str, body_col: str = "text", stem: bool = True,
         persist: bool = True,
     ) -> "InvertedIndex":
-        return cls.from_tokens(tokenize_body(docs, key, body_col, stem), persist)
+        udf = make_body_postings_udf(stem)
+        carrier = _doc_postings_df(docs, key, udf(F.col(body_col)))
+        return cls.from_carrier(carrier, persist)
 
     @classmethod
     def build_from_extracted(
         cls, docs: DataFrame, key: str = "url", stem: bool = True, persist: bool = True
     ) -> "InvertedIndex":
-        return cls.from_tokens(tokenize_extracted(docs, key, stem), persist)
+        udf = make_doc_postings_udf(stem)
+        carrier = _doc_postings_df(
+            docs.filter(F.col("status") == "ok"),
+            key,
+            udf(
+                F.col("author"),
+                F.col("date"),
+                F.col("filename"),
+                F.col("full_path"),
+                F.col("title"),
+                F.col("subtitle"),
+                F.col("tags"),
+                F.col("body"),
+            ),
+        )
+        return cls.from_carrier(carrier, persist)
 
     def unpersist(self) -> None:
         for df in (self.postings, self.doc_stats, self.term_stats):

@@ -1,0 +1,118 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with typed
+metadata columns beside them. The Spark-side plumbing — schema, partitioning,
+Arrow batch shape, UDF signatures — is real and tested; the actual media
+decode is STUBBED (this environment ships no image/audio libraries): decode
+entry points raise ``NotImplementedError`` unless the deterministic-fake mode
+is used, which derives features from the payload's md5 so tests and oracles
+are exact.
+
+At scale: binary payloads dominate bytes — the metadata pass reads only the
+bytes it needs (mapInPandas streams Arrow batches; no payload ever reaches
+the driver), and feature tables are written separately from payload tables so
+downstream jobs never rescan media bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+META_SCHEMA = StructType(
+    [
+        StructField("doc", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("md5_hex", StringType()),
+        StructField("magic", StringType()),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+_MAGIC = [
+    (b"\x89PNG", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF8", "gif"),
+    (b"%PDF", "pdf"),
+    (b"RIFF", "riff"),
+    (b"OggS", "ogg"),
+]
+
+
+def sniff_magic(payload: bytes) -> str:
+    for sig, name in _MAGIC:
+        if payload.startswith(sig):
+            return name
+    return "bin"
+
+
+def decode_image(payload: bytes):
+    """Real image decode — unavailable in this environment (no PIL/cv2).
+    The Spark plumbing around it is real; swap this body for PIL on a
+    cluster that has it."""
+    raise NotImplementedError(
+        "image decode requires an image library not present in this environment"
+    )
+
+
+def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for a feature extractor: bytes of md5(payload)
+    scaled to [0, 1]. Exactly reproducible in SQL for the oracle."""
+    h = hashlib.md5(payload).digest()
+    return [h[i] / 255.0 for i in range(dim)]
+
+
+def binary_metadata(df: DataFrame, key: str, payload_col: str) -> DataFrame:
+    """(doc, n_bytes, md5_hex, magic) via mapInPandas over Arrow batches —
+    the payload bytes never leave the executors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc": pdf[key],
+                "n_bytes": [len(b) for b in pdf[payload_col]],
+                "md5_hex": [hashlib.md5(b).hexdigest() for b in pdf[payload_col]],
+                "magic": [sniff_magic(bytes(b)) for b in pdf[payload_col]],
+            }
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(key), F.col(payload_col)).mapInPandas(run, META_SCHEMA)
+
+
+def extract_features(
+    df: DataFrame, key: str, payload_col: str, use_fake: bool = True
+) -> DataFrame:
+    """(doc, features float[FEATURE_DIM]) via mapInPandas. ``use_fake=False``
+    calls the real decoder (NotImplementedError here — see module doc)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf[payload_col]:
+                if use_fake:
+                    feats.append(fake_features(bytes(b)))
+                else:
+                    feats.append(decode_image(bytes(b)))
+            yield pd.DataFrame({"doc": pdf[key], "features": feats})
+
+    return df.select(F.col(key), F.col(payload_col)).mapInPandas(run, FEATURE_SCHEMA)

@@ -1,0 +1,521 @@
+"""Training-data-pipeline query registry: dedup, similarity search, text
+analysis, multimodal plumbing — each paired with a DuckDB SQL oracle over the
+same parquet views (documents, embeddings).
+
+Comparison conventions match doc_queries: integerized micro scores, explicit
+ORDER BY with doc-id tie-breaks, column names aligned on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as SIM
+from ..operators import textstats as T
+
+# ------------------------------------------------------------------ helpers
+
+_TOK_CTE = """
+tok AS (
+  SELECT doc_id, w AS term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(lower(text), ' ')) AS w,
+           generate_subscripts(string_split(lower(text), ' '), 1) AS ord
+    FROM documents
+  ) WHERE w <> ''
+)"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def q_dedup_exact(spark, sf_dir):
+    return (
+        D.exact_duplicates(_docs(spark, sf_dir), key="doc_id")
+        .select(
+            F.col("doc").alias("doc_id"), "content_hash", "canonical_id", "group_size"
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+g AS (
+  SELECT content_hash, min(doc_id) AS canonical_id, count(*) AS group_size
+  FROM h GROUP BY content_hash
+)
+SELECT h.doc_id, h.content_hash, g.canonical_id, g.group_size
+FROM h JOIN g USING (content_hash)
+ORDER BY h.doc_id"""
+
+
+def q_dedup_minhash_signature(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 20)
+    sh = D.shingles_df(docs, key="doc_id")
+    return (
+        D.minhash_signatures(sh)
+        .select(F.col("doc").alias("doc_id"), "seed", "minhash")
+        .orderBy("doc_id", "seed")
+    )
+
+
+ORACLE_MINHASH_SIG = f"""
+WITH {_TOK_CTE},
+toks AS (
+  SELECT doc_id, list(term ORDER BY pos) AS ts FROM tok
+  WHERE doc_id < 20 GROUP BY doc_id
+),
+sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(ts) - 2, 1) + 1),
+           i -> array_to_string(list_slice(ts, i, i + 2), ' ')
+         )) AS shingle
+  FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle <> ''),
+seeds AS (SELECT unnest(range(0, 16)) AS seed),
+sig AS (
+  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+)
+SELECT doc_id, seed::INT AS seed, minhash FROM sig ORDER BY doc_id, seed"""
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sh = D.shingles_df(docs, key="doc_id")
+    sig = D.minhash_signatures(sh)
+    cand = D.lsh_candidates(D.band_buckets(sig))
+    return (
+        D.exact_jaccard(cand, sh)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_MINHASH_PAIRS = f"""
+WITH {_TOK_CTE},
+toks AS (SELECT doc_id, list(term ORDER BY pos) AS ts FROM tok GROUP BY doc_id),
+sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(ts) - 2, 1) + 1),
+           i -> array_to_string(list_slice(ts, i, i + 2), ' ')
+         )) AS shingle
+  FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle <> ''),
+seeds AS (SELECT unnest(range(0, 16)) AS seed),
+sig AS (
+  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, (seed // 4)::INT AS band,
+         md5(string_agg(lpad(seed::VARCHAR, 2, '0') || ':' || minhash, '|'
+             ORDER BY lpad(seed::VARCHAR, 2, '0') || ':' || minhash)) AS band_key
+  FROM sig GROUP BY doc_id, seed // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(round(coalesce(i.n_inter, 0) * 1000000.0 /
+            (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0))) AS BIGINT) AS jaccard_micro
+FROM cand c
+LEFT JOIN inter i USING (doc_a, doc_b)
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+ORDER BY c.doc_a, c.doc_b"""
+
+
+def q_dedup_ngram_pairs(spark, sf_dir):
+    return D.ngram_jaccard_top_pairs(_docs(spark, sf_dir), key="doc_id", k=2, top=20)
+
+
+ORACLE_NGRAM_PAIRS = f"""
+WITH {_TOK_CTE},
+toks AS (SELECT doc_id, list(term ORDER BY pos) AS ts FROM tok GROUP BY doc_id),
+sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(ts) - 1, 1) + 1),
+           i -> array_to_string(list_slice(ts, i, i + 1), ' ')
+         )) AS shingle
+  FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle <> ''),
+sdf AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
+pruned AS (
+  SELECT sh.* FROM sh JOIN sdf USING (shingle) WHERE sdf.c <= 10000
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+SELECT i.doc_a, i.doc_b,
+       CAST(round(i.n_inter * 1000000.0 / (sa.n_sh + sb.n_sh - i.n_inter)) AS BIGINT)
+         AS jaccard_micro
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+ORDER BY jaccard_micro DESC, i.doc_a, i.doc_b
+LIMIT 20"""
+
+
+def q_text_simhash(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    return (
+        D.simhash(docs, key="doc_id")
+        .select(F.col("doc").alias("doc_id"), "simhash")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SIMHASH = f"""
+WITH {_TOK_CTE},
+tf AS (
+  SELECT doc_id, term, count(*) AS tf,
+         ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+  FROM tok WHERE doc_id < 50 GROUP BY doc_id, term
+),
+bits AS (SELECT unnest(range(0, 60)) AS b),
+contrib AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b::INT) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM tf CROSS JOIN bits GROUP BY doc_id, b
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT AS simhash
+FROM contrib GROUP BY doc_id ORDER BY doc_id"""
+
+
+# -------------------------------------------------------------- similarity
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (
+        _emb(spark, sf_dir).filter(F.col("vec_id") == 0).select("embedding").collect()
+    )
+    return [float(x) for x in row[0]["embedding"]]
+
+
+_COS_CTE = """
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) AS na,
+         sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE))) AS nq
+  FROM embeddings e CROSS JOIN q
+)"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    qv = _query_vec(spark, sf_dir)
+    return SIM.cosine_topk(_emb(spark, sf_dir), qv, k=25)
+
+
+ORACLE_ANN_COSINE = f"""
+WITH {_COS_CTE}
+SELECT vec_id, CAST(round(dot / (na * nq) * 1000000) AS BIGINT) AS cos_micro
+FROM pairs
+ORDER BY cos_micro DESC, vec_id
+LIMIT 25"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    qv = _query_vec(spark, sf_dir)
+    return SIM.lsh_cosine_topk(_emb(spark, sf_dir), qv, k=25)
+
+
+def _bucket_sql(col: str) -> str:
+    terms = [
+        f"(CASE WHEN {col}[{d + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, d in enumerate(SIM.LSH_DIMS)
+    ]
+    return " + ".join(terms)
+
+
+ORACLE_ANN_LSH = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT ({_bucket_sql('qv')}) AS qbucket FROM q),
+in_bucket AS (
+  SELECT e.* FROM embeddings e CROSS JOIN qb
+  WHERE ({_bucket_sql('e.embedding')}) = qb.qbucket
+),
+pairs AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) AS na,
+         sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE))) AS nq
+  FROM in_bucket e CROSS JOIN q
+)
+SELECT vec_id, CAST(round(dot / (na * nq) * 1000000) AS BIGINT) AS cos_micro
+FROM pairs
+ORDER BY cos_micro DESC, vec_id
+LIMIT 25"""
+
+
+def q_embedding_top_pairs(spark, sf_dir):
+    """Most-similar in-bucket embedding pairs (near-dup path, top-20)."""
+    pairs = SIM.pairwise_cosine_dedup(_emb(spark, sf_dir), threshold_micro=-2_000_000)
+    return pairs.orderBy(F.desc("cos_micro"), "id_a", "id_b").limit(20)
+
+
+ORACLE_EMB_PAIRS = f"""
+WITH wb AS (
+  SELECT vec_id, embedding, ({_bucket_sql('embedding')}) AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) AS na,
+         sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))) AS nb
+  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, CAST(round(dot / (na * nb) * 1000000) AS BIGINT) AS cos_micro
+FROM pairs
+ORDER BY cos_micro DESC, id_a, id_b
+LIMIT 20"""
+
+
+# --------------------------------------------------------------- textstats
+
+
+def q_text_langid(spark, sf_dir):
+    return (
+        T.lang_id(_docs(spark, sf_dir), key="doc_id")
+        .select(F.col("doc").alias("doc_id"), "predicted_lang", "lang_hits")
+        .orderBy("doc_id")
+    )
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang, words in sorted(T.LANG_PROFILES.items()):
+        in_list = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"count(*) FILTER (WHERE term IN ({in_list})) AS s_{lang}"
+        )
+    langs = sorted(T.LANG_PROFILES)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN s_{lang} = best THEN '{lang}' ELSE {pred} END"
+    return f"""
+WITH {_TOK_CTE.lstrip()},
+scores AS (
+  SELECT d.doc_id, {', '.join(score_cols)}
+  FROM documents d LEFT JOIN tok ON tok.doc_id = d.doc_id
+  GROUP BY d.doc_id
+),
+with_best AS (SELECT *, {best} AS best FROM scores)
+SELECT doc_id,
+       CASE WHEN best > 0 THEN {pred} ELSE 'und' END AS predicted_lang,
+       best::INT AS lang_hits
+FROM with_best ORDER BY doc_id"""
+
+
+def q_text_quality(spark, sf_dir):
+    return (
+        T.quality_features(_docs(spark, sf_dir), key="doc_id")
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_chars",
+            "n_tokens",
+            "mean_word_len_micro",
+            "stopword_ratio_micro",
+            "alnum_ratio_micro",
+            "quality_micro",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _quality_oracle() -> str:
+    en = ", ".join(f"'{w}'" for w in T.LANG_PROFILES["en"])
+    return f"""
+WITH {_TOK_CTE.lstrip()},
+agg AS (
+  SELECT d.doc_id,
+         length(d.text) AS n_chars,
+         count(tok.term) AS n_tokens,
+         coalesce(sum(length(tok.term)), 0) AS token_chars,
+         count(*) FILTER (WHERE tok.term IN ({en})) AS stops,
+         length(d.text) - length(regexp_replace(d.text, '[a-zA-Z0-9]', '', 'g'))
+           AS alnum_chars
+  FROM documents d LEFT JOIN tok ON tok.doc_id = d.doc_id
+  GROUP BY d.doc_id, d.text
+),
+feat AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CASE WHEN n_tokens > 0 THEN token_chars::DOUBLE / n_tokens ELSE 0 END AS mean_wl,
+         CASE WHEN n_tokens > 0 THEN stops::DOUBLE / n_tokens ELSE 0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN alnum_chars::DOUBLE / n_chars ELSE 0 END AS alnum_ratio
+  FROM agg
+)
+SELECT doc_id, n_chars::BIGINT AS n_chars, n_tokens::BIGINT AS n_tokens,
+       CAST(round(mean_wl * 1000000) AS BIGINT) AS mean_word_len_micro,
+       CAST(round(stop_ratio * 1000000) AS BIGINT) AS stopword_ratio_micro,
+       CAST(round(alnum_ratio * 1000000) AS BIGINT) AS alnum_ratio_micro,
+       CAST(round((least(n_tokens / 100.0, 1.0) * 0.4
+                 + least(stop_ratio * 5.0, 1.0) * 0.3
+                 + least(mean_wl / 8.0, 1.0) * 0.3) * 1000000) AS BIGINT)
+         AS quality_micro
+FROM feat ORDER BY doc_id"""
+
+
+def q_token_count(spark, sf_dir):
+    return (
+        T.token_counts(_docs(spark, sf_dir), key="doc_id")
+        .select(F.col("doc").alias("doc_id"), "ws_tokens", "subword_est")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TOKEN_COUNT = f"""
+WITH {_TOK_CTE}
+SELECT d.doc_id,
+       count(tok.term)::BIGINT AS ws_tokens,
+       coalesce(sum(ceil(length(tok.term) / 4.0)), 0)::BIGINT AS subword_est
+FROM documents d LEFT JOIN tok ON tok.doc_id = d.doc_id
+GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return (
+        T.fingerprints(_docs(spark, sf_dir), key="doc_id")
+        .select(F.col("doc").alias("doc_id"), "fp_full", "fp_shape", "fp_bucket")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_FINGERPRINT = f"""
+WITH {_TOK_CTE},
+norm AS (
+  SELECT doc_id,
+         string_agg(term, ' ' ORDER BY pos) AS norm_text
+  FROM tok GROUP BY doc_id
+),
+shape AS (
+  SELECT doc_id, array_to_string(list_sort(list(DISTINCT term)), ' ') AS shape_text
+  FROM tok GROUP BY doc_id
+)
+SELECT n.doc_id, md5(n.norm_text) AS fp_full, md5(s.shape_text) AS fp_shape,
+       ('0x' || substr(md5(n.norm_text), 1, 15))::BIGINT AS fp_bucket
+FROM norm n JOIN shape s USING (doc_id)
+ORDER BY n.doc_id"""
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def q_multimodal_meta(spark, sf_dir):
+    docs = _docs(spark, sf_dir).withColumn("payload", F.encode("text", "utf-8"))
+    return (
+        M.binary_metadata(docs, key="doc_id", payload_col="payload")
+        .select(F.col("doc").alias("doc_id"), "n_bytes", "md5_hex", "magic")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_MM_META = """
+SELECT doc_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS md5_hex,
+       CASE WHEN text LIKE '%PDF%' AND substr(text, 1, 4) = '%PDF' THEN 'pdf'
+            ELSE 'bin' END AS magic
+FROM documents ORDER BY doc_id"""
+
+
+def q_multimodal_fake_features(spark, sf_dir):
+    docs = _docs(spark, sf_dir).withColumn("payload", F.encode("text", "utf-8"))
+    feats = M.extract_features(docs, key="doc_id", payload_col="payload")
+    idx = F.explode(F.sequence(F.lit(0), F.lit(M.FEATURE_DIM - 1))).alias("i")
+    return (
+        feats.select(F.col("doc").alias("doc_id"), "features", idx)
+        .select(
+            "doc_id",
+            "i",
+            F.round(F.element_at("features", F.col("i") + 1) * 255)
+            .cast("int")
+            .alias("byte_val"),
+        )
+        .orderBy("doc_id", "i")
+    )
+
+
+ORACLE_MM_FEATURES = """
+WITH bytes AS (
+  SELECT doc_id, unnest(range(0, 8)) AS i, md5(text) AS h FROM documents
+)
+SELECT doc_id, i::INT AS i,
+       ('0x' || substr(h, i * 2 + 1, 2))::INT AS byte_val
+FROM bytes ORDER BY doc_id, i"""
+
+
+DATA_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_signature": q_dedup_minhash_signature,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_ngram_pairs": q_dedup_ngram_pairs,
+    "text_simhash": q_text_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_top_pairs": q_embedding_top_pairs,
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_fake_features": q_multimodal_fake_features,
+}
+
+
+def data_oracle_sqls() -> dict[str, str]:
+    return {
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "dedup_minhash_signature": ORACLE_MINHASH_SIG,
+        "dedup_minhash_pairs": ORACLE_MINHASH_PAIRS,
+        "dedup_ngram_pairs": ORACLE_NGRAM_PAIRS,
+        "text_simhash": ORACLE_SIMHASH,
+        "ann_cosine_topk": ORACLE_ANN_COSINE,
+        "ann_lsh_topk": ORACLE_ANN_LSH,
+        "embedding_top_pairs": ORACLE_EMB_PAIRS,
+        "text_langid": _langid_oracle(),
+        "text_quality": _quality_oracle(),
+        "token_count": ORACLE_TOKEN_COUNT,
+        "doc_fingerprint": ORACLE_FINGERPRINT,
+        "multimodal_meta": ORACLE_MM_META,
+        "multimodal_fake_features": ORACLE_MM_FEATURES,
+    }

@@ -175,8 +175,27 @@ def q_search_percent(spark, sf_dir):
     )
 
 
+def q_fetch_documents(spark, sf_dir):
+    """S6: join the ranked page back to the docs table (broadcast the top-k
+    side) — the reverse scan of SURVEY.md §2.1."""
+    idx = get_index(spark, sf_dir)
+    top = S.top_k(S.score_terms(idx, _zt(["spark", "slow"])), k=25)
+    docs = _docs(spark, sf_dir)
+    return (
+        S.fetch_documents(top, docs, key="doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("score") * 1_000_000).cast("long").alias("score_micro"),
+            "source",
+            "n_chars",
+        )
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    )
+
+
 QUERIES = {
     "search_or": q_search_or,
+    "fetch_documents": q_fetch_documents,
     "search_and": q_search_and,
     "search_and_not": q_search_and_not,
     "search_xor": q_search_xor,
@@ -196,8 +215,25 @@ QUERIES = {
 
 def oracle_sqls() -> dict[str, str]:
     zt = oracles.zterms
+    fetch_sql = (
+        "WITH "
+        + oracles.base_ctes()
+        + ","
+        + oracles._tweight_sql(oracles.qvalues(zt(["spark", "slow"])))
+        + ","
+        + oracles._score_sql()
+        + """,
+topk AS (
+  SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micro
+  FROM matches ORDER BY score_micro DESC, doc_id LIMIT 25
+)
+SELECT t.doc_id, t.score_micro, d.source, d.n_chars
+FROM topk t JOIN documents d USING (doc_id)
+ORDER BY t.score_micro DESC, t.doc_id"""
+    )
     return {
         "search_or": oracles.bm25_topk(["spark", "merge"]),
+        "fetch_documents": fetch_sql,
         "search_and": oracles.bool_op("and", ["spark"], ["merge"]),
         "search_and_not": oracles.bool_op("and_not", ["spark"], ["merge"]),
         "search_xor": oracles.bool_op("xor", ["spark"], ["slow"]),

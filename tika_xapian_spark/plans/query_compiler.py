@@ -1,0 +1,441 @@
+"""Query-string compiler: the reference's user-facing grammar -> operator AST
+-> DataFrame plan.
+
+Reimplements the *intended* grammar of /root/reference/src/xapian_utils.rs:
+  - infix operator keywords split the input into chunks, folded
+    left-associatively (parse_user_query, :583-660): AND MAYBE, AND NOT, AND,
+    OR, XOR, FILTER, NEAR, PHRASE, SCALED, ELITE, RANGE, SYNONYM
+    (keyword list :109-126). The reference's substring-based splitter (Q21,
+    :663-691) breaks on keywords inside words — its own tests are #[ignore]d
+    — so we split on word boundaries, as SURVEY.md §2.4 Q21 commits.
+  - inside a chunk, every whitespace token compiles separately and the tokens
+    are OR-folded — including field:value groups (Q20 quirk,
+    expression_into_query :460-484; pinned by the goldens :486-554).
+  - token forms: ``field:value``, ``field:"a phrase"`` (field prefixes
+    author/date/filename/fullpath/subtitle/title/tag -> A D F F XS S K,
+    :362-398), ``"bare phrase"``, ``+love`` / ``-hate`` (Q16), trailing-*
+    wildcard (Q15), bare word.
+  - FLAG_PARTIAL semantics (on by default, matching the reference's flag set
+    :588-595): a bare word compiles to
+    ``(WILDCARD-SYNONYM prefix+word) OR (Z-stemmed term)`` — the structure of
+    the green goldens (``WILDCARD SYNONYM Sfoo OR ZSfoo@1``).
+
+``compile_query`` returns the AST; ``explain`` renders a deterministic
+structural dump (the T-query-compile golden hook); ``execute`` lowers it to
+the search-operator DataFrame algebra.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from ..functions.porter2 import stem as porter2_stem
+from ..functions.tokenizer import scan_terms
+from ..operators import search as S
+from ..operators.index import InvertedIndex
+
+# field prefixes — XapianTag::to_xapian (src/xapian_utils.rs:371-381)
+FIELD_PREFIXES = {
+    "author": "A",
+    "date": "D",
+    "filename": "F",
+    "fullpath": "F",
+    "subtitle": "XS",
+    "title": "S",
+    "tag": "K",
+}
+
+# longest-first, case-insensitive, word-boundary (matchop order :109-126)
+_OP_PATTERN = re.compile(
+    r"\b(AND\s+MAYBE|AND\s+NOT|SYNONYM|FILTER|PHRASE|SCALED|RANGE|ELITE"
+    r"|NEAR|AND|XOR|OR)\b",
+    re.IGNORECASE,
+)
+
+_TOKEN_PATTERN = re.compile(
+    r"(?P<tagged>\w+:\"[^\"]*\"|\w+:\S+)|(?P<quoted>\"[^\"]*\")|(?P<word>\S+)"
+)
+
+
+# ---------------------------------------------------------------------- AST
+
+
+@dataclass
+class Node:
+    pass
+
+
+@dataclass
+class Empty(Node):
+    pass
+
+
+@dataclass
+class PartialTerm(Node):
+    """FLAG_PARTIAL form: wildcard-synonym of the literal OR the Z-stem."""
+
+    word: str
+    prefix: str = ""
+
+
+@dataclass
+class StemTerm(Node):
+    word: str
+    prefix: str = ""
+    wqf: int = 1
+
+
+@dataclass
+class PhraseTerms(Node):
+    words: list = field(default_factory=list)
+    prefix: str = ""
+
+
+@dataclass
+class WildcardTerm(Node):
+    pattern: str  # without the trailing *
+    prefix: str = ""
+
+
+@dataclass
+class Bool(Node):
+    op: str  # AND OR AND_NOT XOR AND_MAYBE FILTER
+    left: Node = None
+    right: Node = None
+
+
+@dataclass
+class NearOp(Node):
+    left: Node = None
+    right: Node = None
+    window: int = 10
+
+
+@dataclass
+class PhraseOp(Node):
+    left: Node = None
+    right: Node = None
+
+
+@dataclass
+class Scale(Node):
+    factor: float = 1.0
+    child: Node = None
+
+
+@dataclass
+class Elite(Node):
+    child: Node = None
+    n: int = 10
+
+
+@dataclass
+class Synonym(Node):
+    left: Node = None
+    right: Node = None
+
+
+@dataclass
+class RangeOp(Node):
+    """Q9 metadata range: field RANGE lo hi (inert in the reference — no
+    values indexed; real here)."""
+
+    fld: str = ""
+    lo: str = ""
+    hi: str = ""
+
+
+# ------------------------------------------------------------------ parsing
+
+
+def _parse_token(tok: str, partial: bool) -> Node | None:
+    m = re.fullmatch(r"(\w+):(.*)", tok, re.DOTALL)
+    if m and m.group(1).lower() in FIELD_PREFIXES:
+        prefix = FIELD_PREFIXES[m.group(1).lower()]
+        val = m.group(2)
+        if val.startswith('"') and val.endswith('"') and len(val) >= 2:
+            return PhraseTerms(scan_terms(val[1:-1]), prefix)
+        return _word_node(val, prefix, partial)
+    if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
+        return PhraseTerms(scan_terms(tok[1:-1]), "")
+    return _word_node(tok, "", partial)
+
+
+def _word_node(word: str, prefix: str, partial: bool) -> Node | None:
+    if word.endswith("*"):
+        base = scan_terms(word[:-1])
+        return WildcardTerm(base[0] if base else "", prefix)
+    terms = scan_terms(word)
+    if not terms:
+        return None
+    if len(terms) > 1:
+        # e.g. hyphenated input splits into an implicit phrase, like the
+        # QueryParser does for 'simple-example'
+        return PhraseTerms(terms, prefix)
+    if partial:
+        return PartialTerm(terms[0], prefix)
+    return StemTerm(terms[0], prefix)
+
+
+def _chunk_to_node(chunk: str, partial: bool) -> Node:
+    """expression_into_query: tokens OR-folded (Q20), with love/hate (Q16)."""
+    loves: list[Node] = []
+    hates: list[Node] = []
+    others: list[Node] = []
+    for m in _TOKEN_PATTERN.finditer(chunk):
+        tok = m.group(0)
+        bucket = others
+        if m.group("word"):
+            if tok.startswith("+") and len(tok) > 1:
+                tok, bucket = tok[1:], loves
+            elif tok.startswith("-") and len(tok) > 1:
+                tok, bucket = tok[1:], hates
+        node = _parse_token(tok, partial)
+        if node is not None:
+            bucket.append(node)
+
+    def or_fold(nodes: list[Node]) -> Node | None:
+        out = None
+        for n in nodes:
+            out = n if out is None else Bool("OR", out, n)
+        return out
+
+    base = or_fold(others)
+    if loves:
+        required = None
+        for n in loves:
+            required = n if required is None else Bool("AND", required, n)
+        base = Bool("AND_MAYBE", required, base) if base is not None else required
+    if base is None:
+        base = Empty()
+    if hates:
+        base = Bool("AND_NOT", base, or_fold(hates))
+    return base
+
+
+_NUMBER = re.compile(r"^\s*([0-9]+(?:\.[0-9]+)?)\s*$")
+
+
+def compile_query(qstr: str, partial: bool = True) -> Node:
+    """Split on operator keywords, parse chunks, fold left-associatively
+    (parse_user_query :598-643)."""
+    parts = _OP_PATTERN.split(qstr)
+    # parts = [chunk, op, chunk, op, ...]
+    node = _chunk_to_node(parts[0], partial)
+    i = 1
+    while i + 1 < len(parts):
+        op = re.sub(r"\s+", " ", parts[i].upper())
+        rhs_text = parts[i + 1]
+        i += 2
+        if op == "SCALED":
+            m = _NUMBER.match(rhs_text)
+            if m:
+                node = Scale(float(m.group(1)), node)
+                continue
+        if op == "ELITE":
+            m = _NUMBER.match(rhs_text)
+            if m:
+                node = Elite(node, int(float(m.group(1))))
+                continue
+        rhs = _chunk_to_node(rhs_text, partial)
+        if op == "AND MAYBE":
+            node = Bool("AND_MAYBE", node, rhs)
+        elif op == "AND NOT":
+            node = Bool("AND_NOT", node, rhs)
+        elif op == "AND":
+            node = Bool("AND", node, rhs)
+        elif op == "OR":
+            node = Bool("OR", node, rhs)
+        elif op == "XOR":
+            node = Bool("XOR", node, rhs)
+        elif op == "FILTER":
+            node = Bool("FILTER", node, rhs)
+        elif op == "NEAR":
+            node = NearOp(node, rhs)
+        elif op == "PHRASE":
+            node = PhraseOp(node, rhs)
+        elif op == "SYNONYM":
+            node = Synonym(node, rhs)
+        elif op == "RANGE":
+            node = _parse_range(node, rhs_text) or Bool("OR", node, rhs)
+        else:  # pragma: no cover
+            node = Bool("OR", node, rhs)
+    return node
+
+
+def _parse_range(left: Node, rhs_text: str) -> Node | None:
+    """'<field> RANGE <lo> <hi>' — left must be a bare field-ish term."""
+    fld = None
+    if isinstance(left, (PartialTerm, StemTerm)):
+        fld = left.word
+    parts = rhs_text.split()
+    if fld and len(parts) >= 2:
+        return RangeOp(fld, parts[0], parts[1])
+    return None
+
+
+# ------------------------------------------------------------------ explain
+
+
+def explain(node: Node) -> str:
+    """Deterministic structural dump — the golden-test hook (U4)."""
+    if isinstance(node, Empty):
+        return "<empty>"
+    if isinstance(node, PartialTerm):
+        stemmed = "Z" + node.prefix + porter2_stem(node.word)
+        return f"(WILDCARD {node.prefix}{node.word}* OR {stemmed})"
+    if isinstance(node, StemTerm):
+        return f"Z{node.prefix}{porter2_stem(node.word)}"
+    if isinstance(node, PhraseTerms):
+        inner = " PHRASE ".join(f"{node.prefix}{w}" for w in node.words)
+        return f"({inner})"
+    if isinstance(node, WildcardTerm):
+        return f"(WILDCARD {node.prefix}{node.pattern}*)"
+    if isinstance(node, Bool):
+        return f"({explain(node.left)} {node.op} {explain(node.right)})"
+    if isinstance(node, NearOp):
+        return f"({explain(node.left)} NEAR/{node.window} {explain(node.right)})"
+    if isinstance(node, PhraseOp):
+        return f"({explain(node.left)} PHRASEOP {explain(node.right)})"
+    if isinstance(node, Scale):
+        return f"(SCALE {node.factor} {explain(node.child)})"
+    if isinstance(node, Elite):
+        return f"(ELITE {node.n} {explain(node.child)})"
+    if isinstance(node, Synonym):
+        return f"({explain(node.left)} SYNONYM {explain(node.right)})"
+    if isinstance(node, RangeOp):
+        return f"(RANGE {node.fld} [{node.lo} .. {node.hi}])"
+    return f"<unknown {type(node).__name__}>"
+
+
+# ------------------------------------------------------------------ execute
+
+
+def _collect_terms(node: Node) -> list[str]:
+    """Flatten a subtree into index terms (for NEAR/PHRASE/SYNONYM/ELITE
+    operands)."""
+    if isinstance(node, PartialTerm) or isinstance(node, StemTerm):
+        return [node.prefix + node.word]
+    if isinstance(node, PhraseTerms):
+        return [node.prefix + w for w in node.words]
+    if isinstance(node, (Bool, Synonym)):
+        return _collect_terms(node.left) + _collect_terms(node.right)
+    if isinstance(node, (NearOp, PhraseOp)):
+        return _collect_terms(node.left) + _collect_terms(node.right)
+    if isinstance(node, (Scale, Elite)):
+        return _collect_terms(node.child)
+    if isinstance(node, WildcardTerm):
+        return [node.prefix + node.pattern]
+    return []
+
+
+class Executor:
+    """Lowers the AST to (doc, score) DataFrames over an InvertedIndex.
+
+    ``docs`` (optional) provides metadata columns for RangeOp; ``range_cols``
+    maps query field names to docs columns.
+    """
+
+    def __init__(
+        self,
+        index: InvertedIndex,
+        docs: DataFrame | None = None,
+        range_cols: dict[str, str] | None = None,
+        wildcard_limit: int = 1000,
+        doc_key: str = "doc",
+    ):
+        self.index = index
+        self.docs = docs
+        self.range_cols = range_cols or {}
+        self.wildcard_limit = wildcard_limit
+        self.doc_key = doc_key
+
+    def run(self, node: Node) -> DataFrame:
+        idx = self.index
+        if isinstance(node, Empty):
+            return S._empty_matches(idx)
+        if isinstance(node, PartialTerm):
+            # (WILDCARD SYNONYM prefix+word) OR Zstem
+            expanded = S.expand_wildcard(
+                idx, node.prefix + node.word, self.wildcard_limit
+            )
+            expanded = [t for t in expanded if not t.startswith("Z")]
+            wc = (
+                S.op_synonym(idx, expanded)
+                if expanded
+                else S._empty_matches(idx)
+            )
+            st = S.score_terms(idx, ["Z" + node.prefix + porter2_stem(node.word)])
+            return S.op_or(wc, st)
+        if isinstance(node, StemTerm):
+            return S.score_terms(
+                idx, {"Z" + node.prefix + porter2_stem(node.word): node.wqf}
+            )
+        if isinstance(node, PhraseTerms):
+            return S.match_phrase(idx, [node.prefix + w for w in node.words])
+        if isinstance(node, WildcardTerm):
+            expanded = S.expand_wildcard(
+                idx, node.prefix + node.pattern, self.wildcard_limit
+            )
+            expanded = [t for t in expanded if not t.startswith("Z")]
+            return S.op_synonym(idx, expanded) if expanded else S._empty_matches(idx)
+        if isinstance(node, Bool):
+            l, r = self.run(node.left), self.run(node.right)
+            return {
+                "AND": S.op_and,
+                "OR": S.op_or,
+                "AND_NOT": S.op_and_not,
+                "XOR": S.op_xor,
+                "AND_MAYBE": S.op_and_maybe,
+                "FILTER": S.op_filter,
+            }[node.op](l, r)
+        if isinstance(node, NearOp):
+            terms = _collect_terms(node.left) + _collect_terms(node.right)
+            return S.match_near(idx, terms, window=node.window)
+        if isinstance(node, PhraseOp):
+            terms = _collect_terms(node.left) + _collect_terms(node.right)
+            return S.match_phrase(idx, terms)
+        if isinstance(node, Scale):
+            return S.op_scale(self.run(node.child), node.factor)
+        if isinstance(node, Elite):
+            zterms = [
+                "Z" + t if not t.startswith("Z") else t
+                for t in (
+                    porter2_stem(x) for x in _collect_terms(node.child)
+                )
+            ]
+            return S.op_elite_set(idx, zterms, node.n)
+        if isinstance(node, Synonym):
+            terms = _collect_terms(node.left) + _collect_terms(node.right)
+            return S.op_synonym(idx, terms)
+        if isinstance(node, RangeOp):
+            col = self.range_cols.get(node.fld)
+            if self.docs is None or col is None:
+                return S._empty_matches(idx)
+            from pyspark.sql import functions as F
+
+            m = self.docs.filter(
+                (F.col(col) >= node.lo.replace("_", " "))
+                & (F.col(col) <= node.hi.replace("_", " "))
+            )
+            return m.select(
+                F.col(self.doc_key).alias("doc"), F.lit(0.0).alias("score")
+            )
+        raise ValueError(f"unexecutable node {type(node).__name__}")
+
+
+def search(
+    index: InvertedIndex,
+    qstr: str,
+    k: int = S.PAGE_SIZE,
+    partial: bool = True,
+    docs: DataFrame | None = None,
+    range_cols: dict[str, str] | None = None,
+    doc_key: str = "doc",
+) -> DataFrame:
+    """The TUI contract (U1): query string -> ranked top-k (doc, score)."""
+    node = compile_query(qstr, partial)
+    return S.top_k(Executor(index, docs, range_cols, doc_key=doc_key).run(node), k)

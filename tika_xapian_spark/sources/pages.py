@@ -263,5 +263,9 @@ def synth_pages(
             out = pd.DataFrame(rows)
             yield out[cols]
 
-    rng = spark.range(0, n, numPartitions=partitions or max(2, n // 25000))
+    if partitions is None:
+        # enough splits to keep every core busy through the downstream
+        # extract/tokenize UDF stages (~4k rows per task)
+        partitions = max(spark.sparkContext.defaultParallelism, n // 4000, 1)
+    rng = spark.range(0, n, numPartitions=partitions)
     return rng.mapInPandas(gen, schema=schema)
