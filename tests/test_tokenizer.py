@@ -122,3 +122,28 @@ def test_wdf_accumulates_per_term():
 def test_empty_and_whitespace():
     assert scan_terms("") == []
     assert scan_terms("   \n\t .,;") == []
+
+
+LONG62 = "REALLYREALLYREALLYREALLYREALLYREALLYREALLYREALLYREALLYREALLYLONG"
+
+
+def test_64_byte_boundary_goldens():
+    # api_termgen.cc:126-129
+    assert postings_for(f"a {LONG62} term") == (
+        f"Za:1 Z{LONG62.lower()}:1 Zterm:1 a[1] {LONG62.lower()}[2] term[3]"
+    )
+    assert postings_for(f"a {LONG62}X term") == "Za:1 Zterm:1 a[1] term[2]"
+
+
+def test_zero_width_chars_ignored_as_infix():
+    # api_termgen.cc:131-136 (Myanmar text joined across U+200B)
+    text = (
+        "ဥ​အ"  # two word chars joined by a zero-width space
+    )
+    assert scan_terms(text) == ["ဥအ"]
+
+
+def test_colon_in_numbers_splits():
+    # api_termgen.cc:203-205: colon is not a digit-infix char
+    assert scan_terms("11:59") == ["11", "59"]
+    assert scan_terms("11:59am") == ["11", "59am"]

@@ -87,10 +87,8 @@ def _extract_text_from_content(data: bytes) -> list[tuple[float, float, str]]:
     line_x = line_y = 0.0
     leading = 0.0
     in_text = False
-    i = 0
     for m in _TOKEN_RE.finditer(data):
         tok = m.group(0)
-        del i
         if tok.startswith(b"("):
             stack.append(_decode_literal(tok))
         elif tok.startswith(b"<"):

@@ -1,0 +1,298 @@
+"""Relational/events query registry — the classic-operator breadth of
+SURVEY.md §2.6 (joins, hash aggregation, window functions, event-time
+windows, sessionization) demonstrated over the TPC-H-ish tables and the
+events stream table, each with a DuckDB oracle.
+
+Money/measure sums use exact integer cents (``round(x*100)::bigint`` before
+summing) so double-summation order can never break cross-engine equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def cents(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+# ------------------------------------------------------------------ events
+
+
+def q_events_windowed(spark, sf_dir):
+    """Tumbling 1-hour event-time windows per event_type (the watermark-less
+    batch shape of a streaming windowed agg — SURVEY.md §2.6 Streaming)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("sum_value_cents"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+ORACLE_EVENTS_WINDOWED = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2"""
+
+
+def q_events_sessionized(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): per-user session count
+    and longest session by events — lag + running-sum window functions."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_s = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn("session_id", F.sum("new_session").over(w))
+    per_session = with_s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_EVENTS_SESSIONS = """
+WITH with_gap AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM with_gap
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n FROM sess GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_events
+FROM per_session GROUP BY user_id ORDER BY user_id"""
+
+
+def q_events_top_users(spark, sf_dir):
+    """Window-ranked top spender per event_type (row_number over partition)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(cents("value")).alias("spend_cents")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("spend_cents"), F.asc("user_id")
+    )
+    return (
+        per_user.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "user_id", "spend_cents", F.col("rn").cast("int").alias("rn"))
+        .orderBy("event_type", "rn")
+    )
+
+
+ORACLE_EVENTS_TOP_USERS = """
+WITH per_user AS (
+  SELECT event_type, user_id,
+         sum(CAST(round(value * 100) AS BIGINT)) AS spend_cents
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY spend_cents DESC, user_id) AS rn
+  FROM per_user
+)
+SELECT event_type, user_id, spend_cents, rn::INT AS rn
+FROM ranked WHERE rn <= 3 ORDER BY event_type, rn"""
+
+
+# ------------------------------------------------------------------- tpc-h
+
+
+def q_tpch_pricing_summary(spark, sf_dir):
+    """Q1-shape: wide hash aggregation with partial/final combine."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents("l_quantity")).alias("sum_qty_cents"),
+            F.sum(cents("l_extendedprice")).alias("sum_base_price_cents"),
+            F.sum(cents("l_discount")).alias("sum_disc_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_TPCH_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+       sum(CAST(round(l_discount * 100) AS BIGINT)) AS sum_disc_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+
+def q_tpch_top_customers(spark, sf_dir):
+    """Fact-dim join (broadcast the dim) + agg + deterministic top-10."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("spend_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        spend.join(
+            F.broadcast(cust.select("c_custkey", "c_name", "c_mktsegment")),
+            spend["o_custkey"] == cust["c_custkey"],
+        )
+        .select(
+            F.col("c_custkey").cast("long").alias("custkey"),
+            "c_name",
+            "c_mktsegment",
+            "spend_cents",
+            "n_orders",
+        )
+        .orderBy(F.desc("spend_cents"), F.asc("custkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TPCH_TOP_CUSTOMERS = """
+WITH spend AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey::BIGINT AS custkey, c.c_name, c.c_mktsegment,
+       s.spend_cents, s.n_orders
+FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+ORDER BY s.spend_cents DESC, custkey
+LIMIT 10"""
+
+
+def q_tpch_region_revenue(spark, sf_dir):
+    """Snowflake join chain region <- nation <- customer <- orders, all dims
+    broadcast; revenue per region."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name")
+        .agg(
+            F.sum(cents("o_totalprice")).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("r_name")
+    )
+
+
+ORACLE_TPCH_REGION_REVENUE = """
+SELECT r.r_name,
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name"""
+
+
+def q_tpch_parts_per_supplier(spark, sf_dir):
+    """Semi/anti-join pair: suppliers of large parts, suppliers with none."""
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    large = part.filter(F.col("p_size") >= 40).select("p_partkey")
+    ships_large = li.join(
+        F.broadcast(large), li["l_partkey"] == large["p_partkey"], "left_semi"
+    )
+    per_supp = ships_large.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_large_shipments")
+    )
+    return (
+        supp.join(per_supp, supp["s_suppkey"] == per_supp["l_suppkey"], "left_outer")
+        .select(
+            F.col("s_suppkey").cast("long").alias("suppkey"),
+            "s_name",
+            F.coalesce("n_large_shipments", F.lit(0)).alias("n_large_shipments"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+ORACLE_TPCH_PARTS_PER_SUPPLIER = """
+WITH large AS (SELECT p_partkey FROM part WHERE p_size >= 40),
+per_supp AS (
+  SELECT l_suppkey, count(*) AS n_large_shipments
+  FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM large)
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey::BIGINT AS suppkey, s.s_name,
+       coalesce(p.n_large_shipments, 0) AS n_large_shipments
+FROM supplier s LEFT JOIN per_supp p ON s.s_suppkey = p.l_suppkey
+ORDER BY suppkey"""
+
+
+REL_QUERIES = {
+    "events_windowed": q_events_windowed,
+    "events_sessionized": q_events_sessionized,
+    "events_top_users": q_events_top_users,
+    "tpch_pricing_summary": q_tpch_pricing_summary,
+    "tpch_top_customers": q_tpch_top_customers,
+    "tpch_region_revenue": q_tpch_region_revenue,
+    "tpch_parts_per_supplier": q_tpch_parts_per_supplier,
+}
+
+
+def rel_oracle_sqls() -> dict[str, str]:
+    return {
+        "events_windowed": ORACLE_EVENTS_WINDOWED,
+        "events_sessionized": ORACLE_EVENTS_SESSIONS,
+        "events_top_users": ORACLE_EVENTS_TOP_USERS,
+        "tpch_pricing_summary": ORACLE_TPCH_PRICING,
+        "tpch_top_customers": ORACLE_TPCH_TOP_CUSTOMERS,
+        "tpch_region_revenue": ORACLE_TPCH_REGION_REVENUE,
+        "tpch_parts_per_supplier": ORACLE_TPCH_PARTS_PER_SUPPLIER,
+    }
