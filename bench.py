@@ -99,7 +99,11 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     """Query-side latencies (index build amortized, per BASELINE.md)."""
     from tika_xapian_spark.plans import doc_queries as dq
 
+    from tika_xapian_spark.plans.data_queries import DATA_QUERIES
+    from tika_xapian_spark.plans.rel_queries import REL_QUERIES
+
     dq.get_index(spark, sf_dir)  # build+cache outside the timed region
+    registry = {**dq.QUERIES, **DATA_QUERIES, **REL_QUERIES}
     out: dict[str, float] = {}
     for name in (
         "search_or",
@@ -108,8 +112,14 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "search_near",
         "search_wildcard",
         "collapse_best_per_source",
+        "dedup_minhash_pairs",
+        "text_simhash",
+        "ann_cosine_topk",
+        "text_quality",
+        "tpch_pricing_summary",
+        "events_sessionized",
     ):
-        fn = dq.QUERIES[name]
+        fn = registry[name]
         fn(spark, sf_dir).collect()  # warm (plan compile, broadcast build)
         t0 = time.time()
         fn(spark, sf_dir).collect()  # steady-state latency
@@ -126,10 +136,14 @@ def bench_once() -> dict:
     spark = build_session(cpus)
     tmp = tempfile.mkdtemp(prefix="bench_idx_")
     try:
+        # one untimed warm pass (JIT + python-worker imports), per BASELINE.md:
+        # the metric is steady-state throughput of the write action
+        run_index_pipeline(spark, min(n_rows, 60_000), tmp + "_warm")
         wall = run_index_pipeline(spark, n_rows, tmp)
         queries = run_queries(spark, sf_dir)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(tmp + "_warm", ignore_errors=True)
         spark.stop()
 
     return {

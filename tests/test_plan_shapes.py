@@ -1,0 +1,95 @@
+"""Physical-plan shape assertions for the scale-critical operators: the plans
+must be the ones we would want at 100TB, not just correct ones (no cartesian
+products, broadcast where a side is small, no Python in JVM-only pipelines,
+bounded top-k)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tika_xapian_spark.operators import dedup as D
+from tika_xapian_spark.operators import similarity as SIM
+from tika_xapian_spark.operators.index import InvertedIndex
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"w{i % 11} spark join merge w{(i * 7) % 13} batch") for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (i, [((i * 31 + j * 17) % 97 - 48) / 48.0 for j in range(64)], i % 3)
+        for i in range(100)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+class TestDedupPlans:
+    def test_minhash_no_cartesian(self, docs):
+        sh = D.shingles_df(docs, "doc_id")
+        sig = D.minhash_signatures(sh)
+        cand = D.lsh_candidates(D.band_buckets(sig))
+        plan = plan_of(cand)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_simhash_pure_jvm(self, docs):
+        plan = plan_of(D.simhash(docs, "doc_id"))
+        # no Python evaluation anywhere: whole pipeline is column algebra
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "MapInPandas" not in plan
+
+    def test_exact_dedup_single_shuffle(self, docs):
+        plan = plan_of(D.exact_duplicates(docs, "doc_id"))
+        # the md5 group + join should resolve to broadcast (small groups side)
+        assert "CartesianProduct" not in plan
+
+
+class TestSimilarityPlans:
+    def test_brute_force_single_stage_topk(self, emb):
+        df = SIM.cosine_topk(emb, [0.1] * 64, k=5)
+        plan = plan_of(df)
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange" not in plan  # map-only + bounded heap, no shuffle
+        assert "ArrowEvalPython" not in plan  # higher-order fns, not UDFs
+
+    def test_lsh_filter_before_math(self, emb):
+        df = SIM.lsh_cosine_topk(emb, [0.1] * 64, k=5)
+        plan = plan_of(df)
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange" not in plan
+
+
+class TestIndexReadPath:
+    def test_read_roundtrip_and_search(self, spark, docs, tmp_path):
+        base = str(tmp_path / "idx")
+        idx = InvertedIndex.build_from_body(docs, key="doc_id", stem=True)
+        idx.write(base)
+        reopened = InvertedIndex.read(spark, base)
+        assert reopened.n_docs == idx.n_docs
+        assert reopened.avg_len == pytest.approx(idx.avg_len)
+        from tika_xapian_spark.operators import search as S
+
+        a = {r["doc"]: r["score"] for r in S.score_terms(idx, ["Zspark"]).collect()}
+        b = {r["doc"]: r["score"] for r in S.score_terms(reopened, ["Zspark"]).collect()}
+        assert a.keys() == b.keys()
+        for k in a:
+            assert a[k] == pytest.approx(b[k], rel=1e-12)
+        idx.unpersist()
+
+    def test_written_postings_scan_prunes_columns(self, spark, docs, tmp_path):
+        base = str(tmp_path / "idx2")
+        idx = InvertedIndex.build_from_body(docs, key="doc_id", stem=True)
+        idx.write(base)
+        idx.unpersist()
+        reopened = InvertedIndex.read(spark, base)
+        # df-only projection must not read the positions column
+        df = reopened.postings.select("term", "wdf")
+        plan = plan_of(df)
+        assert "positions" not in plan.split("ReadSchema")[-1][:200]

@@ -425,6 +425,25 @@ class InvertedIndex:
             except Exception:
                 pass
 
+    @classmethod
+    def read(cls, spark, base_dir: str) -> "InvertedIndex":
+        """Reopen a written index. Collection stats come from doc_stats (two
+        tiny aggregations); the bucket partition columns stay available for
+        pruned point lookups."""
+        postings = spark.read.parquet(f"{base_dir}/postings").drop("term_bucket")
+        doc_stats = spark.read.parquet(f"{base_dir}/doc_stats").drop("doc_bucket")
+        term_stats = spark.read.parquet(f"{base_dir}/term_stats")
+        row = doc_stats.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avg")
+        ).collect()[0]
+        return cls(
+            postings=postings,
+            doc_stats=doc_stats,
+            term_stats=term_stats,
+            n_docs=int(row["n"] or 0),
+            avg_len=float(row["avg"] or 0.0),
+        )
+
     def write(self, base_dir: str) -> None:
         """Write bucket-partitioned index tables (Iceberg-shaped layout: the
         partition columns are hash buckets, so term/doc point lookups prune

@@ -98,7 +98,9 @@ SELECT doc_id, seed::INT AS seed, minhash FROM sig ORDER BY doc_id, seed"""
 
 def q_dedup_minhash_pairs(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    sh = D.shingles_df(docs, key="doc_id")
+    # the shingle index feeds three consumers (signatures + both sides of the
+    # Jaccard verify join) — materialize it once
+    sh = D.shingles_df(docs, key="doc_id").persist()
     sig = D.minhash_signatures(sh)
     cand = D.lsh_candidates(D.band_buckets(sig))
     return (

@@ -193,9 +193,45 @@ def q_fetch_documents(spark, sf_dir):
     )
 
 
+def q_search_count(spark, sf_dir):
+    """R7: match-count (exact — cheap in Spark, replacing the engine's
+    lower/est/upper bounds; SURVEY.md §2.5 R7)."""
+    idx = get_index(spark, sf_dir)
+    m = S.score_terms(idx, _zt(["spark", "merge"]))
+    return m.agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+
+
+def q_search_sort_by_meta(spark, sf_dir):
+    """R10: sort by metadata value, then relevance (Enquire sort_by_value_
+    then_relevance — omenquire.cc:878-939)."""
+    idx = get_index(spark, sf_dir)
+    m = S.score_terms(idx, _zt(["spark"]))
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("doc"), "source")
+    return (
+        m.join(docs, "doc")
+        .select(
+            "source",
+            F.col("doc").alias("doc_id"),
+            F.round(F.col("score") * 1_000_000).cast("long").alias("score_micro"),
+        )
+        .orderBy(F.asc("source"), F.desc("score_micro"), F.asc("doc_id"))
+        .limit(K)
+    )
+
+
+def q_search_cutoff(spark, sf_dir):
+    """R11: percent cutoff — drop matches under 60% of the best score."""
+    idx = get_index(spark, sf_dir)
+    m = S.cutoff(S.score_terms(idx, _zt(["spark"])), percent_cutoff=60)
+    return _finalize(m, k=K)
+
+
 QUERIES = {
     "search_or": q_search_or,
     "fetch_documents": q_fetch_documents,
+    "search_count": q_search_count,
+    "search_sort_by_meta": q_search_sort_by_meta,
+    "search_cutoff": q_search_cutoff,
     "search_and": q_search_and,
     "search_and_not": q_search_and_not,
     "search_xor": q_search_xor,
@@ -231,9 +267,53 @@ SELECT t.doc_id, t.score_micro, d.source, d.n_chars
 FROM topk t JOIN documents d USING (doc_id)
 ORDER BY t.score_micro DESC, t.doc_id"""
     )
+    count_sql = (
+        "WITH "
+        + oracles.base_ctes()
+        + ","
+        + oracles._tweight_sql(oracles.qvalues(zt(["spark", "merge"])))
+        + ","
+        + oracles._score_sql()
+        + "\nSELECT count(*)::BIGINT AS n_matches FROM matches"
+    )
+    sort_meta_sql = (
+        "WITH "
+        + oracles.base_ctes()
+        + ","
+        + oracles._tweight_sql(oracles.qvalues(zt(["spark"])))
+        + ","
+        + oracles._score_sql()
+        + f"""
+SELECT d.source, m.doc_id,
+       CAST(round(m.score * 1000000) AS BIGINT) AS score_micro
+FROM matches m JOIN documents d USING (doc_id)
+ORDER BY d.source ASC, score_micro DESC, m.doc_id ASC
+LIMIT {K}"""
+    )
+    cutoff_sql = (
+        "WITH "
+        + oracles.base_ctes()
+        + ","
+        + oracles._tweight_sql(oracles.qvalues(zt(["spark"])))
+        + ","
+        + oracles._score_sql()
+        + f"""
+, with_pct AS (
+  SELECT doc_id, score,
+         least(100, ceil(score * 100.0 / max(score) OVER ())) AS pct
+  FROM matches
+)
+SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micro
+FROM with_pct WHERE pct >= 60
+ORDER BY score_micro DESC, doc_id
+LIMIT {K}"""
+    )
     return {
         "search_or": oracles.bm25_topk(["spark", "merge"]),
         "fetch_documents": fetch_sql,
+        "search_count": count_sql,
+        "search_sort_by_meta": sort_meta_sql,
+        "search_cutoff": cutoff_sql,
         "search_and": oracles.bool_op("and", ["spark"], ["merge"]),
         "search_and_not": oracles.bool_op("and_not", ["spark"], ["merge"]),
         "search_xor": oracles.bool_op("xor", ["spark"], ["slow"]),

@@ -115,6 +115,50 @@ def index_resumable(
     }
 
 
+def upsert_postings(
+    spark: SparkSession,
+    out_dir: str,
+    new_pages: DataFrame,
+    n_buckets: int = 16,
+) -> dict:
+    """Re-index semantics: the reference's ``replace_document(Q<id>, doc)``
+    upsert (/root/reference/src/main.rs:138-140) over the bucketed postings
+    layout. Only buckets containing changed urls are rewritten:
+
+      1. bucket the incoming pages by url hash;
+      2. for each touched bucket: drop existing postings of the incoming
+         urls (anti-join), union the freshly built postings, overwrite that
+         bucket's files; untouched buckets are never read or written.
+
+    This is the parquet stand-in for Iceberg ``MERGE INTO idx.postings ON
+    t.doc = s.doc`` — same row-level semantics, coarser (bucket-level)
+    commit granularity."""
+    with_bucket = new_pages.withColumn("bucket", bucket_col("url", n_buckets))
+    touched = [
+        r["bucket"] for r in with_bucket.select("bucket").distinct().collect()
+    ]
+    import shutil as _sh
+
+    rewritten = []
+    for b in sorted(touched):
+        shard_pages = with_bucket.filter(F.col("bucket") == b).drop("bucket")
+        docs = extract_pages(shard_pages).filter(F.col("status") == "ok")
+        fresh = _postings_of(docs)
+        path = os.path.join(out_dir, "postings", f"bucket={b}")
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+            new_urls = fresh.select("doc").distinct()
+            merged = existing.join(new_urls, "doc", "left_anti").unionByName(fresh)
+        else:
+            merged = fresh
+        # write beside, then swap — the lazy plan still reads the old files
+        merged.write.mode("overwrite").parquet(path + ".tmp")
+        _sh.rmtree(path, ignore_errors=True)
+        os.rename(path + ".tmp", path)
+        rewritten.append(b)
+    return {"rewritten_buckets": rewritten}
+
+
 def read_postings(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "postings"))
 
