@@ -1,0 +1,83 @@
+"""Batch entry points (SURVEY.md §2.7 U5): the reference declares a ``query``
+subcommand but never dispatches it (/root/reference/src/main.rs:54-58 vs
+:66-112 — only the TUI runs). Here both pipeline ends are real spark-submit
+jobs:
+
+    python -m tika_xapian_spark index --pages <parquet> --out <dir> [--buckets N]
+    python -m tika_xapian_spark query --index <dir> "<query string>" [-k N]
+
+``index`` runs the resumable bucketed pipeline (restart-safe); ``query``
+compiles the reference grammar and prints the ranked page, mirroring the
+TUI's final print of selected paths (/root/reference/src/main.rs:105-111).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="tika_xapian_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index", help="extract+index a pages table (resumable)")
+    pi.add_argument("--pages", required=True, help="pages parquet path")
+    pi.add_argument("--out", required=True, help="index output dir")
+    pi.add_argument("--buckets", type=int, default=16)
+    pi.add_argument("--master", default=None)
+
+    pq = sub.add_parser("query", help="ranked search over a written index")
+    pq.add_argument("--index", required=True, help="index dir (write() layout)")
+    pq.add_argument("qstr", help="query string (reference grammar)")
+    pq.add_argument("-k", type=int, default=100)
+    pq.add_argument("--no-partial", action="store_true")
+    pq.add_argument("--master", default=None)
+
+    args = p.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"tika-xapian-{args.cmd}", master=args.master)
+    try:
+        if args.cmd == "index":
+            from .streaming.resume import index_resumable
+
+            pages = spark.read.parquet(args.pages)
+            summary = index_resumable(spark, pages, args.out, args.buckets)
+            print(json.dumps(summary))
+        else:
+            from .operators.index import InvertedIndex
+            from .plans.query_compiler import compile_query, explain, search
+
+            # the CLI index layout stores exploded postings; rebuild the
+            # stats the searcher needs
+            from pyspark.sql import functions as F
+
+            postings = spark.read.parquet(f"{args.index}/postings")
+            from .operators.index import build_doc_stats, build_term_stats
+
+            doc_stats = build_doc_stats(postings)
+            term_stats = build_term_stats(postings)
+            row = doc_stats.agg(
+                F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avg")
+            ).collect()[0]
+            idx = InvertedIndex(
+                postings=postings,
+                doc_stats=doc_stats.persist(),
+                term_stats=term_stats.persist(),
+                n_docs=int(row["n"] or 0),
+                avg_len=float(row["avg"] or 0.0),
+            )
+            node = compile_query(args.qstr, partial=not args.no_partial)
+            print(f"# plan: {explain(node)}", file=sys.stderr)
+            for r in search(idx, args.qstr, k=args.k, partial=not args.no_partial).collect():
+                print(f"{r['score']:.6f}\t{r['doc']}")
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
