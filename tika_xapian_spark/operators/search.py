@@ -293,6 +293,75 @@ def op_elite_set(index: InvertedIndex, terms: list[str], n: int) -> DataFrame:
     return score_terms(index, keep)
 
 
+def spelling_suggestions(
+    index: InvertedIndex,
+    words: list[str],
+    max_distance: int = 2,
+    min_df: int = 1,
+) -> DataFrame:
+    """Q19 for real: the reference sets FLAG_SPELLING_CORRECTION but never
+    populates a spelling dictionary, so it is a silent no-op
+    (SURVEY.md §2.3 K12 / §2.4 Q19). Here the term dictionary IS the
+    spelling dictionary: candidate vocabulary terms are blocked by sharing a
+    character trigram with the query word (the same blocking xapian's
+    spelling table uses), then ranked by built-in levenshtein distance, then
+    collection frequency.
+
+    Returns (word, suggestion, distance, df): the best suggestion per query
+    word (distance <= max_distance, most frequent on ties, lexicographic
+    final tie-break). Scales: the trigram join prunes the vocabulary scan;
+    everything is JVM-side (levenshtein is a builtin).
+    """
+    spark = index.postings.sparkSession
+
+    # dynamic-start substring needs expr(); trigram lists built JVM-side
+    vocab = index.term_stats.filter(~F.col("term").startswith("Z")).filter(
+        F.col("df") >= min_df
+    )
+    vocab_tri = vocab.select(
+        "term",
+        "df",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(term) - 2, 1)), "
+                    "i -> substring(term, i, 3))"
+                )
+            )
+        ).alias("tri"),
+    )
+    qdf = spark.createDataFrame([(w,) for w in words], "word string")
+    q_tri = qdf.select(
+        "word",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(word) - 2, 1)), "
+                    "i -> substring(word, i, 3))"
+                )
+            )
+        ).alias("tri"),
+    )
+    cand = (
+        vocab_tri.join(F.broadcast(q_tri), "tri")
+        .select("word", "term", "df")
+        .distinct()
+        .withColumn("distance", F.levenshtein("word", "term"))
+        .filter(F.col("distance") <= max_distance)
+        .filter(F.col("distance") > 0)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("word").orderBy(
+        F.asc("distance"), F.desc("df"), F.asc("term")
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("word", F.col("term").alias("suggestion"), "distance", "df")
+    )
+
+
 # ------------------------------------------------------------------- ranking
 
 

@@ -226,12 +226,21 @@ def q_search_cutoff(spark, sf_dir):
     return _finalize(m, k=K)
 
 
+def q_spelling_suggest(spark, sf_dir):
+    """Q19 implemented for real: suggestions for misspelled corpus words."""
+    idx = get_index(spark, sf_dir)
+    return S.spelling_suggestions(
+        idx, ["sprak", "merg", "window", "qery"], max_distance=2
+    ).orderBy("word")
+
+
 QUERIES = {
     "search_or": q_search_or,
     "fetch_documents": q_fetch_documents,
     "search_count": q_search_count,
     "search_sort_by_meta": q_search_sort_by_meta,
     "search_cutoff": q_search_cutoff,
+    "spelling_suggest": q_spelling_suggest,
     "search_and": q_search_and,
     "search_and_not": q_search_and_not,
     "search_xor": q_search_xor,
@@ -308,9 +317,39 @@ FROM with_pct WHERE pct >= 60
 ORDER BY score_micro DESC, doc_id
 LIMIT {K}"""
     )
+    spelling_sql = f"""
+WITH {oracles.base_ctes()},
+vocab AS (
+  SELECT term, count(*)::BIGINT AS df FROM posting GROUP BY term
+),
+vocab_tri AS (
+  SELECT DISTINCT term, df,
+         unnest(list_transform(range(1, greatest(length(term) - 2, 1) + 1),
+                i -> substr(term, i, 3))) AS tri
+  FROM vocab
+),
+words(word) AS (VALUES ('sprak'), ('merg'), ('window'), ('qery')),
+word_tri AS (
+  SELECT DISTINCT word,
+         unnest(list_transform(range(1, greatest(length(word) - 2, 1) + 1),
+                i -> substr(word, i, 3))) AS tri
+  FROM words
+),
+cand AS (
+  SELECT DISTINCT w.word, v.term, v.df, levenshtein(w.word, v.term) AS distance
+  FROM word_tri w JOIN vocab_tri v USING (tri)
+),
+ranked AS (
+  SELECT word, term AS suggestion, distance::INT AS distance, df,
+         row_number() OVER (PARTITION BY word
+                            ORDER BY distance ASC, df DESC, term ASC) AS rn
+  FROM cand WHERE distance BETWEEN 1 AND 2
+)
+SELECT word, suggestion, distance, df FROM ranked WHERE rn = 1 ORDER BY word"""
     return {
         "search_or": oracles.bm25_topk(["spark", "merge"]),
         "fetch_documents": fetch_sql,
+        "spelling_suggest": spelling_sql,
         "search_count": count_sql,
         "search_sort_by_meta": sort_meta_sql,
         "search_cutoff": cutoff_sql,
