@@ -215,12 +215,13 @@ def match_near(
     score: bool = True,
 ) -> DataFrame:
     """Q7 NEAR: all terms within a ``window``-wide span, any order
-    (nearpostlist semantics: max(pos)-min(pos) < window). Default window is
-    the parser's 10 + n_terms... the reference's pre-parser routes NEAR with
-    the QueryParser default window 10 (XC queryparser/queryparser.lemony:1722-1729).
+    (nearpostlist semantics: max(pos)-min(pos) < window). The default
+    reproduces the QueryParser's sizing: "a NEAR b" means "a within 10 terms
+    of b" = window 11, plus one per extra term — w = (10-1) + n_terms
+    (XC queryparser/queryparser.lemony:1722-1730, as_opwindow_query :1655-1658).
     """
     if window is None:
-        window = 10
+        window = 9 + len(terms)
     if len(terms) < 2:
         raise ValueError("NEAR needs >= 2 terms")
     j = _positions_for(index, terms)

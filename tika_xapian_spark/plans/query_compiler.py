@@ -111,7 +111,7 @@ class Bool(Node):
 class NearOp(Node):
     left: Node = None
     right: Node = None
-    window: int = 10
+    window: int | None = None  # None -> QueryParser default (9 + n_terms)
 
 
 @dataclass
@@ -297,7 +297,8 @@ def explain(node: Node) -> str:
     if isinstance(node, Bool):
         return f"({explain(node.left)} {node.op} {explain(node.right)})"
     if isinstance(node, NearOp):
-        return f"({explain(node.left)} NEAR/{node.window} {explain(node.right)})"
+        w = node.window if node.window is not None else "def"
+        return f"({explain(node.left)} NEAR/{w} {explain(node.right)})"
     if isinstance(node, PhraseOp):
         return f"({explain(node.left)} PHRASEOP {explain(node.right)})"
     if isinstance(node, Scale):
