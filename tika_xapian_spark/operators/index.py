@@ -39,17 +39,6 @@ from pyspark.sql.types import (
 
 from ..functions import tokenizer as tok
 
-# Parallel primitive arrays (not array<struct>): list<string>/list<int> cross
-# the Arrow boundary as vectorized buffers, ~10x cheaper than per-token
-# structs; they are zipped back into rows JVM-side with arrays_zip+explode.
-TOKEN_SCHEMA = StructType(
-    [
-        StructField("terms", ArrayType(StringType())),
-        # null pos == Z-stemmed term (STEM_SOME adds stems positionless)
-        StructField("poss", ArrayType(IntegerType())),
-    ]
-)
-
 # Per-document PRE-AGGREGATED postings: a document's tokens are already
 # colocated inside the UDF batch, so (term -> wdf, positions) is computed
 # there and the expensive groupBy(doc, term) shuffle + collect_list
@@ -78,14 +67,6 @@ DOC_FIELD_PREFIXES = [
     ("XS", "subtitle"),
     # K per tag, then unprefixed body — handled specially below
 ]
-
-
-def _tokens_to_rows(fields: list[tuple[str, str]], stem: bool) -> dict:
-    toks = tok.index_document(fields) if stem else _index_document_nostem(fields)
-    return {
-        "terms": [t.term for t in toks],
-        "poss": [t.pos for t in toks],
-    }
 
 
 def _doc_postings(fields: list[tuple[str, str]], stem: bool) -> dict:
@@ -123,53 +104,6 @@ def _index_document_nostem(fields: list[tuple[str, str]]) -> list[tok.Token]:
             pos += 1
             out.append(tok.Token(prefix + term, pos, False))
     return out
-
-
-def make_body_tokenizer(stem: bool = True):
-    """Tokenizer UDF over a single body column (documents-table profile)."""
-
-    @pandas_udf(TOKEN_SCHEMA)
-    def _udf(body: pd.Series) -> pd.DataFrame:
-        return pd.DataFrame([_tokens_to_rows([("", b or "")], stem) for b in body])
-
-    return _udf
-
-
-def make_doc_tokenizer(stem: bool = True):
-    """Tokenizer UDF over the full extracted-document fields, reference field
-    order with one shared position counter (K8)."""
-
-    @pandas_udf(TOKEN_SCHEMA)
-    def _udf(
-        author: pd.Series,
-        date: pd.Series,
-        filename: pd.Series,
-        full_path: pd.Series,
-        title: pd.Series,
-        subtitle: pd.Series,
-        tags: pd.Series,
-        body: pd.Series,
-    ) -> pd.DataFrame:
-        out = []
-        for a, d, fn, fp, ti, su, tg, bo in zip(
-            author, date, filename, full_path, title, subtitle, tags, body
-        ):
-            fields = [
-                ("A", a or ""),
-                ("D", d or ""),
-                ("F", fn or ""),
-                ("F", fp or ""),
-                ("S", ti or ""),
-                ("XS", su or ""),
-            ]
-            if tg is not None:
-                for one_tag in tg:
-                    fields.append(("K", one_tag or ""))
-            fields.append(("", bo or ""))
-            out.append(_tokens_to_rows(fields, stem))
-        return pd.DataFrame(out)
-
-    return _udf
 
 
 def make_body_postings_udf(stem: bool = True):
@@ -269,58 +203,6 @@ def salted_repartition(
     return salted.repartition(n_partitions, F.col(key), F.col("_salt")).drop("_salt")
 
 
-def _explode_tokens(with_toks: DataFrame) -> DataFrame:
-    """(doc, toks:struct<terms,poss>) -> (doc, term, pos) via JVM-side zip."""
-    return (
-        with_toks.select(
-            "doc", F.explode(F.arrays_zip("toks.terms", "toks.poss")).alias("t")
-        )
-        .select("doc", F.col("t.terms").alias("term"), F.col("t.poss").alias("pos"))
-    )
-
-
-def tokenize_body(docs: DataFrame, key: str, body_col: str = "text", stem: bool = True) -> DataFrame:
-    """docs -> token rows (key, term, pos). Body-only profile."""
-    udf = make_body_tokenizer(stem)
-    return _explode_tokens(
-        docs.select(F.col(key).alias("doc"), udf(F.col(body_col)).alias("toks"))
-    )
-
-
-def tokenize_extracted(docs: DataFrame, key: str = "url", stem: bool = True) -> DataFrame:
-    """Extracted docs (extract.extract_pages output) -> token rows, reference
-    field order with shared positions."""
-    udf = make_doc_tokenizer(stem)
-    return _explode_tokens(
-        docs.filter(F.col("status") == "ok").select(
-            F.col(key).alias("doc"),
-            udf(
-                F.col("author"),
-                F.col("date"),
-                F.col("filename"),
-                F.col("full_path"),
-                F.col("title"),
-                F.col("subtitle"),
-                F.col("tags"),
-                F.col("body"),
-            ).alias("toks"),
-        )
-    )
-
-
-def build_postings(tokens: DataFrame) -> DataFrame:
-    """(doc, term, pos) -> postings(doc, term, wdf, positions).
-
-    One shuffle on (doc, term); partial aggregation (map-side combine) is
-    automatic for hash aggregates. collect_list drops null positions of
-    Z-terms; sort_array gives deterministic position order.
-    """
-    return tokens.groupBy("doc", "term").agg(
-        F.count(F.lit(1)).cast("int").alias("wdf"),
-        F.sort_array(F.collect_list("pos")).alias("positions"),
-    )
-
-
 def build_doc_stats(postings: DataFrame) -> DataFrame:
     return postings.groupBy("doc").agg(F.sum("wdf").cast("long").alias("doclen"))
 
@@ -343,27 +225,6 @@ class InvertedIndex:
     term_stats: DataFrame
     n_docs: int
     avg_len: float
-
-    @classmethod
-    def from_tokens(cls, tokens: DataFrame, persist: bool = True) -> "InvertedIndex":
-        postings = build_postings(tokens)
-        if persist:
-            postings = postings.persist()
-        doc_stats = build_doc_stats(postings)
-        term_stats = build_term_stats(postings)
-        if persist:
-            doc_stats = doc_stats.persist()
-            term_stats = term_stats.persist()
-        row = doc_stats.agg(
-            F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avg")
-        ).collect()[0]
-        return cls(
-            postings=postings,
-            doc_stats=doc_stats,
-            term_stats=term_stats,
-            n_docs=int(row["n"] or 0),
-            avg_len=float(row["avg"] or 0.0),
-        )
 
     @classmethod
     def from_carrier(cls, carrier: DataFrame, persist: bool = True) -> "InvertedIndex":
