@@ -48,7 +48,9 @@ def get_spark(
         # keep scans prunable: 128MB split targets (default, made explicit)
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver JVM is the whole cluster — size the heap for
+        # 32 concurrent tasks (8g measurably GC-throttled the 32-core runs)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():
