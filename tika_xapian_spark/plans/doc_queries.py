@@ -226,6 +226,56 @@ def q_search_cutoff(spark, sf_dir):
     return _finalize(m, k=K)
 
 
+def q_search_scaled(spark, sf_dir):
+    """Q10 OP_SCALE_WEIGHT: subquery score multiplied by a constant factor
+    (src/xapian_utils.rs:58; xapian query.h:166)."""
+    idx = get_index(spark, sf_dir)
+    return _finalize(S.op_scale(S.score_terms(idx, _zt(["merge"])), 2.5))
+
+
+def q_search_lovehate(spark, sf_dir):
+    """Q16 FLAG_LOVEHATE through the full query compiler: ``+group table
+    -slow`` == (group AND_MAYBE table) AND_NOT slow (queryparser.lemony:
+    972-984; compiled by plans/query_compiler.py::_chunk_to_node)."""
+    from . import query_compiler as qc
+
+    idx = get_index(spark, sf_dir)
+    node = qc.compile_query("+group table -slow", partial=False)
+    return _finalize(qc.Executor(idx).run(node))
+
+
+def get_fielded_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    """Documents indexed with field prefixes: source as the A (author)
+    field, lang as a K tag, text as the body — the reference field order
+    with the shared position counter (src/main.rs:123-133, K8)."""
+    key = (sf_dir, "fielded")
+    if key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.col("source").alias("author"),
+            F.lit(None).cast("string").alias("date"),
+            F.lit(None).cast("string").alias("filename"),
+            F.lit(None).cast("string").alias("full_path"),
+            F.lit(None).cast("string").alias("title"),
+            F.lit(None).cast("string").alias("subtitle"),
+            F.array(F.col("lang")).alias("tags"),
+            F.col("text").alias("body"),
+            F.lit("ok").alias("status"),
+        )
+        _INDEX_CACHE[key] = InvertedIndex.build_from_extracted(docs, key="doc_id")
+    return _INDEX_CACHE[key]
+
+
+def q_search_field(spark, sf_dir):
+    """Q14 prefix-restricted field query through the compiler: ``author:src3
+    spark`` OR-folds (Q20) an A-prefixed stem term with a free body term."""
+    from . import query_compiler as qc
+
+    idx = get_fielded_index(spark, sf_dir)
+    node = qc.compile_query("author:src3 spark", partial=False)
+    return _finalize(qc.Executor(idx).run(node))
+
+
 def q_spelling_suggest(spark, sf_dir):
     """Q19 implemented for real: suggestions for misspelled corpus words."""
     idx = get_index(spark, sf_dir)
@@ -252,6 +302,9 @@ QUERIES = {
     "search_wildcard": q_search_wildcard,
     "search_elite": q_search_elite,
     "search_pure_not": q_search_pure_not,
+    "search_scaled": q_search_scaled,
+    "search_lovehate": q_search_lovehate,
+    "search_field": q_search_field,
     "metadata_range": q_metadata_range,
     "collapse_best_per_source": q_collapse_best_per_source,
     "search_percent": q_search_percent,
@@ -364,6 +417,9 @@ SELECT word, suggestion, distance, df FROM ranked WHERE rn = 1 ORDER BY word"""
         "search_wildcard": oracles.wildcard("sp"),
         "search_elite": oracles.elite(["spark", "merge", "slow"], 2),
         "search_pure_not": oracles.pure_not(["spark"]),
+        "search_scaled": oracles.scaled(["merge"], 2.5),
+        "search_lovehate": oracles.lovehate(["group"], ["table"], ["slow"]),
+        "search_field": oracles.fielded_topk(["ZAsrc3", "Zspark"]),
         "metadata_range": f"""
             SELECT doc_id, n_chars, lang FROM documents
             WHERE n_chars BETWEEN 100 AND 300 AND lang = 'en'

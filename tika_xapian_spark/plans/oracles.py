@@ -303,6 +303,93 @@ tweight AS (
 {_score_sql()[1:]}""" + TOPK_TAIL.format(k=k)
 
 
+def scaled(words: list[str], factor: float, k: int = 100) -> str:
+    """Q10 OP_SCALE_WEIGHT: subquery weights multiplied by ``factor``
+    (src/xapian_utils.rs:58; query.h:166)."""
+    return (
+        "WITH " + base_ctes() + "," + _tweight_sql(qvalues(zterms(words)))
+        + "," + _score_sql()
+        + f"""
+SELECT doc_id, CAST(round(score * {factor} * 1000000) AS BIGINT) AS score_micro
+FROM matches
+ORDER BY score_micro DESC, doc_id
+LIMIT {k}"""
+    )
+
+
+def lovehate(love: list[str], others: list[str], hate: list[str], k: int = 100) -> str:
+    """Q16 FLAG_LOVEHATE: ``+love others -hate`` ==
+    (love AND_MAYBE others) AND_NOT hate (queryparser.lemony:972-984)."""
+    assert len(love) == 1 and len(others) == 1 and len(hate) == 1
+    pre = _two_sided(love, others)
+    hate_t = zterms(hate)[0]
+    return f"""{pre},
+hated AS (SELECT DISTINCT doc_id FROM allpost WHERE term = '{hate_t}'),
+matches AS (
+  SELECT l.doc_id, l.score + coalesce(r.score, 0) AS score
+  FROM lmatch l LEFT JOIN rmatch r USING (doc_id)
+  WHERE l.doc_id NOT IN (SELECT doc_id FROM hated)
+)""" + TOPK_TAIL.format(k=k)
+
+
+def fielded_ctes() -> str:
+    """CTE prelude for the *fielded* documents index: ``source`` indexed as
+    the A (author) field at position 1, ``lang`` as a K tag at position 2,
+    body text from position 3 — mirroring the reference field order and the
+    shared position counter (src/main.rs:123-133, K8) as implemented by
+    functions/tokenizer.py::index_document. STEM_SOME emits Z<prefix><stem>
+    for field terms; every source/lang value stems to itself, so the
+    stem-map fallback (coalesce to the raw word) is exact."""
+    return f"""
+raw_tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+),
+tok0 AS (
+  SELECT doc_id, 'A' AS prefix, source AS w, 1::BIGINT AS pos FROM documents
+  UNION ALL
+  SELECT doc_id, 'K' AS prefix, lang AS w, 2::BIGINT AS pos FROM documents
+  UNION ALL
+  SELECT doc_id, '' AS prefix, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) + 2 AS pos
+  FROM raw_tok WHERE w <> ''
+),
+stem_map(word, stemmed) AS {stem_map_values()},
+posting AS (
+  SELECT doc_id, prefix || w AS term, count(*) AS wdf
+  FROM tok0 GROUP BY doc_id, prefix || w
+),
+zposting AS (
+  SELECT t.doc_id, 'Z' || t.prefix || coalesce(m.stemmed, t.w) AS term,
+         count(*) AS wdf
+  FROM tok0 t LEFT JOIN stem_map m ON m.word = t.w
+  GROUP BY t.doc_id, 'Z' || t.prefix || coalesce(m.stemmed, t.w)
+),
+allpost AS (
+  SELECT * FROM posting UNION ALL SELECT * FROM zposting
+),
+doclen AS (
+  SELECT doc_id, sum(wdf)::DOUBLE AS doclen FROM allpost GROUP BY doc_id
+),
+coll AS (
+  SELECT count(*)::DOUBLE AS n, avg(doclen)::DOUBLE AS avg_len FROM doclen
+),
+tstats AS (
+  SELECT term, count(*)::DOUBLE AS df FROM allpost GROUP BY term
+)"""
+
+
+def fielded_topk(terms: list[str], k: int = 100) -> str:
+    """Q14 field-prefixed OR query over the fielded documents index; ``terms``
+    are full index terms (e.g. 'ZAsrc3', 'Zspark')."""
+    return (
+        "WITH " + fielded_ctes() + "," + _tweight_sql(qvalues(terms))
+        + "," + _score_sql() + TOPK_TAIL.format(k=k)
+    )
+
+
 def pure_not(words: list[str], k: int = 100) -> str:
     """Q17: all docs minus matches, weight 0."""
     in_list = ", ".join(f"'{t}'" for t in zterms(words))
