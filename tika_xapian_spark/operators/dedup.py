@@ -152,11 +152,14 @@ def ngram_jaccard_top_pairs(
     k: int = 2,
     max_shingle_df: int = 10_000,
     top: int = 20,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup: candidates = pairs sharing any (non-hot)
     k-shingle; exact Jaccard; top pairs by similarity. ``max_shingle_df``
-    drops stop-shingles so the candidate join stays bounded at scale."""
-    sh = shingles_df(docs, key, text_col, k)
+    drops stop-shingles so the candidate join stays bounded at scale. Pass a
+    pre-persisted ``shingles`` frame to share it across queries (it is read
+    four times in this plan)."""
+    sh = shingles if shingles is not None else shingles_df(docs, key, text_col, k)
     df_per_shingle = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
     pruned = sh.join(
         df_per_shingle.filter(F.col("sdf") <= max_shingle_df).select("shingle"),
