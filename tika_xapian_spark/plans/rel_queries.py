@@ -52,6 +52,22 @@ GROUP BY 1, 2
 ORDER BY 1, 2"""
 
 
+def q_events_stream_windowed(spark, sf_dir):
+    """The same tumbling-window aggregation run as a *Structured Streaming*
+    job: watermarked append-mode file stream, finalized across a
+    checkpointed availableNow restart (streaming/windowed.py). The emitted
+    windows equal the batch aggregation, so the batch oracle applies —
+    a streaming query with a plain-SQL correctness gate."""
+    import tempfile
+
+    from ..streaming.windowed import run_finalized_window_counts
+
+    work = tempfile.mkdtemp(prefix="stream_windowed_")
+    return run_finalized_window_counts(
+        spark, f"{sf_dir}/events.parquet", work
+    ).orderBy("window_start", "event_type")
+
+
 def q_events_sessionized(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity): per-user session count
     and longest session by events — lag + running-sum window functions."""
@@ -277,6 +293,7 @@ ORDER BY suppkey"""
 
 REL_QUERIES = {
     "events_windowed": q_events_windowed,
+    "events_stream_windowed": q_events_stream_windowed,
     "events_sessionized": q_events_sessionized,
     "events_top_users": q_events_top_users,
     "tpch_pricing_summary": q_tpch_pricing_summary,
@@ -289,6 +306,7 @@ REL_QUERIES = {
 def rel_oracle_sqls() -> dict[str, str]:
     return {
         "events_windowed": ORACLE_EVENTS_WINDOWED,
+        "events_stream_windowed": ORACLE_EVENTS_WINDOWED,
         "events_sessionized": ORACLE_EVENTS_SESSIONS,
         "events_top_users": ORACLE_EVENTS_TOP_USERS,
         "tpch_pricing_summary": ORACLE_TPCH_PRICING,
