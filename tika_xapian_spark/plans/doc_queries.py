@@ -226,6 +226,18 @@ def q_search_cutoff(spark, sf_dir):
     return _finalize(m, k=K)
 
 
+def q_search_partial(spark, sf_dir):
+    """Q15 FLAG_PARTIAL through the compiler: the last word of an
+    incremental query acts as (WILDCARD SYNONYM w* OR Zstem(w)) — reference
+    goldens src/xapian_utils.rs:506,528,550. Prefix 'a' exercises both
+    branches: wildcard expands to {a, agg}, stem side is Za."""
+    from . import query_compiler as qc
+
+    idx = get_index(spark, sf_dir)
+    node = qc.compile_query("a", partial=True)
+    return _finalize(qc.Executor(idx).run(node))
+
+
 def q_search_scaled(spark, sf_dir):
     """Q10 OP_SCALE_WEIGHT: subquery score multiplied by a constant factor
     (src/xapian_utils.rs:58; xapian query.h:166)."""
@@ -302,6 +314,7 @@ QUERIES = {
     "search_wildcard": q_search_wildcard,
     "search_elite": q_search_elite,
     "search_pure_not": q_search_pure_not,
+    "search_partial": q_search_partial,
     "search_scaled": q_search_scaled,
     "search_lovehate": q_search_lovehate,
     "search_field": q_search_field,
@@ -417,6 +430,7 @@ SELECT word, suggestion, distance, df FROM ranked WHERE rn = 1 ORDER BY word"""
         "search_wildcard": oracles.wildcard("sp"),
         "search_elite": oracles.elite(["spark", "merge", "slow"], 2),
         "search_pure_not": oracles.pure_not(["spark"]),
+        "search_partial": oracles.partial("a"),
         "search_scaled": oracles.scaled(["merge"], 2.5),
         "search_lovehate": oracles.lovehate(["group"], ["table"], ["slow"]),
         "search_field": oracles.fielded_topk(["ZAsrc3", "Zspark"]),

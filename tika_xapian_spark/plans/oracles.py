@@ -390,6 +390,51 @@ def fielded_topk(terms: list[str], k: int = 100) -> str:
     )
 
 
+def partial(prefix: str, k: int = 100) -> str:
+    """Q15 FLAG_PARTIAL (incremental last-word query): the reference goldens
+    show ``WILDCARD SYNONYM <w> OR Z<stem(w)>`` (src/xapian_utils.rs:506,
+    528,550) — a wildcard-synonym score OR-summed with the stem-term score."""
+    stem_t = zterms([prefix])[0]
+    return f"""WITH {base_ctes()},
+expanded AS (
+  SELECT term FROM posting GROUP BY term HAVING term LIKE '{prefix}%'
+),
+merged AS (
+  SELECT doc_id, sum(wdf) AS wdf FROM posting
+  WHERE term IN (SELECT term FROM expanded) GROUP BY doc_id
+),
+syn_df AS (SELECT count(*)::DOUBLE AS df FROM merged),
+syn_w AS (
+  SELECT ln(CASE WHEN tw < 2 THEN tw*0.5 + 1 ELSE tw END) * 2.0 AS termweight
+  FROM (SELECT (c.n - s.df + 0.5)/(s.df + 0.5) AS tw FROM syn_df s CROSS JOIN coll c)
+),
+wc_match AS (
+  SELECT m.doc_id,
+         w.termweight * m.wdf /
+           (1.0 * (greatest(d.doclen / c.avg_len, 0.5) * 0.5 + 0.5) + m.wdf) AS score
+  FROM merged m CROSS JOIN syn_w w
+       JOIN doclen d ON d.doc_id = m.doc_id
+       CROSS JOIN coll c
+),
+st_w AS (
+  SELECT term, ln(CASE WHEN tw < 2 THEN tw*0.5 + 1 ELSE tw END) * 2.0 AS termweight
+  FROM (SELECT s.term, (c.n - s.df + 0.5)/(s.df + 0.5) AS tw
+        FROM tstats s CROSS JOIN coll c WHERE s.term = '{stem_t}')
+),
+st_match AS (
+  SELECT p.doc_id, sum(w.termweight * p.wdf /
+      (1.0*(greatest(d.doclen/c.avg_len, 0.5)*0.5 + 0.5) + p.wdf)) AS score
+  FROM allpost p JOIN st_w w USING (term)
+       JOIN doclen d USING (doc_id) CROSS JOIN coll c
+  GROUP BY p.doc_id
+),
+matches AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(a.score, 0) + coalesce(b.score, 0) AS score
+  FROM wc_match a FULL OUTER JOIN st_match b USING (doc_id)
+)""" + TOPK_TAIL.format(k=k)
+
+
 def pure_not(words: list[str], k: int = 100) -> str:
     """Q17: all docs minus matches, weight 0."""
     in_list = ", ".join(f"'{t}'" for t in zterms(words))
