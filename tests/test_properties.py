@@ -74,3 +74,36 @@ def test_index_text_positions_monotonic(text):
     assert poss == sorted(poss)
     assert all(p >= 1 for p in poss)
     assert last == (poss[-1] if poss else 0)
+
+
+# fused per-doc aggregation (operators/index.py::_doc_postings) must emit the
+# identical postings set as the reference-shaped index_document + aggregation
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["", "A", "K", "XS"]),
+            st.text(min_size=0, max_size=80),
+        ),
+        min_size=0,
+        max_size=4,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_fused_doc_postings_equals_index_document(fields):
+    from tika_xapian_spark.operators.index import _doc_postings
+
+    fused = _doc_postings(fields, stem=True)
+    toks = T.index_document(fields)
+    agg = {}
+    for t in toks:
+        e = agg.setdefault(t.term, [0, []])
+        e[0] += 1
+        if t.pos is not None:
+            e[1].append(t.pos)
+    terms = sorted(agg)
+    assert fused == {
+        "terms": terms,
+        "wdfs": [agg[t][0] for t in terms],
+        "positions": [agg[t][1] for t in terms],
+        "doclen": len(toks),
+    }

@@ -71,22 +71,76 @@ DOC_FIELD_PREFIXES = [
 
 def _doc_postings(fields: list[tuple[str, str]], stem: bool) -> dict:
     """Per-document posting aggregation (K11 wdf + positions), sorted by term
-    for deterministic output."""
-    toks = tok.index_document(fields) if stem else _index_document_nostem(fields)
-    agg: dict[str, list] = {}
-    for t in toks:
-        e = agg.get(t.term)
-        if e is None:
-            agg[t.term] = e = [0, []]
-        e[0] += 1
-        if t.pos is not None:
-            e[1].append(t.pos)
+    for deterministic output.
+
+    Fused form of ``tok.index_document`` + aggregation: emits the identical
+    term/wdf/position/doclen set without materializing the intermediate
+    Token list (this loop dominates the index-build pipeline; equivalence to
+    index_document is property-tested in tests/test_properties.py). ASCII
+    fast paths replace the per-token utf-8 encode and unicodedata lookups."""
+    if not stem:
+        toks = _index_document_nostem(fields)
+        agg: dict[str, list] = {}
+        for t in toks:
+            e = agg.get(t.term)
+            if e is None:
+                agg[t.term] = e = [0, []]
+            e[0] += 1
+            if t.pos is not None:
+                e[1].append(t.pos)
+        terms = sorted(agg)
+        return {
+            "terms": terms,
+            "wdfs": [agg[t][0] for t in terms],
+            "positions": [agg[t][1] for t in terms],
+            "doclen": len(toks),
+        }
+
+    agg = {}
+    pos = 0
+    n_toks = 0
+    stem_cached = tok._stem_cached
+    should_stem = tok._should_stem
+    for prefix, text in fields:
+        if not text:
+            continue
+        for term in tok.scan_terms(text):
+            # K7: >64 *bytes* dropped; len() short-circuits the encode for
+            # anything comfortably inside the cap
+            if len(term) > 16 and len(term.encode("utf-8")) > tok.MAX_TERM_BYTES:
+                continue
+            pos += 1
+            n_toks += 1
+            t = prefix + term
+            e = agg.get(t)
+            if e is None:
+                agg[t] = e = [1, [pos]]
+            else:
+                e[0] += 1
+                e[1].append(pos)
+            # K9 should_stem: first codepoint Ll/Lt/Lm/Lo — ASCII fast path
+            c0 = term[0]
+            if "a" <= c0 <= "z":
+                pass  # Ll — stem
+            elif c0.isascii() or not should_stem(term):
+                continue  # ASCII digit/upper/underscore, or non-Ll/Lt/Lm/Lo
+            stemmed = stem_cached(term)
+            if not stemmed:
+                continue
+            n_toks += 1
+            zt = "Z" + prefix + stemmed
+            e = agg.get(zt)
+            if e is None:
+                agg[zt] = e = [1, []]
+            else:
+                e[0] += 1
+        # positions share one counter across fields (K8)
     terms = sorted(agg)
     return {
         "terms": terms,
         "wdfs": [agg[t][0] for t in terms],
         "positions": [agg[t][1] for t in terms],
-        "doclen": len(toks),
+        "doclen": n_toks,
     }
 
 
