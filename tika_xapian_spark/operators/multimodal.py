@@ -116,3 +116,104 @@ def extract_features(
             yield pd.DataFrame({"doc": pdf[key], "features": feats})
 
     return df.select(F.col(key), F.col(payload_col)).mapInPandas(run, FEATURE_SCHEMA)
+
+
+def decode_video_frame(payload: bytes, frame_idx: int):
+    """Real video frame decode — unavailable in this environment (no av/cv2).
+    Swap this body for PyAV/OpenCV on a cluster that has it."""
+    raise NotImplementedError(
+        "video decode requires a media library not present in this environment"
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_md5", StringType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    key: str,
+    payload_col: str,
+    frame_size: int = 64,
+    stride: int = 2,
+    use_fake: bool = True,
+) -> DataFrame:
+    """One payload row in -> N sampled-frame rows out (the UDTF-shaped
+    multimodal op) via mapInPandas. The deterministic fake treats the payload
+    as a sequence of ``frame_size``-byte frames and keeps every ``stride``-th
+    one; ``use_fake=False`` routes each kept index through the (stubbed)
+    real decoder. The fan-out shape, Arrow batching and schema are the real
+    plumbing either way."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs, idxs, md5s, lens = [], [], [], []
+            for d, b in zip(pdf[key], pdf[payload_col]):
+                b = bytes(b)
+                n_frames = (len(b) + frame_size - 1) // frame_size
+                for i in range(0, n_frames, stride):
+                    fr = b[i * frame_size : (i + 1) * frame_size]
+                    if not use_fake:
+                        fr = decode_video_frame(b, i)
+                    docs.append(d)
+                    idxs.append(i)
+                    md5s.append(hashlib.md5(fr).hexdigest())
+                    lens.append(len(fr))
+            yield pd.DataFrame(
+                {"doc": docs, "frame_idx": idxs, "frame_md5": md5s,
+                 "frame_bytes": lens}
+            )
+
+    return df.select(F.col(key), F.col(payload_col)).mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("resized_md5", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def resize_image(
+    df: DataFrame,
+    key: str,
+    payload_col: str,
+    width: int = 8,
+    height: int = 8,
+    use_fake: bool = True,
+) -> DataFrame:
+    """(doc, width, height, resized_md5, n_bytes) via mapInPandas. The fake
+    'resize' fingerprints payload+target-size deterministically (md5 of
+    payload || ':WxH'); ``use_fake=False`` routes through the stubbed real
+    decoder. n_bytes models a w*h single-channel output."""
+
+    suffix = f":{width}x{height}".encode()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            md5s = []
+            for b in pdf[payload_col]:
+                if not use_fake:
+                    decode_image(bytes(b))
+                md5s.append(hashlib.md5(bytes(b) + suffix).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc": pdf[key],
+                    "width": width,
+                    "height": height,
+                    "resized_md5": md5s,
+                    "n_bytes": width * height,
+                }
+            )
+
+    return df.select(F.col(key), F.col(payload_col)).mapInPandas(run, RESIZE_SCHEMA)

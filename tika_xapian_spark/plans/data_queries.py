@@ -511,6 +511,56 @@ SELECT doc_id, i::INT AS i,
 FROM bytes ORDER BY doc_id, i"""
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing: one payload row -> N sampled-frame rows
+    (every 2nd 64-byte frame), md5-fingerprinted — deterministic fake decode
+    over real mapInPandas fan-out (operators/multimodal.py)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    return (
+        M.sample_frames(docs, key="doc_id", payload_col="payload")
+        .select(F.col("doc").alias("doc_id"), "frame_idx", "frame_md5", "frame_bytes")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+ORACLE_MM_FRAMES = """
+WITH frames AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS frame_idx,
+         text
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id, frame_idx,
+       md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5,
+       length(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64))::BIGINT AS frame_bytes
+FROM frames
+WHERE frame_idx % 2 = 0
+ORDER BY doc_id, frame_idx"""
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """Resize plumbing: deterministic fake (md5 of payload || ':8x8') over
+    real mapInPandas batches; the real decoder is the documented stub."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    return (
+        M.resize_image(docs, key="doc_id", payload_col="payload")
+        .select(
+            F.col("doc").alias("doc_id"), "width", "height", "resized_md5", "n_bytes"
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_MM_RESIZE = """
+SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
+       md5(text || ':8x8') AS resized_md5, 64::BIGINT AS n_bytes
+FROM documents WHERE doc_id < 100 ORDER BY doc_id"""
+
+
 DATA_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_signature": q_dedup_minhash_signature,
@@ -526,6 +576,8 @@ DATA_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_fake_features": q_multimodal_fake_features,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
 }
 
 
@@ -545,4 +597,6 @@ def data_oracle_sqls() -> dict[str, str]:
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "multimodal_meta": ORACLE_MM_META,
         "multimodal_fake_features": ORACLE_MM_FEATURES,
+        "multimodal_frames": ORACLE_MM_FRAMES,
+        "multimodal_resize": ORACLE_MM_RESIZE,
     }
