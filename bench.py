@@ -146,10 +146,13 @@ def bench_once() -> dict:
         # sandbox shares its host CPU, so single samples vary ~1.5x run to
         # run; min-of-2 reports the uncontended steady state.
         run_index_pipeline(spark, n_rows, tmp + "_warm")
-        wall = min(
+        walls = [
             run_index_pipeline(spark, n_rows, tmp),
             run_index_pipeline(spark, n_rows, tmp),
-        )
+        ]
+        if max(walls) > 1.25 * min(walls):  # a neighbor-load spike hit one
+            walls.append(run_index_pipeline(spark, n_rows, tmp))
+        wall = min(walls)
         queries = run_queries(spark, sf_dir)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
