@@ -219,3 +219,40 @@ def simhash(docs: DataFrame, key: str, text_col: str = "text", bits: int = 60) -
             F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(F.lit(0))
         ).alias("simhash")
     )
+
+
+def simhash_near_pairs(
+    sims: DataFrame, n_bands: int = 4, bits: int = 60, max_hamming: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): near-duplicate pairs from banded simhash LSH.
+
+    Each signature splits into ``n_bands`` equal bit-slices; docs sharing any
+    band value are candidates (pigeonhole: a pair with hamming < n_bands must
+    agree on at least one band, so recall is exact for
+    ``max_hamming < n_bands``); candidates verify with
+    ``bit_count(xor)``. The candidate join is an equi-join on
+    (band, band_val) — no cartesian, AQE splits hot buckets."""
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = sims.select(
+        "doc",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn("band_val", F.expr(f"(simhash >> (band * {band_bits})) & {mask}"))
+    a = bands.select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "band_val"
+    )
+    b = bands.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "band_val"
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("bit_count(sh_a ^ sh_b)").cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -511,6 +511,52 @@ SELECT doc_id, i::INT AS i,
 FROM bytes ORDER BY doc_id, i"""
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: banded 60-bit signatures (4 x 15-bit LSH
+    bands) -> candidate equi-join -> bit_count(xor) hamming verify <= 3."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    sims = D.simhash(docs, key="doc_id")
+    return (
+        D.simhash_near_pairs(sims)
+        .select(F.col("doc_a").alias("doc_a"), "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_SIMHASH_PAIRS = f"""
+WITH {_TOK_CTE},
+tf AS (
+  SELECT doc_id, term, count(*) AS tf,
+         ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+  FROM tok WHERE doc_id < 500 GROUP BY doc_id, term
+),
+bits AS (SELECT unnest(range(0, 60)) AS b),
+contrib AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b::INT) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM tf CROSS JOIN bits GROUP BY doc_id, b
+),
+sim AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT AS simhash
+  FROM contrib GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (band::INT * 15)) & 32767 AS band_val
+  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+ORDER BY doc_a, doc_b"""
+
+
 def q_multimodal_frames(spark, sf_dir):
     """Frame-sampling plumbing: one payload row -> N sampled-frame rows
     (every 2nd 64-byte frame), md5-fingerprinted — deterministic fake decode
@@ -566,6 +612,7 @@ DATA_QUERIES = {
     "dedup_minhash_signature": q_dedup_minhash_signature,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "text_simhash": q_text_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -587,6 +634,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "dedup_minhash_signature": ORACLE_MINHASH_SIG,
         "dedup_minhash_pairs": ORACLE_MINHASH_PAIRS,
         "dedup_ngram_pairs": ORACLE_NGRAM_PAIRS,
+        "dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
         "text_simhash": ORACLE_SIMHASH,
         "ann_cosine_topk": ORACLE_ANN_COSINE,
         "ann_lsh_topk": ORACLE_ANN_LSH,
