@@ -288,6 +288,21 @@ def q_search_field(spark, sf_dir):
     return _finalize(qc.Executor(idx).run(node))
 
 
+def q_search_metadata_filtered(spark, sf_dir):
+    """The TUI's combined core op (BASELINE.json: 'keyword search over
+    postings and metadata-filtered retrieval'): BM25 free-text ranking
+    FILTERed (Q6: no weight contribution) by a metadata predicate (Q9)."""
+    idx = get_index(spark, sf_dir)
+    meta = (
+        _docs(spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("doc"), F.lit(0.0).alias("score"))
+    )
+    return _finalize(
+        S.op_filter(S.score_terms(idx, _zt(["spark", "merge"])), meta)
+    )
+
+
 def q_spelling_suggest(spark, sf_dir):
     """Q19 implemented for real: suggestions for misspelled corpus words."""
     idx = get_index(spark, sf_dir)
@@ -319,6 +334,7 @@ QUERIES = {
     "search_lovehate": q_search_lovehate,
     "search_field": q_search_field,
     "metadata_range": q_metadata_range,
+    "search_metadata_filtered": q_search_metadata_filtered,
     "collapse_best_per_source": q_collapse_best_per_source,
     "search_percent": q_search_percent,
 }
@@ -438,6 +454,20 @@ SELECT word, suggestion, distance, df FROM ranked WHERE rn = 1 ORDER BY word"""
             SELECT doc_id, n_chars, lang FROM documents
             WHERE n_chars BETWEEN 100 AND 300 AND lang = 'en'
             ORDER BY doc_id LIMIT {K}""",
+        "search_metadata_filtered": (
+            "WITH "
+            + oracles.base_ctes()
+            + ","
+            + oracles._tweight_sql(oracles.qvalues(zt(["spark", "merge"])))
+            + ","
+            + oracles._score_sql()
+            + f"""
+SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micro
+FROM matches
+WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+ORDER BY score_micro DESC, doc_id
+LIMIT {K}"""
+        ),
         "collapse_best_per_source": _collapse_oracle(),
         "search_percent": _percent_oracle(),
     }
