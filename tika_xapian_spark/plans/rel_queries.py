@@ -46,7 +46,7 @@ def q_events_windowed(spark, sf_dir):
 ORACLE_EVENTS_WINDOWED = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2"""
@@ -132,7 +132,7 @@ def q_events_top_users(spark, sf_dir):
 ORACLE_EVENTS_TOP_USERS = """
 WITH per_user AS (
   SELECT event_type, user_id,
-         sum(CAST(round(value * 100) AS BIGINT)) AS spend_cents
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend_cents
   FROM events GROUP BY 1, 2
 ),
 ranked AS (
@@ -165,9 +165,9 @@ def q_tpch_pricing_summary(spark, sf_dir):
 
 ORACLE_TPCH_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-       sum(CAST(round(l_discount * 100) AS BIGINT)) AS sum_disc_cents,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -203,7 +203,7 @@ def q_tpch_top_customers(spark, sf_dir):
 ORACLE_TPCH_TOP_CUSTOMERS = """
 WITH spend AS (
   SELECT o_custkey,
-         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
          count(*) AS n_orders
   FROM orders GROUP BY o_custkey
 )
@@ -245,7 +245,7 @@ def q_tpch_region_revenue(spark, sf_dir):
 
 ORACLE_TPCH_REGION_REVENUE = """
 SELECT r.r_name,
-       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        count(*) AS n_orders
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
