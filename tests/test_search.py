@@ -174,6 +174,14 @@ class TestSynonymElite:
         assert set(got) == {2, 3, 4}
         assert got[3] == pytest.approx(bm25(4, 3, 1, 2, avg), rel=1e-12)
 
+    def test_synonym_builds_no_eager_job(self, spark, index):
+        # op_synonym folds the pseudo-term df into the plan as a broadcast
+        # scalar: constructing the DataFrame must not run a driver job
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None))
+        S.op_synonym(index, ["slow", "merge"])
+        assert len(tracker.getJobIdsForGroup(None)) == before
+
     def test_elite_keeps_rarest(self, index):
         # df: slow=1 < merge=2 < spark=3; elite(2) keeps slow+merge
         got = scores_of(S.op_elite_set(index, ["spark", "merge", "slow"], 2))
@@ -186,6 +194,40 @@ class TestRanking:
         got = S.with_percent(S.score_terms(index, ["spark"])).collect()
         by_doc = {r["doc"]: r["percent"] for r in got}
         assert by_doc[2] == 100
+
+    def test_percent_floor_semantics(self, index):
+        # the reference truncates after a 100*DBL_EPSILON nudge
+        # (omenquire.cc:338) — never ceil; 0 -> 1 for matched docs
+        m = S.score_terms(index, ["spark"], with_nsub=True)
+        scores = scores_of(m)
+        top = max(scores.values())
+        got = {
+            r["doc"]: r["percent"]
+            for r in S.with_percent(m, total_subqs=1).collect()
+        }
+        for d, s in scores.items():
+            exp = min(100, max(1, math.floor(s * 100.0 / top + 1e-14)))
+            assert got[d] == exp, d
+
+    def test_percent_matched_subquery_fraction(self, spark):
+        # multimatch.cc:913-914: percent scales by the fraction of subqueries
+        # the TOP doc matched — a top doc matching 1 of 2 terms caps at 50
+        docs = spark.createDataFrame(
+            [(1, "rare rare rare rare"), (2, "common"), (3, "common x")],
+            "doc_id long, text string",
+        )
+        idx = InvertedIndex.build_from_body(docs, key="doc_id", stem=False)
+        try:
+            m = S.score_terms(idx, ["rare", "common"], with_nsub=True)
+            sc = scores_of(m)
+            assert sc[1] == max(sc.values())  # doc1 is the top doc
+            pct = {
+                r["doc"]: r["percent"]
+                for r in S.with_percent(m, total_subqs=2).collect()
+            }
+            assert pct[1] == 50
+        finally:
+            idx.unpersist()
 
     def test_cutoff(self, index):
         m = S.score_terms(index, ["spark"])
@@ -209,5 +251,20 @@ class TestStemmedProfile:
         try:
             got = scores_of(S.score_terms(index=idx, terms=[S.stem_query_term("merge")]))
             assert set(got) == {1, 2}  # 'merging' and 'merge' both stem to 'merg'
+        finally:
+            idx.unpersist()
+
+    def test_digit_leading_query_term_unstemmed(self, spark):
+        # should_stem: the index writes no Z-form for '2024', so the query
+        # side must fall back to the raw term (not a nonexistent 'Z2024')
+        docs = spark.createDataFrame(
+            [(1, "report 2024 results"), (2, "older 2023 report")],
+            "doc_id long, text string",
+        )
+        idx = InvertedIndex.build_from_body(docs, key="doc_id", stem=True)
+        try:
+            assert S.stem_query_term("2024") == "2024"
+            got = scores_of(S.score_free_text(idx, "2024"))
+            assert set(got) == {1}
         finally:
             idx.unpersist()

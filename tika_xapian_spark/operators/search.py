@@ -45,8 +45,16 @@ PAGE_SIZE = 100  # get_mset(0, 100)
 def stem_query_term(term: str) -> str:
     """Free query terms match the Z-stemmed index forms, as the reference's
     QueryParser does with STEM_SOME (golden `Zfoo@1` trees,
-    /root/reference/src/xapian_utils.rs:504-508)."""
-    return "Z" + porter2_stem(term.lower())
+    /root/reference/src/xapian_utils.rs:504-508).
+
+    Terms whose first codepoint is not a letter (e.g. ``2024``) are never
+    stemmed by the TermGenerator (should_stem), so the index holds no Z-form
+    for them — STEM_SOME queries must use the raw term or they silently
+    match nothing."""
+    t = term.lower()
+    from ..functions.tokenizer import _should_stem
+
+    return "Z" + porter2_stem(t) if _should_stem(t) else t
 
 
 def _termweight(df_col: Column, n_docs: int, wqf: Column) -> Column:
@@ -59,17 +67,24 @@ def _termweight(df_col: Column, n_docs: int, wqf: Column) -> Column:
 def score_terms(
     index: InvertedIndex,
     terms: list[str] | dict[str, int],
+    with_nsub: bool = False,
 ) -> DataFrame:
     """BM25 match set for a bag of index terms -> (doc, score).
 
     ``terms`` maps term -> wqf (within-query frequency); a list means wqf=1
     each. Terms are index-vocabulary terms (callers pre-stem free text with
     stem_query_term / prefix field terms).
+
+    ``with_nsub=True`` adds an ``n_sub`` column — the number of query terms
+    the doc matched — which with_percent() needs for the reference's
+    matched-subquery percent scaling (multimatch.cc:913-914). Off by default
+    so boolean combinators keep a uniform (doc, score) shape.
     """
     if isinstance(terms, list):
         terms = {t: 1 for t in terms}
     if not terms:
-        return _empty_matches(index)
+        out = _empty_matches(index)
+        return out.withColumn("n_sub", F.lit(0)) if with_nsub else out
     spark = index.postings.sparkSession
     qdf = spark.createDataFrame(
         [(t, int(w)) for t, w in terms.items()], "term string, wqf int"
@@ -84,12 +99,15 @@ def score_terms(
     normlen = F.greatest(F.col("doclen") / F.lit(avg_len), F.lit(MIN_NORMLEN))
     denom = F.lit(K1) * (normlen * F.lit(B) + F.lit(1 - B)) + F.col("wdf")
     part = F.col("termweight") * (F.col("wdf") / denom)
+    aggs = [F.sum("part").alias("score")]
+    if with_nsub:
+        aggs.append(F.count(F.lit(1)).cast("int").alias("n_sub"))
     return (
         index.postings.join(F.broadcast(weights), "term")
         .join(index.doc_stats, "doc")
         .withColumn("part", part)
         .groupBy("doc")
-        .agg(F.sum("part").alias("score"))
+        .agg(*aggs)
     )
 
 
@@ -99,7 +117,7 @@ def score_free_text(index: InvertedIndex, text: str) -> DataFrame:
 
     terms: dict[str, int] = {}
     for t in scan_terms(text):
-        zt = "Z" + porter2_stem(t)
+        zt = stem_query_term(t)
         terms[zt] = terms.get(zt, 0) + 1
     return score_terms(index, terms)
 
@@ -254,15 +272,18 @@ def op_synonym(index: InvertedIndex, terms: list[str], wqf: int = 1) -> DataFram
     with df = docs matching any member, wdf summed)."""
     sub = index.postings.filter(F.col("term").isin(terms))
     merged = sub.groupBy("doc").agg(F.sum("wdf").cast("int").alias("wdf"))
-    n_match = merged.count()
-    if n_match == 0:
-        return _empty_matches(index)
-    tw = _termweight(F.lit(float(n_match)), index.n_docs, F.lit(float(wqf)))
+    # The pseudo-term's df (docs matching any member) is folded into the plan
+    # as a broadcast 1-row scalar instead of an eager .count(): no extra
+    # driver-synchronized job per query, and no re-execution of the merge
+    # subplan in the returned DataFrame (FLAG_PARTIAL hits this per keystroke).
+    syn_df = merged.agg(F.count(F.lit(1)).cast("double").alias("_syn_df"))
+    tw = _termweight(F.col("_syn_df"), index.n_docs, F.lit(float(wqf)))
     avg_len = index.avg_len if index.avg_len > 0 else 1.0
     normlen = F.greatest(F.col("doclen") / F.lit(avg_len), F.lit(MIN_NORMLEN))
     denom = F.lit(K1) * (normlen * F.lit(B) + F.lit(1 - B)) + F.col("wdf")
     return (
-        merged.join(index.doc_stats, "doc")
+        merged.crossJoin(F.broadcast(syn_df))
+        .join(index.doc_stats, "doc")
         .select("doc", (tw * (F.col("wdf") / denom)).alias("score"))
     )
 
@@ -371,17 +392,51 @@ def top_k(matches: DataFrame, k: int = PAGE_SIZE, key: str = "doc") -> DataFrame
     return matches.orderBy(F.desc("score"), F.asc(key)).limit(k)
 
 
-def with_percent(matches: DataFrame) -> DataFrame:
-    """R8: 100 * wt / max weight (omenquire.cc:331-347)."""
-    from pyspark.sql.window import Window
+# 100 * DBL_EPSILON — the excess-precision nudge of omenquire.cc:338
+_PCT_EPS = 100.0 * 2.220446049250313e-16
 
-    w = Window.partitionBy()
-    return matches.withColumn(
-        "percent",
-        F.least(
-            F.lit(100),
-            F.ceil(F.col("score") * 100.0 / F.max("score").over(w)).cast("int"),
-        ),
+
+def with_percent(matches: DataFrame, total_subqs: int | None = None) -> DataFrame:
+    """R8: the reference's exact percent conversion (omenquire.cc:332-347 +
+    multimatch.cc:902-916):
+
+        percent_factor = (subqs matched by the top doc / total_subqs)
+                         / greatest_wt * 100
+        pcent = clamp(int(wt * percent_factor + 100*DBL_EPSILON), 0, 100)
+        pcent == 0 and wt > 0  ->  1
+
+    Truncation (floor), not ceil; the top document only reaches 100 if it
+    matched every subquery. The matched-subquery fraction needs an ``n_sub``
+    column (score_terms(..., with_nsub=True)) and ``total_subqs``; without
+    them the fraction is 1 (single-term queries are unaffected).
+
+    Scale: the top row (greatest weight + its n_sub) is a bounded
+    TakeOrdered(1) broadcast-cross-joined into the plan — no global window,
+    no single-partition shuffle of the match set.
+    """
+    use_frac = total_subqs and "n_sub" in matches.columns
+    top1 = matches.orderBy(F.desc("score"), F.asc("doc")).limit(1)
+    if use_frac:
+        top1 = top1.select(
+            F.col("score").alias("_max_score"),
+            (F.col("n_sub").cast("double") / F.lit(float(total_subqs))).alias("_frac"),
+        )
+    else:
+        top1 = top1.select(
+            F.col("score").alias("_max_score"), F.lit(1.0).alias("_frac")
+        )
+    v = (
+        F.col("score") * F.lit(100.0) * F.col("_frac") / F.col("_max_score")
+        + F.lit(_PCT_EPS)
+    )
+    pcent = F.least(F.lit(100), F.floor(v).cast("int"))
+    pcent = F.when((pcent <= 0) & (F.col("score") > 0), F.lit(1)).otherwise(
+        F.greatest(pcent, F.lit(0))
+    )
+    return (
+        matches.crossJoin(F.broadcast(top1))
+        .withColumn("percent", pcent)
+        .drop("_max_score", "_frac")
     )
 
 
@@ -397,13 +452,22 @@ def collapse(matches: DataFrame, key_col: str, collapse_max: int = 1) -> DataFra
     )
 
 
-def cutoff(matches: DataFrame, weight_cutoff: float = 0.0, percent_cutoff: int = 0) -> DataFrame:
-    """R11: drop matches below thresholds."""
+def cutoff(
+    matches: DataFrame,
+    weight_cutoff: float = 0.0,
+    percent_cutoff: int = 0,
+    total_subqs: int | None = None,
+) -> DataFrame:
+    """R11: drop matches below thresholds (percent per with_percent)."""
     out = matches
     if weight_cutoff > 0:
         out = out.filter(F.col("score") >= weight_cutoff)
     if percent_cutoff > 0:
-        out = with_percent(out).filter(F.col("percent") >= percent_cutoff).drop("percent")
+        out = (
+            with_percent(out, total_subqs=total_subqs)
+            .filter(F.col("percent") >= percent_cutoff)
+            .drop("percent")
+        )
     return out
 
 

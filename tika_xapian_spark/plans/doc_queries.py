@@ -161,9 +161,13 @@ def q_collapse_best_per_source(spark, sf_dir):
 
 
 def q_search_percent(spark, sf_dir):
-    """R8: percent-of-max scores for the top page."""
+    """R8: reference-exact percents (floor + 100*DBL_EPSILON nudge, scaled by
+    the top doc's matched-subquery fraction — omenquire.cc:338,
+    multimatch.cc:913-914) for a two-term OR."""
     idx = get_index(spark, sf_dir)
-    m = S.with_percent(S.score_terms(idx, _zt(["spark"])))
+    m = S.with_percent(
+        S.score_terms(idx, _zt(["spark", "slow"]), with_nsub=True), total_subqs=2
+    )
     return (
         m.select(
             F.col("doc").alias("doc_id"),
@@ -222,7 +226,11 @@ def q_search_sort_by_meta(spark, sf_dir):
 def q_search_cutoff(spark, sf_dir):
     """R11: percent cutoff — drop matches under 60% of the best score."""
     idx = get_index(spark, sf_dir)
-    m = S.cutoff(S.score_terms(idx, _zt(["spark"])), percent_cutoff=60)
+    m = S.cutoff(
+        S.score_terms(idx, _zt(["spark"]), with_nsub=True),
+        percent_cutoff=60,
+        total_subqs=1,
+    )
     return _finalize(m, k=K)
 
 
@@ -389,10 +397,16 @@ LIMIT {K}"""
         + ","
         + oracles._score_sql()
         + f"""
-, with_pct AS (
+, top1 AS (
+  SELECT score AS max_score, n_sub::DOUBLE / 1 AS frac
+  FROM matches ORDER BY score DESC, doc_id ASC LIMIT 1
+),
+with_pct AS (
   SELECT doc_id, score,
-         least(100, ceil(score * 100.0 / max(score) OVER ())) AS pct
-  FROM matches
+         least(100, greatest(CASE WHEN score > 0 THEN 1 ELSE 0 END,
+           floor(score * 100.0 * t.frac / t.max_score + 2.220446049250313e-14)
+         )) AS pct
+  FROM matches CROSS JOIN top1 t
 )
 SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micro
 FROM with_pct WHERE pct >= 60
@@ -488,12 +502,20 @@ FROM ranked WHERE rn = 1 ORDER BY source"""
 
 
 def _percent_oracle() -> str:
-    tw = oracles._tweight_sql(oracles.qvalues(oracles.zterms(["spark"])))
+    # Reference-exact: floor(wt * 100 * frac / max_wt + 100*DBL_EPSILON),
+    # frac = top doc's matched subqueries / total (2 here); 0 -> 1 if wt > 0.
+    tw = oracles._tweight_sql(oracles.qvalues(oracles.zterms(["spark", "slow"])))
     sc = oracles._score_sql()
-    return f"""WITH {oracles.base_ctes()},{tw},{sc}
+    return f"""WITH {oracles.base_ctes()},{tw},{sc},
+top1 AS (
+  SELECT score AS max_score, n_sub::DOUBLE / 2 AS frac
+  FROM matches ORDER BY score DESC, doc_id ASC LIMIT 1
+)
 SELECT doc_id,
        CAST(round(score * 1000000) AS BIGINT) AS score_micro,
-       CAST(least(100, ceil(score * 100.0 / max(score) OVER ())) AS INT) AS percent
-FROM matches
+       CAST(least(100, greatest(CASE WHEN score > 0 THEN 1 ELSE 0 END,
+            floor(score * 100.0 * t.frac / t.max_score + 2.220446049250313e-14)
+       )) AS INT) AS percent
+FROM matches CROSS JOIN top1 t
 ORDER BY score_micro DESC, doc_id
 LIMIT {K}"""

@@ -82,7 +82,8 @@ matches AS (
   SELECT p.doc_id,
          sum(w.termweight * p.wdf /
              ({K1} * (greatest(d.doclen / c.avg_len, {MIN_NORMLEN}) * {B} + {1 - B}) + p.wdf)
-         ) AS score
+         ) AS score,
+         count(*) AS n_sub
   FROM {matchset}
        JOIN doclen d USING (doc_id)
        CROSS JOIN coll c

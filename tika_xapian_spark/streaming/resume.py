@@ -15,8 +15,9 @@ Two mechanisms, mirroring what a 10^12-row run needs:
 
   Structured Streaming (stream_index)
       readStream over the pages table + Trigger.availableNow +
-      checkpointLocation: Spark's own write-ahead offset log provides
-      exactly-once restart. foreachBatch writes postings per micro-batch.
+      checkpointLocation: Spark's offset log makes restarts at-least-once,
+      and each micro-batch writes to a deterministic batch=<id> directory
+      with overwrite, so replays are idempotent — effective exactly-once.
       There is no event-time semantics to preserve (the reference is a batch
       CLI, SURVEY.md §2.6) — streaming here is purely for resumability.
 
@@ -77,19 +78,33 @@ def index_resumable(
     processed, skipped = [], sorted(done)
     with_bucket = pages.withColumn("bucket", bucket_col("url", n_buckets))
 
+    from pyspark.sql import Observation
+
     for b in range(n_buckets):
         if b in done:
             continue
         t0 = time.time()
         shard = with_bucket.filter(F.col("bucket") == b).drop("bucket")
-        docs = extract_pages(shard)
+        # All lineage counts ride the single write action as CollectMetrics
+        # nodes (df.observe) — extraction (the dominant cost) runs exactly
+        # once per bucket, where counting docs/ok/postings with separate
+        # .count() actions would re-run the extract UDF 3x.
+        doc_obs = Observation(f"docs_b{b}")
+        post_obs = Observation(f"postings_b{b}")
+        docs = extract_pages(shard).observe(
+            doc_obs,
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum((F.col("status") == "ok").cast("long")).alias("n_ok"),
+        )
         ok = docs.filter(F.col("status") == "ok")
-        n_pages = docs.count()
-        n_ok = ok.count()
-        postings = _postings_of(ok)
+        postings = _postings_of(ok).observe(
+            post_obs, F.count(F.lit(1)).alias("n_postings")
+        )
         path = os.path.join(out_dir, "postings", f"bucket={b}")
         postings.write.mode("overwrite").parquet(path)
-        n_postings = spark.read.parquet(path).count()
+        n_pages = doc_obs.get["n_pages"]
+        n_ok = doc_obs.get["n_ok"] or 0
+        n_postings = post_obs.get["n_postings"]
         wall = time.time() - t0
         metrics_row = {
             "unit": b,
@@ -141,22 +156,45 @@ def upsert_postings(
 
     rewritten = []
     for b in sorted(touched):
+        path = os.path.join(out_dir, "postings", f"bucket={b}")
+        _recover_bucket(path)
         shard_pages = with_bucket.filter(F.col("bucket") == b).drop("bucket")
         docs = extract_pages(shard_pages).filter(F.col("status") == "ok")
         fresh = _postings_of(docs)
-        path = os.path.join(out_dir, "postings", f"bucket={b}")
         if os.path.exists(path):
             existing = spark.read.parquet(path)
             new_urls = fresh.select("doc").distinct()
             merged = existing.join(new_urls, "doc", "left_anti").unionByName(fresh)
         else:
             merged = fresh
-        # write beside, then swap — the lazy plan still reads the old files
+        # Write beside, then swap with the old data renamed aside first, so a
+        # crash at any point leaves a recoverable state (old data survives
+        # until the new directory is in place); _recover_bucket cleans up.
         merged.write.mode("overwrite").parquet(path + ".tmp")
-        _sh.rmtree(path, ignore_errors=True)
+        if os.path.exists(path):
+            os.rename(path, path + ".old")
         os.rename(path + ".tmp", path)
+        _sh.rmtree(path + ".old", ignore_errors=True)
         rewritten.append(b)
     return {"rewritten_buckets": rewritten}
+
+
+def _recover_bucket(path: str) -> None:
+    """Roll a bucket forward/back after a crash mid-swap in upsert_postings.
+
+    Invariants of the swap protocol: ``.tmp`` is never complete until its
+    rename (so it is always safe to discard); ``.old`` is the previous good
+    data and is only deleted after the new data is in place.
+    """
+    import shutil as _sh
+
+    if os.path.exists(path + ".tmp"):
+        _sh.rmtree(path + ".tmp", ignore_errors=True)  # incomplete write
+    if os.path.exists(path + ".old"):
+        if os.path.exists(path):
+            _sh.rmtree(path + ".old", ignore_errors=True)  # swap completed
+        else:
+            os.rename(path + ".old", path)  # crashed between the two renames
 
 
 def read_postings(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -180,14 +218,30 @@ def stream_index(
     static = spark.read.parquet(pages_path)
     stream = spark.readStream.schema(static.schema).parquet(pages_path)
 
+    from pyspark.sql import Observation
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        docs = extract_pages(batch_df).filter(F.col("status") == "ok")
+        # foreachBatch is at-least-once: a crash after the write but before
+        # the offset commit replays this batch_id on restart. Writing each
+        # batch to its own deterministic batch=<id> directory with overwrite
+        # makes the replay idempotent (effective exactly-once), the same
+        # trick Iceberg uses via commit-dedup on batch_id.
+        obs = Observation(f"batch_{batch_id}")
+        docs = (
+            extract_pages(batch_df)
+            .observe(obs, F.count(F.lit(1)).alias("n_pages"))
+            .filter(F.col("status") == "ok")
+        )
         postings = _postings_of(docs)
-        postings.write.mode("append").parquet(os.path.join(out_dir, "postings"))
-        n = batch_df.count()
+        postings.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "postings", f"batch={batch_id}")
+        )
         batch_df.sparkSession.createDataFrame(
-            [{"unit": batch_id, "n_pages": n}], "unit long, n_pages long"
-        ).write.mode("append").parquet(os.path.join(out_dir, "_metrics"))
+            [{"unit": batch_id, "n_pages": obs.get["n_pages"]}],
+            "unit long, n_pages long",
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "_metrics", f"batch={batch_id}")
+        )
 
     q = (
         stream.writeStream.foreachBatch(process_batch)
