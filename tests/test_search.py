@@ -166,6 +166,76 @@ class TestPositionalOps:
         assert set(got2) == {4}
 
 
+class TestPositionalProperties:
+    """Property tests for the sorted-merge NEAR / intersect PHRASE rewrites
+    against a brute-force position-set oracle."""
+
+    def _mk_index(self, spark, docs):
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        return InvertedIndex.build_from_body(df, key="doc_id", stem=False)
+
+    def test_near_and_phrase_match_bruteforce(self, spark):
+        import itertools
+        import random
+
+        rnd = random.Random(7)
+        docs = []
+        for d in range(40):
+            n = rnd.randint(1, 60)
+            docs.append(
+                (d, " ".join(rnd.choice(["aa", "bb", "cc", "xx", "yy"]) for _ in range(n)))
+            )
+        idx = self._mk_index(spark, docs)
+        try:
+            for terms, window in [
+                (["aa", "bb"], 3),
+                (["aa", "bb", "cc"], 5),
+                (["aa", "bb"], 2),
+                (["aa", "bb", "cc"], 11),
+            ]:
+                got = set(scores_of(S.match_near(idx, terms, window=window)))
+                exp = set()
+                for d, text in docs:
+                    toks = text.split()
+                    poss = [[i + 1 for i, w in enumerate(toks) if w == t] for t in terms]
+                    if all(poss) and any(
+                        max(sel) - min(sel) < window
+                        for sel in itertools.product(*poss)
+                    ):
+                        exp.add(d)
+                assert got == exp, (terms, window)
+            for terms in (["aa", "bb"], ["aa", "bb", "cc"], ["aa", "aa"]):
+                got = set(scores_of(S.match_phrase(idx, terms)))
+                exp = {
+                    d
+                    for d, text in docs
+                    for toks in [text.split()]
+                    if any(
+                        toks[i : i + len(terms)] == terms
+                        for i in range(len(toks) - len(terms) + 1)
+                    )
+                }
+                assert got == exp, terms
+        finally:
+            idx.unpersist()
+
+    def test_near_adversarial_long_positions(self, spark):
+        # 10k positions per term in one doc: the old nested-exists plan was
+        # O(|p0| * |p1|) = 1e8 checks; the sorted-merge sweep is linear and
+        # must stay fast. window=1 forces the full non-matching sweep.
+        import time
+
+        body = " ".join(("aa" if i % 2 == 0 else "bb") for i in range(20000))
+        idx = self._mk_index(spark, [(1, body)])
+        try:
+            t0 = time.time()
+            assert set(scores_of(S.match_near(idx, ["aa", "bb"], window=1))) == set()
+            assert set(scores_of(S.match_near(idx, ["aa", "bb"], window=2))) == {1}
+            assert time.time() - t0 < 60
+        finally:
+            idx.unpersist()
+
+
 class TestSynonymElite:
     def test_synonym_single_weight(self, index):
         got = scores_of(S.op_synonym(index, ["slow", "merge"]))
@@ -234,6 +304,43 @@ class TestRanking:
         top = max(scores_of(m).values())
         got = scores_of(S.cutoff(m, weight_cutoff=top))
         assert set(got) == {2}
+
+    def test_wand_equals_naive_topk(self, index, spark):
+        # WAND pruning must be invisible: exact same page as the full plan
+        import random
+
+        for terms, k in [(["spark", "slow"], 2), (["spark", "join", "slow"], 3)]:
+            naive = S.top_k(S.score_terms(index, terms), k=k).collect()
+            wand = S.top_k_wand(index, terms, k=k).collect()
+            assert [(r["doc"], r["score"]) for r in wand] == [
+                (r["doc"], r["score"]) for r in naive
+            ], (terms, k)
+        # random corpus with a skewed common term — the pruning-active regime
+        rnd = random.Random(3)
+        docs = [
+            (
+                d,
+                " ".join(
+                    rnd.choice(["common"] * 8 + ["rare", "mid", "oth"])
+                    for _ in range(rnd.randint(3, 30))
+                ),
+            )
+            for d in range(120)
+        ]
+        idx = InvertedIndex.build_from_body(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            key="doc_id",
+            stem=False,
+        )
+        try:
+            for k in (5, 25):
+                naive = S.top_k(S.score_terms(idx, ["rare", "common"]), k=k).collect()
+                wand = S.top_k_wand(idx, ["rare", "common"], k=k).collect()
+                assert [(r["doc"], r["score"]) for r in wand] == [
+                    (r["doc"], r["score"]) for r in naive
+                ], k
+        finally:
+            idx.unpersist()
 
     def test_collapse(self, index, spark):
         m = S.score_terms(index, ["spark"]).withColumn("host", S.F.col("doc") % 2)

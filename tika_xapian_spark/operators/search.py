@@ -68,6 +68,7 @@ def score_terms(
     index: InvertedIndex,
     terms: list[str] | dict[str, int],
     with_nsub: bool = False,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 match set for a bag of index terms -> (doc, score).
 
@@ -79,6 +80,10 @@ def score_terms(
     the doc matched — which with_percent() needs for the reference's
     matched-subquery percent scaling (multimatch.cc:913-914). Off by default
     so boolean combinators keep a uniform (doc, score) shape.
+
+    ``candidates``: optional (doc) DataFrame; when given, scoring is
+    restricted to these docs via a semi-join on the postings scan (the WAND
+    candidate-pruning hook — see top_k_wand).
     """
     if isinstance(terms, list):
         terms = {t: 1 for t in terms}
@@ -102,8 +107,11 @@ def score_terms(
     aggs = [F.sum("part").alias("score")]
     if with_nsub:
         aggs.append(F.count(F.lit(1)).cast("int").alias("n_sub"))
+    postings = index.postings
+    if candidates is not None:
+        postings = postings.join(candidates.select("doc"), "doc", "left_semi")
     return (
-        index.postings.join(F.broadcast(weights), "term")
+        postings.join(F.broadcast(weights), "term")
         .join(index.doc_stats, "doc")
         .withColumn("part", part)
         .groupBy("doc")
@@ -203,25 +211,31 @@ def _positions_for(index: InvertedIndex, terms: list[str]) -> DataFrame:
 
 def match_phrase(index: InvertedIndex, terms: list[str], score: bool = True) -> DataFrame:
     """Q8 PHRASE: consecutive positions in order (exactphrasepostlist
-    semantics). Position check is a higher-order exists over the first term's
-    positions — fully vectorized, no Python."""
+    semantics). The position check is a chain of shifted array_intersects —
+    term k's positions shifted by -k, all intersected with term 0's: a doc
+    matches iff the intersection is non-empty. Each pairwise intersect is a
+    hash build over the smaller array, so per-doc cost is linear in total
+    positions (the sorted-merge cost profile of Xapian's phrase postlist),
+    not |p0| x sum|pk| as a nested exists/array_contains would be."""
     if not terms:
         raise ValueError("empty phrase")
     j = _positions_for(index, terms)
     if j is None:
         raise ValueError("empty phrase")
-    cond = None
     if len(terms) == 1:
         matched = j.select("doc")
     else:
-        def phrase_at(x: Column) -> Column:
-            c = F.lit(True)
-            for k in range(1, len(terms)):
-                c = c & F.array_contains(F.col(f"p{k}"), x + k)
-            return c
+        # closure factory, not a default-arg lambda: pyspark derives HOF
+        # arity from the signature, so a 2-param lambda would get (elem, idx)
+        def shift_by(off: int):
+            return lambda x: x - off
 
-        cond = F.exists(F.col("p0"), phrase_at)
-        matched = j.filter(cond).select("doc")
+        inter = F.col("p0")
+        for k in range(1, len(terms)):
+            inter = F.array_intersect(
+                inter, F.transform(F.col(f"p{k}"), shift_by(k))
+            )
+        matched = j.filter(F.size(inter) > 0).select("doc")
     if not score:
         return matched.select("doc", F.lit(0.0).alias("score"))
     scored = score_terms(index, list(dict.fromkeys(terms)))
@@ -243,20 +257,40 @@ def match_near(
     if len(terms) < 2:
         raise ValueError("NEAR needs >= 2 terms")
     j = _positions_for(index, terms)
+    k = len(terms)
 
-    # nested exists over each term's positions; span check at the innermost
-    # (each lambda must be unary — pyspark derives HOF arity from the signature)
-    def build(k: int, xs: list[Column]) -> Column:
-        if k == len(terms):
-            span = F.greatest(*xs) - F.least(*xs)
-            return span < F.lit(window)
+    # Sorted-merge sweep (the plan Xapian's nearpostlist runs): merge all
+    # terms' positions into one sorted (pos, term) list, then one aggregate()
+    # pass tracking the last-seen position per term; a span [min(last),
+    # current] < window at any step means a valid selection exists. Linear in
+    # total positions — replaces the nested exists whose cost was
+    # O(prod |positions|) on long documents.
+    def tag_with(i: int):
+        return lambda x: F.struct(
+            x.cast("long").alias("pos"), F.lit(i).cast("int").alias("t")
+        )
 
-        def inner(x: Column) -> Column:
-            return build(k + 1, xs + [x])
+    tagged = [F.transform(F.col(f"p{i}"), tag_with(i)) for i in range(k)]
+    merged = F.sort_array(F.concat(*tagged))
+    init = F.struct(
+        F.lit(False).alias("found"),
+        *[F.lit(None).cast("long").alias(f"l{i}") for i in range(k)],
+    )
 
-        return F.exists(F.col(f"p{k}"), inner)
+    def step(acc: Column, e: Column) -> Column:
+        lasts = [
+            F.when(e["t"] == i, e["pos"]).otherwise(acc[f"l{i}"]) for i in range(k)
+        ]
+        all_seen = lasts[0].isNotNull()
+        for l in lasts[1:]:
+            all_seen = all_seen & l.isNotNull()
+        hit = all_seen & ((e["pos"] - F.least(*lasts)) < F.lit(window))
+        return F.struct(
+            (acc["found"] | hit).alias("found"),
+            *[l.alias(f"l{i}") for i, l in enumerate(lasts)],
+        )
 
-    matched = j.filter(build(0, [])).select("doc")
+    matched = j.filter(F.aggregate(merged, init, step)["found"]).select("doc")
     if not score:
         return matched.select("doc", F.lit(0.0).alias("score"))
     scored = score_terms(index, list(dict.fromkeys(terms)))
@@ -390,6 +424,84 @@ def spelling_suggestions(
 def top_k(matches: DataFrame, k: int = PAGE_SIZE, key: str = "doc") -> DataFrame:
     """R5/R6: bounded ranked page; ties break by ascending doc key."""
     return matches.orderBy(F.desc("score"), F.asc(key)).limit(k)
+
+
+def _term_upper_bounds(index: InvertedIndex, terms: dict[str, int]) -> dict[str, float]:
+    """Per-term BM25 score ceiling from the stored term_stats.max_wdf (the
+    WAND max-score bound — Broder et al. CIKM'03; Xapian stores the same
+    bound as wdf_upper_bound). The per-posting part is increasing in wdf and
+    decreasing in normlen, so the max is at wdf=max_wdf, normlen=MIN_NORMLEN."""
+    import math
+
+    rows = (
+        index.term_stats.filter(F.col("term").isin(list(terms)))
+        .select("term", "df", "max_wdf")
+        .collect()  # bounded: |query terms| rows, same dictionary read Xapian does
+    )
+    ubs: dict[str, float] = {}
+    for r in rows:
+        tw = (index.n_docs - r["df"] + 0.5) / (r["df"] + 0.5)
+        if tw < 2.0:
+            tw = tw * 0.5 + 1.0
+        wqf = terms[r["term"]]
+        termweight = math.log(tw) * ((K3 + 1) * wqf / (K3 + wqf)) * (K1 + 1)
+        denom = K1 * (MIN_NORMLEN * B + (1 - B)) + r["max_wdf"]
+        ubs[r["term"]] = termweight * r["max_wdf"] / denom
+    return ubs
+
+
+def top_k_wand(
+    index: InvertedIndex,
+    terms: list[str] | dict[str, int],
+    k: int = PAGE_SIZE,
+) -> DataFrame:
+    """Exact top-k OR query with WAND-style candidate pruning — the batch
+    analogue of Xapian's matcher max-weight short-circuiting
+    (XC matcher/multimatch.cc min_weight management), using the max_wdf
+    bound the index already stores (operators/index.py term_stats).
+
+    Two phases, both exact:
+      1. threshold: score ONLY the highest-ceiling term and take its k-th
+         best score tau. Every doc's final score >= its partial score, so
+         the true k-th best final score >= tau.
+      2. prune: order terms by ceiling desc, keep the minimal prefix P with
+         sum(ceilings outside P) < tau. A doc matching no term of P scores
+         < tau and cannot reach the page; docs matching P are the candidate
+         set (semi-join), scored fully over all terms.
+
+    On skewed queries (rare term + stopword-ish terms) this turns the
+    groupBy over the stopword's full posting list into one over the rare
+    term's candidates. Falls back to the plain plan when pruning can't help
+    (fewer than k matches of the best term, or all ceilings needed)."""
+    if isinstance(terms, list):
+        terms = {t: 1 for t in terms}
+    ubs = _term_upper_bounds(index, terms)
+    if not ubs:
+        return top_k(_empty_matches(index), k)
+    live = {t: w for t, w in terms.items() if t in ubs}
+    best = max(ubs, key=lambda t: ubs[t])
+    tau_page = (
+        score_terms(index, {best: live[best]})
+        .orderBy(F.desc("score"))
+        .limit(k)
+        .collect()
+    )
+    tau = tau_page[-1]["score"] if len(tau_page) == k else 0.0
+    order = sorted(ubs, key=lambda t: ubs[t], reverse=True)
+    prefix: list[str] = []
+    rest = sum(ubs.values())
+    margin = 1e-9 * (1.0 + abs(tau))  # float-accumulation safety on the bound
+    for t in order:
+        if rest < tau - margin:
+            break
+        prefix.append(t)
+        rest -= ubs[t]
+    if tau <= 0.0 or len(prefix) == len(order):
+        return top_k(score_terms(index, live), k)
+    cand = (
+        index.postings.filter(F.col("term").isin(prefix)).select("doc").distinct()
+    )
+    return top_k(score_terms(index, live, candidates=cand), k)
 
 
 # 100 * DBL_EPSILON — the excess-precision nudge of omenquire.cc:338

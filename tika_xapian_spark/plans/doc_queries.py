@@ -133,6 +133,15 @@ def q_search_pure_not(spark, sf_dir):
     return _finalize(S.op_pure_not(idx, S.score_terms(idx, _zt(["spark"]))))
 
 
+def q_search_wand(spark, sf_dir):
+    """R5 through the WAND max-weight bound (term_stats.max_wdf, SURVEY §4's
+    optional optimization): exact top-k where the common term's postings are
+    pruned to the rare term's candidate docs. Same results as the naive
+    plan — the oracle is the plain BM25 top-k SQL."""
+    idx = get_index(spark, sf_dir)
+    return _finalize(S.top_k_wand(idx, _zt(["the", "slow"]), k=K))
+
+
 def q_metadata_range(spark, sf_dir):
     """Q9: metadata-filtered retrieval (the range op the reference surfaces
     but never wires — we implement it for real, SURVEY.md §2.4 Q9)."""
@@ -338,6 +347,7 @@ QUERIES = {
     "search_elite": q_search_elite,
     "search_pure_not": q_search_pure_not,
     "search_partial": q_search_partial,
+    "search_wand": q_search_wand,
     "search_scaled": q_search_scaled,
     "search_lovehate": q_search_lovehate,
     "search_field": q_search_field,
@@ -461,6 +471,7 @@ SELECT word, suggestion, distance, df FROM ranked WHERE rn = 1 ORDER BY word"""
         "search_elite": oracles.elite(["spark", "merge", "slow"], 2),
         "search_pure_not": oracles.pure_not(["spark"]),
         "search_partial": oracles.partial("a"),
+        "search_wand": oracles.bm25_topk(["the", "slow"]),
         "search_scaled": oracles.scaled(["merge"], 2.5),
         "search_lovehate": oracles.lovehate(["group"], ["table"], ["slow"]),
         "search_field": oracles.fielded_topk(["ZAsrc3", "Zspark"]),
