@@ -312,6 +312,70 @@ def explain(node: Node) -> str:
     return f"<unknown {type(node).__name__}>"
 
 
+def get_description(node: Node) -> str:
+    """Literal Xapian ``Query::get_description`` rendering of the compiled
+    AST (U4 string-golden mode) — syntax per XC api/queryinternal.cc:
+    terms as ``term[#wqf][@pos]`` (:691-701), branches as ``(A <OP> B)``
+    with the window/set-size parameter after NEAR/PHRASE/ELITE_SET
+    (:1396-1417, :1954-2002), wildcards as ``WILDCARD SYNONYM pattern``
+    (:1124-1136), scale as ``factor * sub`` (:764-766). Pinned
+    string-equal against the reference's green goldens
+    (/root/reference/src/xapian_utils.rs:486-554) in test_query_compiler."""
+    return f"Query({_describe(node)})"
+
+
+def _term_desc(term: str, wqf: int = 1, pos: int | None = None) -> str:
+    out = term
+    if wqf != 1:
+        out += f"#{wqf}"
+    if pos is not None:
+        out += f"@{pos}"
+    return out
+
+
+def _describe(node: Node) -> str:
+    if isinstance(node, Empty):
+        return ""
+    if isinstance(node, PartialTerm):
+        stemmed = "Z" + node.prefix + porter2_stem(node.word)
+        return (
+            f"(WILDCARD SYNONYM {node.prefix}{node.word}"
+            f" OR {_term_desc(stemmed, pos=1)})"
+        )
+    if isinstance(node, StemTerm):
+        stemmed = "Z" + node.prefix + porter2_stem(node.word)
+        return _term_desc(stemmed, wqf=node.wqf, pos=1)
+    if isinstance(node, PhraseTerms):
+        n = len(node.words)
+        if n == 1:
+            return _term_desc(node.prefix + node.words[0], pos=1)
+        sep = f" PHRASE {n} "
+        return "(" + sep.join(
+            _term_desc(node.prefix + w, pos=i) for i, w in enumerate(node.words, 1)
+        ) + ")"
+    if isinstance(node, WildcardTerm):
+        return f"WILDCARD SYNONYM {node.prefix}{node.pattern}"
+    if isinstance(node, Bool):
+        return f"({_describe(node.left)} {node.op} {_describe(node.right)})"
+    if isinstance(node, NearOp):
+        w = node.window
+        if w is None:
+            w = 9 + len(_collect_terms(node.left) + _collect_terms(node.right))
+        return f"({_describe(node.left)} NEAR {w} {_describe(node.right)})"
+    if isinstance(node, PhraseOp):
+        n = len(_collect_terms(node.left) + _collect_terms(node.right))
+        return f"({_describe(node.left)} PHRASE {n} {_describe(node.right)})"
+    if isinstance(node, Scale):
+        return f"{node.factor} * {_describe(node.child)}"
+    if isinstance(node, Elite):
+        return f"({_describe(node.child)} ELITE_SET {node.n})"
+    if isinstance(node, Synonym):
+        return f"({_describe(node.left)} SYNONYM {_describe(node.right)})"
+    if isinstance(node, RangeOp):
+        return f"VALUE_RANGE {node.fld} {node.lo} {node.hi}"
+    return f"<unknown {type(node).__name__}>"
+
+
 # ------------------------------------------------------------------ execute
 
 
