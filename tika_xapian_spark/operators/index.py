@@ -341,13 +341,17 @@ class InvertedIndex:
                 pass
 
     @classmethod
-    def read(cls, spark, base_dir: str) -> "InvertedIndex":
+    def read(cls, spark, base_dir: str, store=None) -> "InvertedIndex":
         """Reopen a written index. Collection stats come from doc_stats (two
         tiny aggregations); the bucket partition columns stay available for
         pruned point lookups."""
-        postings = spark.read.parquet(f"{base_dir}/postings").drop("term_bucket")
-        doc_stats = spark.read.parquet(f"{base_dir}/doc_stats").drop("doc_bucket")
-        term_stats = spark.read.parquet(f"{base_dir}/term_stats")
+        if store is None:
+            from ..sources.tables import ParquetDirStore
+
+            store = ParquetDirStore(base_dir)
+        postings = store.read_table(spark, "postings").drop("term_bucket")
+        doc_stats = store.read_table(spark, "doc_stats").drop("doc_bucket")
+        term_stats = store.read_table(spark, "term_stats")
         row = doc_stats.agg(
             F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avg")
         ).collect()[0]
@@ -359,22 +363,28 @@ class InvertedIndex:
             avg_len=float(row["avg"] or 0.0),
         )
 
-    def write(self, base_dir: str) -> None:
+    def write(self, base_dir: str, store=None) -> None:
         """Write bucket-partitioned index tables (Iceberg-shaped layout: the
         partition columns are hash buckets, so term/doc point lookups prune
-        to 1/N of files — SURVEY.md §4 predicate-pushdown row)."""
-        (
+        to 1/N of files — SURVEY.md §4 predicate-pushdown row).
+
+        ``store`` is the table-format seam (sources/tables.py): default is
+        the parquet stand-in rooted at ``base_dir``; pass an IcebergStore on
+        a real cluster for snapshot-commit writes of the same tables."""
+        if store is None:
+            from ..sources.tables import ParquetDirStore
+
+            store = ParquetDirStore(base_dir)
+        store.write_table(
             self.postings.withColumn("term_bucket", bucket_col("term"))
-            .repartition("term_bucket")
-            .write.partitionBy("term_bucket")
-            .mode("overwrite")
-            .parquet(f"{base_dir}/postings")
+            .repartition("term_bucket"),
+            "postings",
+            partition_by=["term_bucket"],
         )
-        (
+        store.write_table(
             self.doc_stats.withColumn("doc_bucket", bucket_col("doc"))
-            .repartition("doc_bucket")
-            .write.partitionBy("doc_bucket")
-            .mode("overwrite")
-            .parquet(f"{base_dir}/doc_stats")
+            .repartition("doc_bucket"),
+            "doc_stats",
+            partition_by=["doc_bucket"],
         )
-        self.term_stats.write.mode("overwrite").parquet(f"{base_dir}/term_stats")
+        store.write_table(self.term_stats, "term_stats")

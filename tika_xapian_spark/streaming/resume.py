@@ -135,19 +135,39 @@ def upsert_postings(
     out_dir: str,
     new_pages: DataFrame,
     n_buckets: int = 16,
+    store=None,
 ) -> dict:
     """Re-index semantics: the reference's ``replace_document(Q<id>, doc)``
     upsert (/root/reference/src/main.rs:138-140) over the bucketed postings
-    layout. Only buckets containing changed urls are rewritten:
+    layout.
+
+    With an IcebergStore (sources/tables.py) this is one statement: delete
+    the target rows of the incoming docs, MERGE the fresh postings — a
+    single snapshot commit. On the parquet stand-in, only buckets containing
+    changed urls are rewritten:
 
       1. bucket the incoming pages by url hash;
       2. for each touched bucket: drop existing postings of the incoming
          urls (anti-join), union the freshly built postings, overwrite that
          bucket's files; untouched buckets are never read or written.
 
-    This is the parquet stand-in for Iceberg ``MERGE INTO idx.postings ON
-    t.doc = s.doc`` — same row-level semantics, coarser (bucket-level)
-    commit granularity."""
+    Same row-level semantics as ``MERGE INTO idx.postings ON t.doc = s.doc``,
+    coarser (bucket-level) commit granularity."""
+    from ..sources.tables import IcebergStore
+
+    if isinstance(store, IcebergStore):
+        docs = extract_pages(new_pages).filter(F.col("status") == "ok")
+        fresh = _postings_of(docs)
+        doc_ids = fresh.select("doc").distinct()
+        doc_ids.createOrReplaceTempView("_upsert_docs")
+        # replace-document: stale (doc, term) rows a doc no longer contains
+        # must go; delete-then-merge runs as two commits on one small key set
+        spark.sql(
+            f"DELETE FROM {store.qualified('postings')} WHERE doc IN "
+            "(SELECT doc FROM _upsert_docs)"
+        )
+        store.upsert(fresh, "postings", key_cols=["doc", "term"])
+        return {"rewritten_buckets": "iceberg-merge"}
     with_bucket = new_pages.withColumn("bucket", bucket_col("url", n_buckets))
     touched = [
         r["bucket"] for r in with_bucket.select("bucket").distinct().collect()
