@@ -130,6 +130,32 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def ann_recall(spark, sf_dir: str) -> dict:
+    """Honesty metric for the ANN scale path: measured recall@25 of the
+    multi-probe hyperplane LSH vs brute force, plus the candidate-scan
+    fraction. The synthetic embeddings are near-isotropic (little angular
+    structure), so recall here is a floor, not a ceiling — on clustered
+    real-world embeddings the same code measures >=0.9
+    (tests/test_similarity.py)."""
+    from tika_xapian_spark.operators import similarity as SIM
+    from tika_xapian_spark.plans.data_queries import _emb, _query_vec
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    qv = _query_vec(spark, sf_dir)
+    planes = SIM.hyperplanes(SIM.N_PLANES, len(qv))
+    probes = SIM.multiprobe_buckets(qv, planes, SIM.N_PROBE)
+    n_cand = emb.filter(
+        SIM.hyperplane_bucket("embedding", planes).isin(probes)
+    ).count()
+    return {
+        "recall_at_25_multiprobe": round(SIM.recall_at_k(emb, qv, 25), 3),
+        "scan_fraction": round(n_cand / max(n, 1), 4),
+        "n_planes": SIM.N_PLANES,
+        "n_probe": SIM.N_PROBE,
+    }
+
+
 def bench_once() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -154,6 +180,7 @@ def bench_once() -> dict:
             walls.append(run_index_pipeline(spark, n_rows, tmp))
         wall = min(walls)
         queries = run_queries(spark, sf_dir)
+        ann = ann_recall(spark, sf_dir)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(tmp + "_warm", ignore_errors=True)
@@ -167,6 +194,7 @@ def bench_once() -> dict:
         "sf": sf,
         "rows": n_rows,
         "docs_per_sec": round(n_rows / wall, 1),
+        "ann": ann,
         "conf": {"master": f"local[{cpus}]", "aqe": True, "arrow": True},
     }
 

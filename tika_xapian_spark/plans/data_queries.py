@@ -312,6 +312,63 @@ ORDER BY cos_micro DESC, vec_id
 LIMIT 25"""
 
 
+def q_ann_multiprobe_topk(spark, sf_dir):
+    """Multi-probe random-hyperplane LSH ANN (Charikar'02 buckets + Lv'07
+    probing): real hyperplanes instead of axis-aligned dims, query bucket +
+    lowest-margin hamming-1 flips probed, exact cosine within. Oracle
+    recomputes the identical planes/probes in pure SQL."""
+    qv = _query_vec(spark, sf_dir)
+    return SIM.multiprobe_cosine_topk(_emb(spark, sf_dir), qv, k=25)
+
+
+def _multiprobe_oracle(dim: int = 64) -> str:
+    planes = SIM.hyperplanes(SIM.N_PLANES, dim)
+    plane_rows = ", ".join(
+        f"({i}, {p})" for i, p in enumerate(planes)
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+planes(pi, pv) AS (VALUES {plane_rows}),
+qproj AS (
+  SELECT pi, list_sum(list_transform(range(1, {dim} + 1),
+      j -> q.qv[j]::DOUBLE * pv[j]::DOUBLE)) AS proj
+  FROM q CROSS JOIN planes
+),
+qb AS (
+  SELECT sum(CASE WHEN proj >= 0 THEN (1::BIGINT << pi) ELSE 0 END)::BIGINT AS b
+  FROM qproj
+),
+flips AS (SELECT pi FROM qproj ORDER BY abs(proj) ASC, pi ASC LIMIT {SIM.N_PROBE}),
+probes AS (
+  SELECT b FROM qb
+  UNION ALL
+  SELECT xor(qb.b, (1::BIGINT << f.pi)) FROM qb CROSS JOIN flips f
+),
+ebucket AS (
+  SELECT e.vec_id, e.embedding,
+         sum(CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
+                 j -> e.embedding[j]::DOUBLE * p.pv[j]::DOUBLE)) >= 0
+             THEN (1::BIGINT << p.pi) ELSE 0 END)::BIGINT AS b
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, e.embedding
+),
+cand AS (
+  SELECT vec_id, embedding FROM ebucket WHERE b IN (SELECT b FROM probes)
+),
+pairs AS (
+  SELECT c.vec_id,
+         list_sum(list_transform(range(1, len(c.embedding) + 1),
+             j -> c.embedding[j]::DOUBLE * q.qv[j]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE))) AS na,
+         sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE))) AS nq
+  FROM cand c CROSS JOIN q
+)
+SELECT vec_id, CAST(round(dot / (na * nq) * 1000000) AS BIGINT) AS cos_micro
+FROM pairs
+ORDER BY cos_micro DESC, vec_id
+LIMIT 25"""
+
+
 def q_embedding_top_pairs(spark, sf_dir):
     """Most-similar in-bucket embedding pairs (near-dup path, top-20)."""
     pairs = SIM.pairwise_cosine_dedup(_emb(spark, sf_dir), threshold_micro=-2_000_000)
@@ -616,6 +673,7 @@ DATA_QUERIES = {
     "text_simhash": q_text_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_multiprobe_topk": q_ann_multiprobe_topk,
     "embedding_top_pairs": q_embedding_top_pairs,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
@@ -638,6 +696,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "text_simhash": ORACLE_SIMHASH,
         "ann_cosine_topk": ORACLE_ANN_COSINE,
         "ann_lsh_topk": ORACLE_ANN_LSH,
+        "ann_multiprobe_topk": _multiprobe_oracle(),
         "embedding_top_pairs": ORACLE_EMB_PAIRS,
         "text_langid": _langid_oracle(),
         "text_quality": _quality_oracle(),
