@@ -15,12 +15,36 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: build the stemmed posting index over sf0.001 documents and
-    run a ranked free-text search (the reference TUI's core operation as a
-    batch DataFrame job)."""
-    from tika_xapian_spark.plans.doc_queries import q_search_or
+    """Flagship: the full pages pipeline end-to-end — deterministic synthetic
+    CC-style pages -> extraction with the per-file error channel (S2/S3) ->
+    stemmed posting index -> ranked free-text search (the reference TUI's
+    core operation). The quarantine channel is driver-visible: every result
+    row carries n_ok / n_quarantined (the synthetic corpus's no-frontmatter
+    and malformed cases land in quarantine, so n_quarantined > 0 by
+    construction)."""
+    from pyspark.sql import functions as F
 
-    return q_search_or(spark, SF0001)
+    from tika_xapian_spark.operators import search as S
+    from tika_xapian_spark.operators.extract import extract_pages
+    from tika_xapian_spark.operators.index import InvertedIndex
+    from tika_xapian_spark.sources.pages import synth_pages
+
+    docs = extract_pages(synth_pages(spark, 2000))
+    counts = docs.agg(
+        F.sum((F.col("status") == "ok").cast("long")).alias("n_ok"),
+        F.sum((F.col("status") != "ok").cast("long")).alias("n_quarantined"),
+    )
+    idx = InvertedIndex.build_from_extracted(
+        docs.filter(F.col("status") == "ok"), key="url", persist=False
+    )
+    hits = S.top_k(S.score_free_text(idx, "markdown syntax"))
+    return (
+        hits.select(
+            F.col("doc").alias("url"),
+            F.round(F.col("score") * 1_000_000).cast("long").alias("score_micro"),
+        )
+        .crossJoin(F.broadcast(counts))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
