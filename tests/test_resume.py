@@ -94,3 +94,16 @@ def test_stream_index_resumes_via_checkpoint(spark, tmp_path):
     ).write.mode("append").parquet(src)
     R.stream_index(spark, src, out)
     assert R.read_postings(spark, out).count() > n1
+
+
+def test_resume_runs_two_jobs_per_bucket(spark, tmp_path):
+    # Lineage counts ride the single write action as CollectMetrics
+    # (df.observe): per bucket exactly 2 jobs run — the postings write and
+    # the tiny metrics-row write. The round-1 implementation ran 5 (extract
+    # re-executed by docs.count(), ok.count(), and an output re-read).
+    pages = synth_pages(spark, N)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    R.index_resumable(spark, pages, str(tmp_path / "jobs"), n_buckets=4)
+    n_jobs = len(tracker.getJobIdsForGroup(None)) - before
+    assert n_jobs <= 2 * 4, n_jobs

@@ -66,6 +66,28 @@ class TestBM25:
         # (k3+1)*wqf/(k3+wqf): wqf=2 -> 4/3 vs 1 at wqf=1
         assert got2[3] == pytest.approx(got1[3] * 4 / 3, rel=1e-12)
 
+    def test_score_terms_all_equals_op_and(self, index):
+        # single-scan AND == op_and fold of per-term match sets
+        fused = scores_of(S.score_terms_all(index, ["spark", "merge"]))
+        folded = scores_of(
+            S.op_and(S.score_terms(index, ["spark"]), S.score_terms(index, ["merge"]))
+        )
+        assert set(fused) == set(folded)
+        for d in fused:
+            assert fused[d] == pytest.approx(folded[d], rel=1e-12)
+        tri = scores_of(S.score_terms_all(index, ["spark", "merge", "join"]))
+        tri_folded = scores_of(
+            S.op_and(
+                S.op_and(
+                    S.score_terms(index, ["spark"]), S.score_terms(index, ["merge"])
+                ),
+                S.score_terms(index, ["join"]),
+            )
+        )
+        assert set(tri) == set(tri_folded)
+        for d in tri:
+            assert tri[d] == pytest.approx(tri_folded[d], rel=1e-12)
+
     def test_sum_over_terms(self, index):
         got = scores_of(S.score_terms(index, ["spark", "join"]))
         s = scores_of(S.score_terms(index, ["spark"]))

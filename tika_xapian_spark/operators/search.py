@@ -119,6 +119,23 @@ def score_terms(
     )
 
 
+def score_terms_all(
+    index: InvertedIndex, terms: list[str] | dict[str, int]
+) -> DataFrame:
+    """AND of leaf terms in ONE postings scan: same (doc, score) as folding
+    op_and over per-term match sets — score is the sum of per-term BM25
+    parts, docs restricted to those matching every term — but the postings
+    table is scanned once (filter term IN (...), groupBy doc, HAVING
+    count = |terms|) instead of once per term. The Executor fuses Bool AND
+    over term leaves into this plan."""
+    if isinstance(terms, list):
+        terms = {t: 1 for t in terms}
+    if not terms:
+        return _empty_matches(index)
+    scored = score_terms(index, terms, with_nsub=True)
+    return scored.filter(F.col("n_sub") == len(terms)).select("doc", "score")
+
+
 def score_free_text(index: InvertedIndex, text: str) -> DataFrame:
     """Free-text query: tokenize+stem each word, OR-fold (Q13/Q20)."""
     from ..functions.tokenizer import scan_terms

@@ -397,6 +397,20 @@ def _collect_terms(node: Node) -> list[str]:
     return []
 
 
+def _and_leaf_terms(node: Node) -> list[tuple[str, int]] | None:
+    """Index terms of a pure AND-of-StemTerm subtree, or None if any
+    descendant is not a plain stemmed term (the fusion precondition for
+    score_terms_all)."""
+    if isinstance(node, StemTerm):
+        return [("Z" + node.prefix + porter2_stem(node.word), node.wqf)]
+    if isinstance(node, Bool) and node.op == "AND":
+        l = _and_leaf_terms(node.left)
+        r = _and_leaf_terms(node.right)
+        if l is not None and r is not None:
+            return l + r
+    return None
+
+
 class Executor:
     """Lowers the AST to (doc, score) DataFrames over an InvertedIndex.
 
@@ -448,6 +462,11 @@ class Executor:
             expanded = [t for t in expanded if not t.startswith("Z")]
             return S.op_synonym(idx, expanded) if expanded else S._empty_matches(idx)
         if isinstance(node, Bool):
+            if node.op == "AND":
+                # fuse AND-of-term-leaves into one postings scan
+                leaves = _and_leaf_terms(node)
+                if leaves is not None and len(set(t for t, _ in leaves)) == len(leaves):
+                    return S.score_terms_all(idx, dict(leaves))
             l, r = self.run(node.left), self.run(node.right)
             return {
                 "AND": S.op_and,
