@@ -155,3 +155,68 @@ def test_gen_row_deterministic():
     a = gen_row(12345)
     b = gen_row(12345)
     assert a == b
+
+
+class TestFastFrontmatterEquivalence:
+    """The hand-rolled frontmatter fast path must agree with PyYAML wherever
+    it claims a parse (None = fallback, always safe)."""
+
+    CASES = [
+        "title: my note 42\nauthor: someone\ndate: 2021-01-02T03:04:05Z\ntags: [a, b]",
+        "title: spaced out words\ntags: word",
+        "title: has 'quotes' inside\ntags: [one]",
+        "date: 2021-01-02\ntags: []\ntitle: t",
+        "date: 2021-13-45T00:00:00Z\ntags: [x]\ntitle: t",  # invalid month
+        "title: true\ntags: [a]\ndate: 2020-01-01T00:00:00Z",  # bool word
+        "title: 123\ntags: [a]\ndate: 2020-01-01T00:00:00Z",  # number
+        "title: |\n  block\ntags: [a]",  # block scalar
+        "nested:\n  k: v",
+        "tags: [a, 01]",  # numeric-ish list item
+        "title: trailing colon: inside",
+        "title:no-space",
+        "# only a comment\ntitle: t\ntags: [a]\ndate: 2020-01-01T00:00:00Z",
+        "title: ends with period.\ntags: [a-b, c_d]\ndate: 2020-01-01 03:04:05+02:00",
+        "author: Author 0\ndate: 2021-06-22T12:48:16-0400\ntags:\n- tika\n- t0\ntitle: Example note 0",
+        "tags:\n  - one\n  - two words here\ntitle: t\ndate: 2020-01-01T00:00:00Z",
+        "tags:\n- ok\n  - badindent\ntitle: t",
+        "tags:\n- true\ntitle: t",  # bool item
+        "tags:\ntitle: t",  # key with no items
+        "tags:\n- \ntitle: t",  # empty item
+    ]
+
+    def test_fast_path_matches_yaml(self):
+        import yaml
+
+        from tika_xapian_spark.operators.extract import (
+            _fast_frontmatter,
+            normalize_date,
+        )
+
+        loader = getattr(yaml, "CSafeLoader", yaml.SafeLoader)
+        for text in self.CASES:
+            fast = _fast_frontmatter(text)
+            if fast is None:
+                continue  # fallback — always safe
+            slow = yaml.load(text, Loader=loader)
+            assert set(fast) == set(slow), text
+            for k in fast:
+                if k == "date":
+                    assert normalize_date(str(fast[k])) == normalize_date(
+                        str(slow[k])
+                    ), text
+                else:
+                    assert fast[k] == slow[k], (text, k)
+
+    def test_fast_path_claims_the_common_shape(self):
+        from tika_xapian_spark.operators.extract import _fast_frontmatter
+
+        got = _fast_frontmatter(
+            "title: my note 42\nauthor: someone\n"
+            "date: 2021-01-02T03:04:05Z\ntags: [a, b]"
+        )
+        assert got == {
+            "title": "my note 42",
+            "author": "someone",
+            "date": "2021-01-02T03:04:05Z",
+            "tags": ["a", "b"],
+        }

@@ -147,3 +147,37 @@ def test_colon_in_numbers_splits():
     # api_termgen.cc:203-205: colon is not a digit-infix char
     assert scan_terms("11:59") == ["11", "59"]
     assert scan_terms("11:59am") == ["11", "59am"]
+
+
+class TestChunkedScanEquivalence:
+    def test_chunked_equals_exact_on_adversarial_text(self):
+        import random
+
+        from tika_xapian_spark.functions.tokenizer import (
+            scan_terms,
+            scan_terms_chunked,
+        )
+
+        rnd = random.Random(13)
+        pieces = [
+            "hello", "WORLD", "U.S.A.", "c++", "c#", "don't", "3.14",
+            "a1b2", "x", "A.B", "foo-bar", "q+", "r##", "naïve", "tag:",
+            "...", "+#", "#lead", "trail.", "mid.dot", "1,000", "a_b",
+            "ALLCAPS", "MiXeD", "z" * 70,
+        ]
+        seps = [" ", "  ", "\t", "\n", " \r\n ", " "]
+        for _ in range(300):
+            text = "".join(
+                rnd.choice(pieces) + rnd.choice(seps)
+                for _ in range(rnd.randint(1, 25))
+            )
+            assert scan_terms_chunked(text) == scan_terms(text), repr(text)
+
+    def test_chunked_equals_exact_on_plain_text(self):
+        from tika_xapian_spark.functions.tokenizer import (
+            scan_terms,
+            scan_terms_chunked,
+        )
+
+        t = "plain lowercase words with no specials at all"
+        assert scan_terms_chunked(t) == scan_terms(t)

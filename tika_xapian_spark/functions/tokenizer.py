@@ -166,6 +166,28 @@ def scan_terms(text: str) -> list[str]:
         out.append(term)
 
 
+@lru_cache(maxsize=262144)
+def _scan_chunk_cached(chunk: str) -> tuple:
+    return tuple(scan_terms(chunk))
+
+
+def scan_terms_chunked(text: str) -> list:
+    """scan_terms with a whitespace-chunk cache. Whitespace is never a word
+    char, never an infix joiner and never a suffix char, so every scanner
+    rule is local to a contiguous non-whitespace run: the terms of the whole
+    text are exactly the concatenation of the terms of its whitespace-split
+    chunks (property-tested vs scan_terms). Chunks repeat Zipf-style in
+    natural text, so the lru-cache skips the state machine for the hot
+    vocabulary — and a punctuation character in one chunk no longer forces
+    the slow exact scanner over the entire document."""
+    if not _NO_SPECIALS.search(text):
+        return _SIMPLE_TOKEN.findall(text.lower())
+    out: list = []
+    for chunk in text.split():
+        out.extend(_scan_chunk_cached(chunk))
+    return out
+
+
 def _should_stem(term: str) -> bool:
     # should_stem(): first codepoint must be Ll/Lt/Lm/Lo
     return bool(term) and unicodedata.category(term[0]) in _STEM_FIRST_CATS

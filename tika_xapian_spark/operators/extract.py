@@ -89,6 +89,90 @@ _DATE_NO_COLON_OFFSET = re.compile(
     r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})([+-])(\d{2})(\d{2})$"
 )
 
+# ---- frontmatter fast path -------------------------------------------------
+# The YAML constructor dominates extraction cost (~55% of parse_page measured
+# at sf0.1), but real frontmatter is overwhelmingly a flat map of plain
+# scalars. Parse exactly that shape by hand and fall back to full YAML the
+# moment anything else appears. Conservative by construction: a value is
+# fast-accepted only when PyYAML would resolve it to the identical string
+# (leading letter, no indicator chars, not a bool/null word), plus — for the
+# ``date`` key only — a validated ISO timestamp kept as a string, which
+# normalize_date() maps to the same output as the datetime PyYAML would
+# build. Equivalence is property-tested in tests/test_extract.py.
+
+_FM_KEY = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(?: +(.*))?$")
+_FM_PLAIN = re.compile(r"[A-Za-z][A-Za-z0-9 _.'()/,-]*")
+_FM_WORD = re.compile(r"[A-Za-z][A-Za-z0-9_-]*")
+_FM_ISO_TS = re.compile(
+    r"\d{4}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12]\d|3[01])"
+    r"(?:[Tt ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?)?"
+)
+_FM_BOOLNULL = frozenset(
+    w
+    for base in ("true", "false", "yes", "no", "on", "off", "null", "none")
+    for w in (base, base.capitalize(), base.upper())
+)
+
+
+def _fast_scalar(v: str) -> bool:
+    return (
+        _FM_PLAIN.fullmatch(v) is not None
+        and v not in _FM_BOOLNULL
+        and not v.endswith(" ")
+    )
+
+
+def _fast_frontmatter(text: str) -> dict | None:
+    """Flat map of plain scalars, flow lists of plain words, or block
+    sequences of plain scalars (consistent indentation) — or None to fall
+    back to the full YAML parser."""
+    out: dict = {}
+    pending: str | None = None  # key whose block-sequence items follow
+    seq_indent: str | None = None
+    for line in text.split("\n"):
+        s = line.strip()
+        if not s or s.startswith("#"):
+            continue
+        if s.startswith("- ") or s == "-":
+            if pending is None:
+                return None
+            indent = line[: len(line) - len(line.lstrip(" "))]
+            if seq_indent is None:
+                seq_indent = indent
+            elif indent != seq_indent:
+                return None  # inconsistent indentation: let YAML judge it
+            item = s[2:].strip()
+            if not _fast_scalar(item):
+                return None
+            out[pending].append(item)
+            continue
+        if pending is not None and not out[pending]:
+            return None  # 'key:' with no items — explicit null, fall back
+        pending, seq_indent = None, None
+        if line[0] in " \t":
+            return None  # indentation: nested structure
+        m = _FM_KEY.match(line.rstrip())
+        if not m:
+            return None
+        k, v = m.group(1), m.group(2)
+        if v is None or v == "":
+            pending = k
+            out[k] = []
+        elif v.startswith("[") and v.endswith("]"):
+            items = [x.strip() for x in v[1:-1].split(",")] if v != "[]" else []
+            if any(not _FM_WORD.fullmatch(x) or x in _FM_BOOLNULL for x in items):
+                return None
+            out[k] = items
+        elif _fast_scalar(v):
+            out[k] = v
+        elif k == "date" and _FM_ISO_TS.fullmatch(v):
+            out[k] = v  # normalize_date() output equals PyYAML's datetime
+        else:
+            return None
+    if pending is not None and not out[pending]:
+        return None
+    return out
+
 
 def normalize_date(s: str) -> str | None:
     """RFC3339 or ``%Y-%m-%dT%T%z`` -> UTC RFC3339 string (with +00:00 offset,
@@ -229,11 +313,14 @@ def parse_page(url: str, raw: bytes) -> dict:
     yaml_bytes, body = split_frontmatter(raw)
     if yaml_bytes is None:
         return _err("markdown", "unterminated frontmatter block")
-    loader = getattr(_yaml, "CSafeLoader", _yaml.SafeLoader)  # libyaml: ~10x
-    try:
-        meta = _yaml.load(yaml_bytes.decode("utf-8", errors="replace"), Loader=loader)
-    except _yaml.YAMLError as e:
-        return _err("markdown", f"yaml parse error: {e}")
+    yaml_text = yaml_bytes.decode("utf-8", errors="replace")
+    meta = _fast_frontmatter(yaml_text)
+    if meta is None:
+        loader = getattr(_yaml, "CSafeLoader", _yaml.SafeLoader)  # libyaml
+        try:
+            meta = _yaml.load(yaml_text, Loader=loader)
+        except _yaml.YAMLError as e:
+            return _err("markdown", f"yaml parse error: {e}")
     if not isinstance(meta, dict):
         return _err("markdown", "frontmatter is not a mapping")
 

@@ -104,7 +104,9 @@ def _doc_postings(fields: list[tuple[str, str]], stem: bool) -> dict:
     for prefix, text in fields:
         if not text:
             continue
-        for term in tok.scan_terms(text):
+        # chunk-cached scan: punctuation no longer drops the whole doc to
+        # the slow exact scanner, and Zipf-repeated chunks skip it entirely
+        for term in tok.scan_terms_chunked(text):
             # K7: >64 *bytes* dropped; len() short-circuits the encode for
             # anything comfortably inside the cap
             if len(term) > 16 and len(term.encode("utf-8")) > tok.MAX_TERM_BYTES:
