@@ -369,6 +369,21 @@ class TestRanking:
         got = S.collapse(m, "host", 1).collect()
         assert len(got) == 2  # one per parity class
 
+    def test_collapse_salted_equals_plain(self, index, spark):
+        # skew-safe two-phase collapse returns the exact same rows
+        m = S.score_terms(index, ["spark", "join", "merge"]).withColumn(
+            "host", S.F.col("doc") % 2
+        )
+        for cmax in (1, 2):
+            plain = {
+                (r["doc"], r["host"]) for r in S.collapse(m, "host", cmax).collect()
+            }
+            salted = {
+                (r["doc"], r["host"])
+                for r in S.collapse(m, "host", cmax, salt=4).collect()
+            }
+            assert salted == plain, cmax
+
 
 class TestStemmedProfile:
     def test_stemmed_z_terms(self, spark):

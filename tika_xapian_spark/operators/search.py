@@ -569,13 +569,35 @@ def with_percent(matches: DataFrame, total_subqs: int | None = None) -> DataFram
     )
 
 
-def collapse(matches: DataFrame, key_col: str, collapse_max: int = 1) -> DataFrame:
-    """R9: keep <= collapse_max best docs per key value (collapser.cc)."""
+def collapse(
+    matches: DataFrame, key_col: str, collapse_max: int = 1, salt: int = 0
+) -> DataFrame:
+    """R9: keep <= collapse_max best docs per key value (collapser.cc).
+
+    ``salt > 0`` enables the skew-safe two-phase form for hot collapse keys
+    (one host dominating a crawl slice): phase 1 takes the per-(key, salt)
+    top rows — spreading a hot key over ``salt`` partitions — and phase 2
+    collapses the <= salt * collapse_max survivors per key. Identical
+    results (top-m of a union of per-part top-ms is the global top-m);
+    equality is pinned in tests."""
     from pyspark.sql.window import Window
 
+    out = matches
+    if salt > 0:
+        w1 = Window.partitionBy(key_col, "_salt").orderBy(
+            F.desc("score"), F.asc("doc")
+        )
+        out = (
+            out.withColumn(
+                "_salt", F.pmod(F.xxhash64("doc"), F.lit(salt)).cast("int")
+            )
+            .withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= collapse_max)
+            .drop("_rn", "_salt")
+        )
     w = Window.partitionBy(key_col).orderBy(F.desc("score"), F.asc("doc"))
     return (
-        matches.withColumn("_rn", F.row_number().over(w))
+        out.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= collapse_max)
         .drop("_rn")
     )
