@@ -93,3 +93,36 @@ class TestIndexReadPath:
         df = reopened.postings.select("term", "wdf")
         plan = plan_of(df)
         assert "positions" not in plan.split("ReadSchema")[-1][:200]
+
+class TestWandPlan:
+    def test_multiprobe_filter_no_python_no_exchange(self, emb):
+        df = SIM.multiprobe_cosine_topk(emb, [0.1] * 64, k=5)
+        plan = plan_of(df)
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange" not in plan  # bucket IN-filter + bounded heap only
+        assert "ArrowEvalPython" not in plan
+
+    def test_wand_prunes_with_pushed_candidate_filter(self, spark):
+        from tika_xapian_spark.operators import search as S
+
+        # skewed corpus: rare term + dominant common term -> pruning active
+        rows = [
+            (i, ("rare " if i < 30 else "") + "common " * 5 + f"w{i % 7}")
+            for i in range(300)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        idx = InvertedIndex.build_from_body(docs, key="doc_id", stem=False)
+        try:
+            df = S.top_k_wand(idx, ["rare", "common"], k=10)
+            plan = plan_of(df)
+            # candidate restriction compiles to a semi join feeding the scan
+            assert "LeftSemi" in plan or "left_semi" in plan.lower()
+            assert "TakeOrderedAndProject" in plan
+            assert "CartesianProduct" not in plan
+            # and it is invisible in the results
+            naive = S.top_k(S.score_terms(idx, ["rare", "common"]), k=10).collect()
+            assert [(r["doc"], r["score"]) for r in df.collect()] == [
+                (r["doc"], r["score"]) for r in naive
+            ]
+        finally:
+            idx.unpersist()
