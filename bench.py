@@ -53,6 +53,22 @@ def build_session(cpus: int, shuffle_partitions: int | None = None):
 PAGES_STAGE_DIR = "/tmp/bench_pages"
 
 
+def wait_for_quiet(thresh: float = 4.0, max_wait_sec: int = 240) -> float:
+    """This VM shares its host: /proc/loadavg regularly shows 5-25 with no
+    local process, and a sample taken during a neighbor spike under-reports
+    throughput ~2x (or makes the 4-core leg of the scaling pair look
+    artificially slow -> fake superlinear efficiency). Bounded wait for a
+    quieter window; returns the 1-min load when we proceed."""
+    deadline = time.time() + max_wait_sec
+    while True:
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+        if load1 < thresh or time.time() >= deadline:
+            return load1
+        print(f"[bench] host load {load1:.1f} >= {thresh}, waiting...", file=sys.stderr)
+        time.sleep(15)
+
+
 def stage_pages(spark, n_rows: int) -> str:
     """Materialize the synthetic pages table to parquet once (setup, not
     timed): the north rule reads an existing CC-style table, so the timed
@@ -162,6 +178,7 @@ def bench_once() -> dict:
     sf = _sf_name(sf_dir)
     n_rows = int(os.environ.get("BENCH_ROWS", SF_ROWS.get(sf, 60_000)))
 
+    load1 = wait_for_quiet()
     spark = build_session(cpus)
     tmp = tempfile.mkdtemp(prefix="bench_idx_")
     try:
@@ -195,7 +212,12 @@ def bench_once() -> dict:
         "rows": n_rows,
         "docs_per_sec": round(n_rows / wall, 1),
         "ann": ann,
-        "conf": {"master": f"local[{cpus}]", "aqe": True, "arrow": True},
+        "conf": {
+            "master": f"local[{cpus}]",
+            "aqe": True,
+            "arrow": True,
+            "load1_at_start": load1,
+        },
     }
 
 
@@ -222,11 +244,16 @@ def bench_scaling(n_rows: int | None = None) -> dict:
     result: dict = {"metric": f"scaling_efficiency_{lo}_to_{hi}", "rows": n, "sf": sf}
     rates = {}
     for cpus in (lo, hi):
+        wait_for_quiet()
         spark = build_session(cpus)
         tmp = tempfile.mkdtemp(prefix=f"bench_idx_{cpus}_")
         try:
             run_index_pipeline(spark, n, tmp + "_warm")  # full warm run
-            wall = run_index_pipeline(spark, n, tmp)
+            walls = [run_index_pipeline(spark, n, tmp)]
+            # a neighbor spike during either leg skews the ratio both ways
+            # (fake sub- OR super-linear); min-of-2 per leg like the headline
+            walls.append(run_index_pipeline(spark, n, tmp))
+            wall = min(walls)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
             shutil.rmtree(tmp + "_warm", ignore_errors=True)
