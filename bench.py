@@ -249,10 +249,18 @@ def bench_scaling(n_rows: int | None = None) -> dict:
         tmp = tempfile.mkdtemp(prefix=f"bench_idx_{cpus}_")
         try:
             run_index_pipeline(spark, n, tmp + "_warm")  # full warm run
-            walls = [run_index_pipeline(spark, n, tmp)]
-            # a neighbor spike during either leg skews the ratio both ways
-            # (fake sub- OR super-linear); min-of-2 per leg like the headline
-            walls.append(run_index_pipeline(spark, n, tmp))
+            # Neighbor spikes skew a single sample in either direction (fake
+            # sub- OR super-linear ratios, both observed on this host).
+            # Contention only ever slows a pass, so best-of-N estimates the
+            # uncontended steady state; stop early once two passes agree
+            # with the best within 5%. All walls are reported for honesty.
+            walls = []
+            for _ in range(4):
+                walls.append(run_index_pipeline(spark, n, tmp))
+                close = [w for w in walls if w <= min(walls) * 1.05]
+                if len(close) >= 2:
+                    break
+                wait_for_quiet(max_wait_sec=90)
             wall = min(walls)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
@@ -261,6 +269,7 @@ def bench_scaling(n_rows: int | None = None) -> dict:
         rates[cpus] = n / wall
         result[f"docs_per_sec_local{cpus}"] = round(rates[cpus], 1)
         result[f"wall_sec_local{cpus}"] = round(wall, 3)
+        result[f"walls_local{cpus}"] = [round(w, 2) for w in walls]
     result["value"] = result["efficiency"] = round(
         rates[hi] / rates[lo] / (hi / lo), 3
     )
