@@ -70,8 +70,11 @@ def main(argv: list[str] | None = None) -> int:
                 n_docs=int(row["n"] or 0),
                 avg_len=float(row["avg"] or 0.0),
             )
+            from .plans.query_compiler import get_description
+
             node = compile_query(args.qstr, partial=not args.no_partial)
             print(f"# plan: {explain(node)}", file=sys.stderr)
+            print(f"# query: {get_description(node)}", file=sys.stderr)
             for r in search(idx, args.qstr, k=args.k, partial=not args.no_partial).collect():
                 print(f"{r['score']:.6f}\t{r['doc']}")
     finally:
