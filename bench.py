@@ -83,29 +83,16 @@ def stage_pages(spark, n_rows: int) -> str:
 
 
 def run_index_pipeline(spark, n_rows: int, out_dir: str) -> float:
-    """The timed unit: pages table scan -> extract -> stemmed postings ->
+    """The timed unit: pages table scan -> fused extract+tokenize carrier
+    (one mapInPandas pass; html/body never cross Arrow twice) -> postings
     write. Wall-clock covers the write action only (excludes setup)."""
-    from pyspark.sql import functions as F
-
-    from tika_xapian_spark.operators.extract import extract_pages
     from tika_xapian_spark.operators.index import (
-        _doc_postings_df,
-        explode_doc_postings,
-        make_doc_postings_udf,
+        explode_fused_carrier,
+        extract_index_carrier,
     )
 
     pages = spark.read.parquet(stage_pages(spark, n_rows))
-    docs = extract_pages(pages).filter(F.col("status") == "ok")
-    udf = make_doc_postings_udf(stem=True)
-    carrier = _doc_postings_df(
-        docs,
-        "url",
-        udf(*[F.col(c) for c in (
-            "author", "date", "filename", "full_path", "title", "subtitle",
-            "tags", "body",
-        )]),
-    )
-    postings = explode_doc_postings(carrier)
+    postings = explode_fused_carrier(extract_index_carrier(pages))
     t0 = time.time()
     postings.write.mode("overwrite").parquet(out_dir)
     return time.time() - t0

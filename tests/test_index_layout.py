@@ -74,3 +74,48 @@ def test_query_plan_uses_broadcast_and_topk(spark, written_index):
     assert "TakeOrderedAndProject" in plan
     # no sort-merge join should appear for tiny broadcast sides
     assert "SortMergeJoin" not in plan
+
+
+def test_fused_carrier_equals_two_stage_pipeline(spark):
+    from pyspark.sql import functions as F
+
+    from tika_xapian_spark.operators.extract import extract_pages
+    from tika_xapian_spark.operators.index import (
+        _doc_postings_df,
+        explode_doc_postings,
+        explode_fused_carrier,
+        extract_index_carrier,
+        make_doc_postings_udf,
+    )
+    from tika_xapian_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, 400)
+    carrier = extract_index_carrier(pages)
+    fused = {
+        (r["doc"], r["term"], r["wdf"], tuple(r["positions"] or []))
+        for r in explode_fused_carrier(carrier).collect()
+    }
+    docs = extract_pages(pages)
+    ok = docs.filter(F.col("status") == "ok")
+    udf = make_doc_postings_udf(stem=True)
+    two_stage = explode_doc_postings(
+        _doc_postings_df(
+            ok,
+            "url",
+            udf(
+                F.col("author"), F.col("date"), F.col("filename"),
+                F.col("full_path"), F.col("title"), F.col("subtitle"),
+                F.col("tags"), F.col("body"),
+            ),
+        )
+    )
+    two = {
+        (r["doc"], r["term"], r["wdf"], tuple(r["positions"] or []))
+        for r in two_stage.collect()
+    }
+    assert fused == two
+    # the quarantine channel survives fusion
+    assert (
+        carrier.filter("status <> 'ok'").count()
+        == docs.filter("status <> 'ok'").count()
+    )

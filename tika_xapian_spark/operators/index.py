@@ -235,6 +235,105 @@ def doc_stats_from_carrier(carrier: DataFrame) -> DataFrame:
     return carrier.select("doc", F.col("p.doclen").cast("long").alias("doclen"))
 
 
+# Fused extract+tokenize carrier: url, error channel, and the per-doc
+# aggregated postings as flat parallel-array columns (no nested struct —
+# cheaper Arrow transfer).
+FUSED_CARRIER_SCHEMA = StructType(
+    [
+        StructField("doc", StringType()),
+        StructField("status", StringType()),
+        StructField("error", StringType()),
+        StructField("terms", ArrayType(StringType())),
+        StructField("wdfs", ArrayType(IntegerType())),
+        StructField("positions", ArrayType(ArrayType(IntegerType()))),
+        StructField("doclen", IntegerType()),
+    ]
+)
+
+
+def extract_index_carrier(pages: DataFrame, stem: bool = True) -> DataFrame:
+    """ONE mapInPandas pass from raw pages to the per-doc postings carrier.
+
+    The two-stage pipeline (extract_pages mapInPandas, then the postings
+    pandas UDF) pays a full extra Arrow round trip: every extracted field is
+    serialized back to the JVM only to be shipped straight into the next
+    Python stage, and the body text crosses the boundary twice for nothing.
+    Fusing both stages keeps the html payload and the extracted body inside
+    one Python worker; only url + status/error + the aggregated postings
+    arrays (what the index actually needs) are serialized out. Extraction
+    semantics are exactly parse_page's; postings exactly _doc_postings' —
+    equivalence to the two-stage path is pinned in tests.
+
+    Error rows keep the quarantine channel (status/error with null postings)
+    so lineage counts ride the same pass via df.observe."""
+    cols = [f.name for f in FUSED_CARRIER_SCHEMA.fields]
+
+    def run(batches):
+        from .extract import parse_page
+
+        for pdf in batches:
+            rows = []
+            for u, h in zip(pdf["url"], pdf["html"]):
+                d = parse_page(u, h)
+                if d["status"] != "ok":
+                    rows.append(
+                        {
+                            "doc": u,
+                            "status": d["status"],
+                            "error": d["error"],
+                            "terms": None,
+                            "wdfs": None,
+                            "positions": None,
+                            "doclen": None,
+                        }
+                    )
+                    continue
+                fields = [
+                    ("A", d["author"] or ""),
+                    ("D", d["date"] or ""),
+                    ("F", d["filename"] or ""),
+                    ("F", d["full_path"] or ""),
+                    ("S", d["title"] or ""),
+                    ("XS", d["subtitle"] or ""),
+                ]
+                for one_tag in d["tags"] or []:
+                    fields.append(("K", one_tag or ""))
+                fields.append(("", d["body"] or ""))
+                p = _doc_postings(fields, stem)
+                rows.append(
+                    {
+                        "doc": u,
+                        "status": "ok",
+                        "error": None,
+                        "terms": p["terms"],
+                        "wdfs": p["wdfs"],
+                        "positions": p["positions"],
+                        "doclen": p["doclen"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.mapInPandas(run, FUSED_CARRIER_SCHEMA)
+
+
+def explode_fused_carrier(carrier: DataFrame) -> DataFrame:
+    """fused carrier -> postings(doc, term, wdf, positions), ok rows only,
+    no shuffle."""
+    return (
+        carrier.filter(F.col("status") == "ok")
+        .select(
+            "doc",
+            F.explode(F.arrays_zip("terms", "wdfs", "positions")).alias("e"),
+        )
+        .select(
+            "doc",
+            F.col("e.terms").alias("term"),
+            F.col("e.wdfs").alias("wdf"),
+            F.col("e.positions").alias("positions"),
+        )
+    )
+
+
 def bucket_col(col: str | Column, n: int = N_BUCKETS) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.pmod(F.xxhash64(c), F.lit(n)).cast("int")

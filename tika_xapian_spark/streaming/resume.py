@@ -41,6 +41,8 @@ from ..operators.index import (
     _doc_postings_df,
     bucket_col,
     explode_doc_postings,
+    explode_fused_carrier,
+    extract_index_carrier,
     make_doc_postings_udf,
 )
 
@@ -50,6 +52,9 @@ DOC_FIELD_ARGS = (
 
 
 def _postings_of(docs: DataFrame) -> DataFrame:
+    """Postings from an already-extracted docs frame (upsert/stream paths
+    that need the extracted fields elsewhere use this; the pure indexing
+    path uses the fused extract_index_carrier instead)."""
     udf = make_doc_postings_udf(stem=True)
     carrier = _doc_postings_df(
         docs, "url", udf(*[F.col(c) for c in DOC_FIELD_ARGS])
@@ -88,16 +93,16 @@ def index_resumable(
         # All lineage counts ride the single write action as CollectMetrics
         # nodes (df.observe) — extraction (the dominant cost) runs exactly
         # once per bucket, where counting docs/ok/postings with separate
-        # .count() actions would re-run the extract UDF 3x.
+        # .count() actions would re-run the extract UDF 3x. The fused
+        # extract+tokenize carrier keeps html/body inside one Python worker.
         doc_obs = Observation(f"docs_b{b}")
         post_obs = Observation(f"postings_b{b}")
-        docs = extract_pages(shard).observe(
+        carrier = extract_index_carrier(shard).observe(
             doc_obs,
             F.count(F.lit(1)).alias("n_pages"),
             F.sum((F.col("status") == "ok").cast("long")).alias("n_ok"),
         )
-        ok = docs.filter(F.col("status") == "ok")
-        postings = _postings_of(ok).observe(
+        postings = explode_fused_carrier(carrier).observe(
             post_obs, F.count(F.lit(1)).alias("n_postings")
         )
         path = os.path.join(out_dir, "postings", f"bucket={b}")
@@ -156,8 +161,7 @@ def upsert_postings(
     from ..sources.tables import IcebergStore
 
     if isinstance(store, IcebergStore):
-        docs = extract_pages(new_pages).filter(F.col("status") == "ok")
-        fresh = _postings_of(docs)
+        fresh = explode_fused_carrier(extract_index_carrier(new_pages))
         doc_ids = fresh.select("doc").distinct()
         doc_ids.createOrReplaceTempView("_upsert_docs")
         # replace-document: stale (doc, term) rows a doc no longer contains
@@ -179,8 +183,7 @@ def upsert_postings(
         path = os.path.join(out_dir, "postings", f"bucket={b}")
         _recover_bucket(path)
         shard_pages = with_bucket.filter(F.col("bucket") == b).drop("bucket")
-        docs = extract_pages(shard_pages).filter(F.col("status") == "ok")
-        fresh = _postings_of(docs)
+        fresh = explode_fused_carrier(extract_index_carrier(shard_pages))
         if os.path.exists(path):
             existing = spark.read.parquet(path)
             new_urls = fresh.select("doc").distinct()
@@ -247,12 +250,10 @@ def stream_index(
         # makes the replay idempotent (effective exactly-once), the same
         # trick Iceberg uses via commit-dedup on batch_id.
         obs = Observation(f"batch_{batch_id}")
-        docs = (
-            extract_pages(batch_df)
-            .observe(obs, F.count(F.lit(1)).alias("n_pages"))
-            .filter(F.col("status") == "ok")
+        carrier = extract_index_carrier(batch_df).observe(
+            obs, F.count(F.lit(1)).alias("n_pages")
         )
-        postings = _postings_of(docs)
+        postings = explode_fused_carrier(carrier)
         postings.write.mode("overwrite").parquet(
             os.path.join(out_dir, "postings", f"batch={batch_id}")
         )
