@@ -67,3 +67,33 @@ def test_multiprobe_equals_bruteforce_when_probing_everything(clustered):
         ).collect()
     ]
     assert full == exact
+
+
+def test_ivf_full_probe_equals_bruteforce(clustered):
+    df, rows = clustered
+    query = rows[5][1]
+    exact = [r["vec_id"] for r in SIM.cosine_topk(df, query, 10).collect()]
+    full = [
+        r["vec_id"]
+        for r in SIM.ivf_cosine_topk(
+            df, query, 10, n_list=8, n_probe=8
+        ).collect()
+    ]
+    assert full == exact  # probing every cell makes IVF exact
+
+
+def test_ivf_recall_high_on_clustered_data(clustered):
+    df, rows = clustered
+    query = rows[0][1]
+    exact = {r["vec_id"] for r in SIM.cosine_topk(df, query, 25).collect()}
+    approx = {
+        r["vec_id"]
+        for r in SIM.ivf_cosine_topk(df, query, 25, n_list=16, n_probe=4).collect()
+    }
+    assert len(exact & approx) / 25 >= 0.9
+
+
+def test_ivf_centroid_ids_deterministic():
+    a = SIM.ivf_centroid_ids(16)
+    assert a == SIM.ivf_centroid_ids(16)
+    assert len(set(a)) == 16

@@ -178,6 +178,80 @@ def recall_at_k(
     return len(exact & approx) / max(len(exact), 1)
 
 
+# --------------------------------------------------------------- IVF-flat ANN
+
+IVF_N_LIST = 16  # coarse-quantizer cells; at 10^9+ vectors use ~sqrt(n)
+IVF_N_PROBE = 4
+
+
+def ivf_centroid_ids(n_list: int = IVF_N_LIST, seed: int = 7) -> list[int]:
+    """Deterministic sample-seeded coarse quantizer: the centroids ARE data
+    rows (chosen by a seeded LCG over vec_ids), so both the Spark plan and
+    the SQL oracle can reconstruct the identical quantizer without running
+    k-means. Sample-seeding is the standard IVF bootstrap (k-means init);
+    skipping Lloyd iterations costs balance, not correctness — and keeps
+    the index build one pass."""
+    out, x = [], seed
+    while len(out) < n_list:
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        cand = x % 997  # spread over a prime range of small vec_ids
+        if cand not in out:
+            out.append(cand)
+    return sorted(out)
+
+
+def _centroids_of(embeddings: DataFrame, ids: list[int], id_col: str, vec_col: str):
+    rows = (
+        embeddings.filter(F.col(id_col).isin(ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    by_id = {r[id_col]: [float(x) for x in r[vec_col]] for r in rows}
+    return [(i, by_id[i]) for i in sorted(by_id)]  # bounded: n_list rows
+
+
+def _assign_cell(vec_col: str | Column, centroids: list) -> Column:
+    """argmin over centroids of L2^2 distance, as one JVM expression:
+    array_min over (dist, centroid_id) structs — lexicographic min is the
+    argmin, ties to the lower id."""
+    c = _as_double(vec_col)
+    entries = []
+    for cid, cv in centroids:
+        cvcol = F.array(*[F.lit(x) for x in cv])
+        d2 = F.aggregate(
+            F.zip_with(c, cvcol, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        entries.append(F.struct(d2.alias("d"), F.lit(cid).alias("cid")))
+    return F.array_min(F.array(*entries))["cid"]
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_list: int = IVF_N_LIST,
+    n_probe: int = IVF_N_PROBE,
+) -> DataFrame:
+    """IVF-flat ANN: assign every vector to its nearest coarse-quantizer
+    cell, probe the n_probe cells nearest the query, exact cosine within.
+    At scale the cell id is a partition/bucket column written at ingest so
+    the probe prunes to n_probe/n_list of the data; here the assignment is
+    computed in-plan (pure JVM HOF math, no Python)."""
+    cents = _centroids_of(embeddings, ivf_centroid_ids(n_list), id_col, vec_col)
+    # driver-side probe selection over n_list centroids (same arithmetic the
+    # oracle does in SQL); ties break by centroid id
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe = [cid for cid, _ in sorted(cents, key=lambda e: (d2(query_vec, e[1]), e[0]))[:n_probe]]
+    cand = embeddings.filter(_assign_cell(vec_col, cents).isin(probe))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def pairwise_cosine_dedup(
     embeddings: DataFrame,
     threshold_micro: int = 990_000,

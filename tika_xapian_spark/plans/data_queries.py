@@ -369,6 +369,61 @@ ORDER BY cos_micro DESC, vec_id
 LIMIT 25"""
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN: deterministic sample-seeded coarse quantizer (the
+    centroids are data rows), probe the 4 nearest of 16 cells, exact cosine
+    within. The oracle reconstructs the identical quantizer in SQL."""
+    qv = _query_vec(spark, sf_dir)
+    return SIM.ivf_cosine_topk(_emb(spark, sf_dir), qv, k=25)
+
+
+def _ivf_oracle(dim: int = 64) -> str:
+    ids = ", ".join(str(i) for i in SIM.ivf_centroid_ids(SIM.IVF_N_LIST))
+    d2 = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "j -> ({a}[j]::DOUBLE - {b}[j]::DOUBLE) * ({a}[j]::DOUBLE - {b}[j]::DOUBLE)))"
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id IN ({ids})
+),
+dists AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {d2.format(d=dim, a='e.embedding', b='c.cv')} AS d2
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, embedding, cid AS cell
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2 ASC, cid ASC) AS rn
+    FROM dists
+  )
+  WHERE rn = 1
+),
+qprobe AS (
+  SELECT c.cid FROM cents c CROSS JOIN q
+  ORDER BY {d2.format(d=dim, a='q.qv', b='c.cv')} ASC, c.cid ASC
+  LIMIT {SIM.IVF_N_PROBE}
+),
+cand AS (
+  SELECT vec_id, embedding FROM assign WHERE cell IN (SELECT cid FROM qprobe)
+),
+pairs AS (
+  SELECT c.vec_id,
+         list_sum(list_transform(range(1, len(c.embedding) + 1),
+             j -> c.embedding[j]::DOUBLE * q.qv[j]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE))) AS na,
+         sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE))) AS nq
+  FROM cand c CROSS JOIN q
+)
+SELECT vec_id, CAST(round(dot / (na * nq) * 1000000) AS BIGINT) AS cos_micro
+FROM pairs
+ORDER BY cos_micro DESC, vec_id
+LIMIT 25"""
+
+
 def q_embedding_top_pairs(spark, sf_dir):
     """Most-similar in-bucket embedding pairs (near-dup path, top-20)."""
     pairs = SIM.pairwise_cosine_dedup(_emb(spark, sf_dir), threshold_micro=-2_000_000)
@@ -674,6 +729,7 @@ DATA_QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_multiprobe_topk": q_ann_multiprobe_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_top_pairs": q_embedding_top_pairs,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
@@ -697,6 +753,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "ann_cosine_topk": ORACLE_ANN_COSINE,
         "ann_lsh_topk": ORACLE_ANN_LSH,
         "ann_multiprobe_topk": _multiprobe_oracle(),
+        "ann_ivf_topk": _ivf_oracle(),
         "embedding_top_pairs": ORACLE_EMB_PAIRS,
         "text_langid": _langid_oracle(),
         "text_quality": _quality_oracle(),
