@@ -147,16 +147,21 @@ def ann_recall(spark, sf_dir: str) -> dict:
     n = emb.count()
     qv = _query_vec(spark, sf_dir)
     planes = SIM.hyperplanes(SIM.N_PLANES, len(qv))
-    probes = SIM.multiprobe_buckets(qv, planes, SIM.N_PROBE)
-    n_cand = emb.filter(
-        SIM.hyperplane_bucket("embedding", planes).isin(probes)
-    ).count()
-    return {
-        "recall_at_25_multiprobe": round(SIM.recall_at_k(emb, qv, 25), 3),
-        "scan_fraction": round(n_cand / max(n, 1), 4),
-        "n_planes": SIM.N_PLANES,
-        "n_probe": SIM.N_PROBE,
-    }
+    exact = {r["vec_id"] for r in SIM.cosine_topk(emb, qv, 25).collect()}
+    curve = []
+    for n_probe in (SIM.N_PROBE, 12, 28):  # the recall-vs-scan knob
+        probes = SIM.multiprobe_buckets(qv, planes, n_probe)
+        cand = emb.filter(SIM.hyperplane_bucket("embedding", planes).isin(probes))
+        n_cand = cand.count()
+        approx = {r["vec_id"] for r in SIM.cosine_topk(cand, qv, 25).collect()}
+        curve.append(
+            {
+                "n_probe": n_probe,
+                "recall_at_25": round(len(exact & approx) / 25, 3),
+                "scan_fraction": round(n_cand / max(n, 1), 4),
+            }
+        )
+    return {"n_planes": SIM.N_PLANES, "multiprobe_curve": curve}
 
 
 def bench_once() -> dict:

@@ -97,3 +97,24 @@ def test_ivf_centroid_ids_deterministic():
     a = SIM.ivf_centroid_ids(16)
     assert a == SIM.ivf_centroid_ids(16)
     assert len(set(a)) == 16
+
+
+def test_multiprobe_hamming2_extension():
+    planes = SIM.hyperplanes(5, 8)
+    q = [0.3, -0.8, 0.1, 0.6, -0.2, 0.9, 0.05, -0.4]
+    probes = SIM.multiprobe_buckets(q, planes, n_probe=9)
+    assert len(probes) == 10 and len(set(probes)) == 10
+    base = probes[0]
+    h_dists = [bin(base ^ p).count("1") for p in probes[1:]]
+    # perturbations are 1- and 2-bit flips, ordered by COST (sum of flipped
+    # margins), so a cheap 2-bit flip may precede an expensive 1-bit one
+    assert set(h_dists) == {1, 2}
+    projs = [sum(x * p[j] for j, x in enumerate(q)) for p in planes]
+    costs = [
+        sum(abs(projs[b]) for b in range(len(planes)) if (base ^ p) >> b & 1)
+        for p in probes[1:]
+    ]
+    assert costs == sorted(costs)
+    # n_probe <= n_planes generates hamming-1 flips only (oracle lockstep)
+    small = SIM.multiprobe_buckets(q, planes, n_probe=5)
+    assert all(bin(small[0] ^ p).count("1") == 1 for p in small[1:])

@@ -129,14 +129,33 @@ def multiprobe_buckets(
     query_vec: list[float], planes: list[list[float]], n_probe: int = N_PROBE
 ) -> list[int]:
     """Query-side probe set (Lv et al. VLDB'07 multi-probe LSH): the query's
-    own bucket plus the hamming-1 neighbors obtained by flipping the bits
-    whose projection margin |<q, plane_i>| is smallest — the planes the true
-    neighbors are most likely to straddle. Driver-side arithmetic over
-    |planes| floats; deterministic tie-break by plane index."""
+    own bucket plus perturbed neighbors, ordered by perturbation cost — the
+    sum of projection margins |<q, plane_i>| of the flipped bits (the planes
+    the true neighbors are most likely to straddle). Hamming-1 flips first;
+    when ``n_probe`` exceeds the plane count, hamming-2 perturbation sets
+    extend the probe sequence, so recall keeps climbing with scan without
+    re-hashing. Driver-side arithmetic over |planes| floats; deterministic
+    tie-break by plane index."""
+    k = len(planes)
     projs = [sum(float(q) * p[j] for j, q in enumerate(query_vec)) for p in planes]
     base = sum(1 << i for i, pr in enumerate(projs) if pr >= 0)
-    flips = sorted(range(len(planes)), key=lambda i: (abs(projs[i]), i))[:n_probe]
-    return [base] + [base ^ (1 << i) for i in flips]
+    perturbs: list[tuple[float, tuple[int, ...]]] = [
+        (abs(projs[i]), (i,)) for i in range(k)
+    ]
+    if n_probe > k:
+        perturbs += [
+            (abs(projs[i]) + abs(projs[j]), (i, j))
+            for i in range(k)
+            for j in range(i + 1, k)
+        ]
+    perturbs.sort(key=lambda e: (e[0], e[1]))
+    out = [base]
+    for _, bits in perturbs[:n_probe]:
+        mask = 0
+        for b in bits:
+            mask |= 1 << b
+        out.append(base ^ mask)
+    return out
 
 
 def multiprobe_cosine_topk(
