@@ -96,6 +96,29 @@ def test_stream_index_resumes_via_checkpoint(spark, tmp_path):
     assert R.read_postings(spark, out).count() > n1
 
 
+def test_stream_index_replay_is_idempotent(spark, tmp_path):
+    # foreachBatch is at-least-once: simulate a crash after the batch write
+    # but before the offset commit by deleting the last commit marker — the
+    # restart must REPLAY that batch, and the deterministic batch=<id>
+    # overwrite must leave the postings byte-identical (no duplicates).
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    synth_pages(spark, 128).write.parquet(src)
+    R.stream_index(spark, src, out, checkpoint_dir=ckpt)
+    before = _postings_set(spark, out)
+
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))  # un-commit last batch
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    R.stream_index(spark, src, out, checkpoint_dir=ckpt)  # replays it
+    assert _postings_set(spark, out) == before
+
+
 def test_resume_runs_two_jobs_per_bucket(spark, tmp_path):
     # Lineage counts ride the single write action as CollectMetrics
     # (df.observe): per bucket exactly 2 jobs run — the postings write and
