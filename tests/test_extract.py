@@ -220,3 +220,25 @@ class TestFastFrontmatterEquivalence:
             "date": "2021-01-02T03:04:05Z",
             "tags": ["a", "b"],
         }
+
+
+class TestQuarantineRobustness:
+    def test_invalid_yaml_timestamp_quarantines_not_crashes(self, spark):
+        # PyYAML raises raw ValueError for resolvable-but-invalid datetimes
+        # on keys the fast path doesn't shield; must hit the error channel
+        from tika_xapian_spark.operators.extract import parse_page
+
+        raw = (
+            b"---\nupdated: 2020-02-30T00:00:00Z\ntitle: t\ntags: [a]\n"
+            b"date: 2020-01-01T00:00:00Z\n---\nbody\n"
+        )
+        d = parse_page("https://x/doc.md", raw)
+        assert d["status"] != "ok"
+        assert "value error" in (d["error"] or "")
+
+    def test_tab_indented_frontmatter_falls_back_and_quarantines(self):
+        # YAML forbids tab indentation; the fast path must not accept what
+        # the real parser rejects
+        from tika_xapian_spark.operators.extract import _fast_frontmatter
+
+        assert _fast_frontmatter("tags:\n\t- a\ntitle: t") is None

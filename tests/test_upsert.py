@@ -65,3 +65,27 @@ def test_upsert_inserts_new_docs(spark, tmp_path):
     R.upsert_postings(spark, out, new_pages, N_BUCKETS)
     n1 = R.read_postings(spark, out).select("doc").distinct().count()
     assert n1 == n0 + 1
+
+
+def test_read_recovers_mid_swap_crash(spark, tmp_path):
+    # crash between the two renames: bucket dir moved aside, new not yet in
+    # place — read_postings must roll back and serve the original data,
+    # and crash leftovers in _staging must never appear as live partitions
+    import os
+
+    from tika_xapian_spark.sources.pages import synth_pages
+
+    out = str(tmp_path / "out")
+    pages = synth_pages(spark, 64)
+    R.index_resumable(spark, pages, out, 2)
+    before = {
+        (r["doc"], r["term"], r["wdf"]) for r in R.read_postings(spark, out).collect()
+    }
+    bucket = os.path.join(out, "postings", "bucket=0")
+    tmp_p, old_p = R._staging_paths(out, 0)
+    os.rename(bucket, old_p)  # the mid-swap crash state
+    after = {
+        (r["doc"], r["term"], r["wdf"]) for r in R.read_postings(spark, out).collect()
+    }
+    assert after == before
+    assert os.path.isdir(bucket) and not os.path.exists(old_p)

@@ -130,6 +130,8 @@ def _fast_frontmatter(text: str) -> dict | None:
     pending: str | None = None  # key whose block-sequence items follow
     seq_indent: str | None = None
     for line in text.split("\n"):
+        if "\t" in line:
+            return None  # YAML forbids tab indentation; let the parser judge
         s = line.strip()
         if not s or s.startswith("#"):
             continue
@@ -321,6 +323,11 @@ def parse_page(url: str, raw: bytes) -> dict:
             meta = _yaml.load(yaml_text, Loader=loader)
         except _yaml.YAMLError as e:
             return _err("markdown", f"yaml parse error: {e}")
+        except ValueError as e:
+            # PyYAML's timestamp constructor raises raw ValueError for
+            # resolvable-but-invalid datetimes (e.g. 2020-02-30); that must
+            # quarantine the row, not abort the whole job (S3)
+            return _err("markdown", f"yaml value error: {e}")
     if not isinstance(meta, dict):
         return _err("markdown", "frontmatter is not a mapping")
 

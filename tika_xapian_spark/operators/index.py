@@ -69,6 +69,26 @@ DOC_FIELD_PREFIXES = [
 ]
 
 
+def assemble_fields(author, date, filename, full_path, title, subtitle, tags, body):
+    """The (prefix, text) field list in reference order — K per tag, then
+    the unprefixed body, sharing one position counter (K8). Single source of
+    truth for the two-stage UDF and the fused carrier: editing field order
+    or adding a field here keeps both pipelines in lockstep."""
+    fields = [
+        ("A", author or ""),
+        ("D", date or ""),
+        ("F", filename or ""),
+        ("F", full_path or ""),
+        ("S", title or ""),
+        ("XS", subtitle or ""),
+    ]
+    if tags is not None:  # arrives as list OR numpy array (pandas UDF)
+        for one_tag in tags:
+            fields.append(("K", one_tag or ""))
+    fields.append(("", body or ""))
+    return fields
+
+
 def _doc_postings(fields: list[tuple[str, str]], stem: bool) -> dict:
     """Per-document posting aggregation (K11 wdf + positions), sorted by term
     for deterministic output.
@@ -191,18 +211,7 @@ def make_doc_postings_udf(stem: bool = True):
         for a, d, fn, fp, ti, su, tg, bo in zip(
             author, date, filename, full_path, title, subtitle, tags, body
         ):
-            fields = [
-                ("A", a or ""),
-                ("D", d or ""),
-                ("F", fn or ""),
-                ("F", fp or ""),
-                ("S", ti or ""),
-                ("XS", su or ""),
-            ]
-            if tg is not None:
-                for one_tag in tg:
-                    fields.append(("K", one_tag or ""))
-            fields.append(("", bo or ""))
+            fields = assemble_fields(a, d, fn, fp, ti, su, tg, bo)
             out.append(_doc_postings(fields, stem))
         return pd.DataFrame(out)
 
@@ -288,17 +297,10 @@ def extract_index_carrier(pages: DataFrame, stem: bool = True) -> DataFrame:
                         }
                     )
                     continue
-                fields = [
-                    ("A", d["author"] or ""),
-                    ("D", d["date"] or ""),
-                    ("F", d["filename"] or ""),
-                    ("F", d["full_path"] or ""),
-                    ("S", d["title"] or ""),
-                    ("XS", d["subtitle"] or ""),
-                ]
-                for one_tag in d["tags"] or []:
-                    fields.append(("K", one_tag or ""))
-                fields.append(("", d["body"] or ""))
+                fields = assemble_fields(
+                    d["author"], d["date"], d["filename"], d["full_path"],
+                    d["title"], d["subtitle"], d["tags"], d["body"],
+                )
                 p = _doc_postings(fields, stem)
                 rows.append(
                     {

@@ -146,9 +146,11 @@ def upsert_postings(
     upsert (/root/reference/src/main.rs:138-140) over the bucketed postings
     layout.
 
-    With an IcebergStore (sources/tables.py) this is one statement: delete
-    the target rows of the incoming docs, MERGE the fresh postings — a
-    single snapshot commit. On the parquet stand-in, only buckets containing
+    With an IcebergStore (sources/tables.py) this is a MERGE of the fresh
+    postings followed by a DELETE of the docs' stale terms — two snapshot
+    commits, ordered to fail safe: a crash between them leaves a doc with a
+    superset of its terms (still findable, replace completes on retry),
+    never a vanished doc. On the parquet stand-in, only buckets containing
     changed urls are rewritten:
 
       1. bucket the incoming pages by url hash;
@@ -161,16 +163,22 @@ def upsert_postings(
     from ..sources.tables import IcebergStore
 
     if isinstance(store, IcebergStore):
-        fresh = explode_fused_carrier(extract_index_carrier(new_pages))
-        doc_ids = fresh.select("doc").distinct()
-        doc_ids.createOrReplaceTempView("_upsert_docs")
-        # replace-document: stale (doc, term) rows a doc no longer contains
-        # must go; delete-then-merge runs as two commits on one small key set
-        spark.sql(
-            f"DELETE FROM {store.qualified('postings')} WHERE doc IN "
-            "(SELECT doc FROM _upsert_docs)"
-        )
-        store.upsert(fresh, "postings", key_cols=["doc", "term"])
+        # persist: the fused extract (the dominant cost) is referenced by
+        # both statements and would re-execute per reference otherwise
+        fresh = explode_fused_carrier(extract_index_carrier(new_pages)).persist()
+        try:
+            fresh.createOrReplaceTempView("_upsert_src")
+            # 1) upsert all fresh rows (doc stays findable throughout);
+            # 2) drop stale (doc, term) rows the doc no longer contains.
+            # A crash between the commits leaves a superset, never a gap.
+            store.upsert(fresh, "postings", key_cols=["doc", "term"])
+            spark.sql(
+                f"DELETE FROM {store.qualified('postings')} t WHERE t.doc IN "
+                "(SELECT doc FROM _upsert_src) AND NOT EXISTS ("
+                "SELECT 1 FROM _upsert_src s WHERE s.doc = t.doc AND s.term = t.term)"
+            )
+        finally:
+            fresh.unpersist()
         return {"rewritten_buckets": "iceberg-merge"}
     with_bucket = new_pages.withColumn("bucket", bucket_col("url", n_buckets))
     touched = [
@@ -190,16 +198,28 @@ def upsert_postings(
             merged = existing.join(new_urls, "doc", "left_anti").unionByName(fresh)
         else:
             merged = fresh
-        # Write beside, then swap with the old data renamed aside first, so a
-        # crash at any point leaves a recoverable state (old data survives
-        # until the new directory is in place); _recover_bucket cleans up.
-        merged.write.mode("overwrite").parquet(path + ".tmp")
+        # Write into _staging (an underscore-prefixed sibling Spark's file
+        # index ignores, so crash leftovers are never read as live partition
+        # directories), then swap with the old data renamed aside first: a
+        # crash at any point leaves a recoverable state and never a
+        # double-counted bucket. _recover_bucket rolls forward/back.
+        tmp, old = _staging_paths(out_dir, b)
+        merged.write.mode("overwrite").parquet(tmp)
         if os.path.exists(path):
-            os.rename(path, path + ".old")
-        os.rename(path + ".tmp", path)
-        _sh.rmtree(path + ".old", ignore_errors=True)
+            os.rename(path, old)
+        os.rename(tmp, path)
+        _sh.rmtree(old, ignore_errors=True)
         rewritten.append(b)
     return {"rewritten_buckets": rewritten}
+
+
+def _staging_paths(out_dir: str, bucket: int) -> tuple[str, str]:
+    staging = os.path.join(out_dir, "_staging")
+    os.makedirs(staging, exist_ok=True)
+    return (
+        os.path.join(staging, f"bucket-{bucket}.tmp"),
+        os.path.join(staging, f"bucket-{bucket}.old"),
+    )
 
 
 def _recover_bucket(path: str) -> None:
@@ -207,20 +227,37 @@ def _recover_bucket(path: str) -> None:
 
     Invariants of the swap protocol: ``.tmp`` is never complete until its
     rename (so it is always safe to discard); ``.old`` is the previous good
-    data and is only deleted after the new data is in place.
+    data and is only deleted after the new data is in place. Both live under
+    ``_staging`` where no reader ever sees them.
     """
     import shutil as _sh
 
-    if os.path.exists(path + ".tmp"):
-        _sh.rmtree(path + ".tmp", ignore_errors=True)  # incomplete write
-    if os.path.exists(path + ".old"):
+    out_dir = os.path.dirname(os.path.dirname(path))
+    b = int(path.rsplit("=", 1)[-1])
+    tmp, old = _staging_paths(out_dir, b)
+    if os.path.exists(tmp):
+        _sh.rmtree(tmp, ignore_errors=True)  # incomplete write
+    if os.path.exists(old):
         if os.path.exists(path):
-            _sh.rmtree(path + ".old", ignore_errors=True)  # swap completed
+            _sh.rmtree(old, ignore_errors=True)  # swap completed
         else:
-            os.rename(path + ".old", path)  # crashed between the two renames
+            os.rename(old, path)  # crashed between the two renames
+
+
+def recover_postings(out_dir: str) -> None:
+    """Roll every bucket forward/back after a crash — cheap directory scan,
+    run by read_postings so readers never observe a mid-swap state."""
+    staging = os.path.join(out_dir, "_staging")
+    if not os.path.isdir(staging):
+        return
+    for name in os.listdir(staging):
+        if name.startswith("bucket-"):
+            b = int(name.split("-", 1)[1].split(".")[0])
+            _recover_bucket(os.path.join(out_dir, "postings", f"bucket={b}"))
 
 
 def read_postings(spark: SparkSession, out_dir: str) -> DataFrame:
+    recover_postings(out_dir)  # never serve a mid-swap bucket state
     return spark.read.parquet(os.path.join(out_dir, "postings"))
 
 
