@@ -107,3 +107,92 @@ def test_fused_doc_postings_equals_index_document(fields):
         "positions": [agg[t][1] for t in terms],
         "doclen": len(toks),
     }
+
+
+class TestChunkedScanProperty:
+    @given(special_text)
+    @settings(max_examples=300, deadline=None)
+    def test_chunked_equals_scan_terms(self, text):
+        assert T.scan_terms_chunked(text) == T.scan_terms(text)
+
+    @given(any_text)
+    @settings(max_examples=300, deadline=None)
+    def test_chunked_equals_scan_terms_any_unicode(self, text):
+        assert T.scan_terms_chunked(text) == T.scan_terms(text)
+
+
+class TestFastFrontmatterProperty:
+    """Wherever the fast path claims a parse, PyYAML must agree (None is
+    always safe — it falls back)."""
+
+    key = st.sampled_from(["title", "author", "date", "tags", "subtitle", "x_y"])
+    plain = st.from_regex(r"[A-Za-z][A-Za-z0-9 _.'()/,-]{0,30}", fullmatch=True)
+    word = st.from_regex(r"[A-Za-z][A-Za-z0-9_-]{0,10}", fullmatch=True)
+    iso = st.sampled_from(
+        ["2021-01-02T03:04:05Z", "2020-06-22T12:48:16-0400", "2021-12-31",
+         "2020-02-30T00:00:00Z", "1999-01-01 10:11:12+02:00"]
+    )
+    tricky = st.sampled_from(
+        ["true", "No", "null", "123", "1.5", "[a", "a]", "'q'", '"q"',
+         "- item", "|", ">", "&anchor", "*ref", "x: y", "has # comment",
+         " lead", "trail ", "\t", ""]
+    )
+    value = st.one_of(plain, iso, tricky)
+
+    @st.composite
+    def frontmatter(draw):
+        n = draw(st.integers(min_value=1, max_value=5))
+        lines = []
+        for _ in range(n):
+            k = draw(TestFastFrontmatterProperty.key)
+            shape = draw(st.integers(0, 2))
+            if shape == 0:
+                lines.append(f"{k}: {draw(TestFastFrontmatterProperty.value)}")
+            elif shape == 1:
+                items = draw(
+                    st.lists(TestFastFrontmatterProperty.word, max_size=3)
+                )
+                lines.append(f"{k}: [{', '.join(items)}]")
+            else:
+                lines.append(f"{k}:")
+                ind = draw(st.sampled_from(["", "  "]))
+                for _ in range(draw(st.integers(1, 3))):
+                    lines.append(
+                        f"{ind}- {draw(TestFastFrontmatterProperty.value)}"
+                    )
+        return "\n".join(lines)
+
+    @given(frontmatter())
+    @settings(max_examples=400, deadline=None)
+    def test_fast_claim_matches_yaml(self, text):
+        import yaml
+
+        from tika_xapian_spark.operators.extract import (
+            _fast_frontmatter,
+            normalize_date,
+        )
+
+        fast = _fast_frontmatter(text)
+        if fast is None:
+            return  # fallback — always safe
+        loader = getattr(yaml, "CSafeLoader", yaml.SafeLoader)
+        try:
+            slow = yaml.load(text, Loader=loader)
+        except Exception:
+            # YAML rejects what the fast path accepted. The one permitted
+            # case: a resolvable-but-impossible datetime under 'date'
+            # (PyYAML raises ValueError -> quarantine; the fast path keeps
+            # the string and normalize_date fails -> quarantine). Both
+            # pipelines quarantine the row, so end behavior is identical.
+            assert normalize_date(str(fast.get("date", ""))) is None, (
+                f"fast path accepted what YAML rejects: {text!r}"
+            )
+            return
+        assert isinstance(slow, dict) and set(fast) == set(slow), text
+        for k in fast:
+            if k == "date":
+                assert normalize_date(str(fast[k])) == normalize_date(
+                    str(slow[k])
+                ), text
+            else:
+                assert fast[k] == slow[k], (text, k)
