@@ -534,6 +534,94 @@ SELECT doc_id, n_chars::BIGINT AS n_chars, n_tokens::BIGINT AS n_tokens,
 FROM feat ORDER BY doc_id"""
 
 
+CURATE_QUALITY_MIN = 450_000
+CURATE_JACCARD_MIN = 500_000
+
+
+def q_curate_corpus(spark, sf_dir):
+    """End-to-end training-data curation — the composition a 100 TB corpus
+    pipeline actually runs: language filter (en) -> quality floor ->
+    exact-dup canonical only -> near-dup removal (minhash-LSH pairs at
+    jaccard >= 0.5, keep the lower doc id). Every stage is an
+    already-oracle-checked operator; the composed oracle is assembled from
+    the same SQL fragments, so the stages cannot drift from their
+    standalone driver queries."""
+    docs = _docs(spark, sf_dir)
+    lang = T.lang_id(docs, key="doc_id").select(
+        F.col("doc").alias("doc_id"), "predicted_lang"
+    )
+    qual = T.quality_features(docs, key="doc_id").select(
+        F.col("doc").alias("doc_id"), "quality_micro"
+    )
+    exact = D.exact_duplicates(docs, key="doc_id").select(
+        F.col("doc").alias("doc_id"), "canonical_id"
+    )
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    nd_drop = (
+        pairs.filter(F.col("jaccard_micro") >= CURATE_JACCARD_MIN)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.select("doc_id")
+        .join(lang, "doc_id")
+        .filter(F.col("predicted_lang") == "en")
+        .join(qual, "doc_id")
+        .filter(F.col("quality_micro") >= CURATE_QUALITY_MIN)
+        .join(exact, "doc_id")
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .join(nd_drop, "doc_id", "left_anti")
+        .select("doc_id", "quality_micro")
+        .orderBy("doc_id")
+    )
+
+
+def _curate_oracle(
+    q_thresh: int = CURATE_QUALITY_MIN, j_thresh: int = CURATE_JACCARD_MIN
+) -> str:
+    """Composed from the published standalone oracle texts (langid, quality,
+    minhash pairs) by splitting out their CTE chains — single source of
+    truth; if a stage oracle changes, this one follows."""
+    tokc = _TOK_CTE.strip()
+
+    def split_parts(sql: str, select_marker: str):
+        rest = sql.split(tokc, 1)[1].lstrip(",\n")
+        ctes, sel = rest.rsplit(select_marker, 1)
+        sel = (select_marker.lstrip("\n") + sel).rsplit("ORDER BY", 1)[0]
+        return ctes.rstrip().rstrip(","), sel
+
+    lang_ctes, lang_sel = split_parts(_langid_oracle(), "\nSELECT doc_id,")
+    q_ctes, q_sel = split_parts(_quality_oracle(), "\nSELECT doc_id,")
+    mh_ctes, mh_sel = split_parts(ORACLE_MINHASH_PAIRS, "\nSELECT c.doc_a,")
+    return f"""
+WITH {_TOK_CTE.lstrip()},
+{lang_ctes},
+lang AS ({lang_sel}),
+{q_ctes},
+qual AS ({q_sel}),
+exact_h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+exact_g AS (
+  SELECT content_hash, min(doc_id) AS canonical_id
+  FROM exact_h GROUP BY content_hash
+),
+{mh_ctes},
+jac AS ({mh_sel}),
+nd_drop AS (
+  SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard_micro >= {j_thresh}
+)
+SELECT d.doc_id, q.quality_micro
+FROM documents d
+JOIN lang l ON l.doc_id = d.doc_id
+JOIN qual q ON q.doc_id = d.doc_id
+JOIN exact_h h ON h.doc_id = d.doc_id
+JOIN exact_g g ON g.content_hash = h.content_hash
+WHERE l.predicted_lang = 'en'
+  AND q.quality_micro >= {q_thresh}
+  AND g.canonical_id = d.doc_id
+  AND d.doc_id NOT IN (SELECT doc_id FROM nd_drop)
+ORDER BY d.doc_id"""
+
+
 def q_token_count(spark, sf_dir):
     return (
         T.token_counts(_docs(spark, sf_dir), key="doc_id")
@@ -733,6 +821,7 @@ DATA_QUERIES = {
     "embedding_top_pairs": q_embedding_top_pairs,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
+    "curate_corpus": q_curate_corpus,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
@@ -757,6 +846,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "embedding_top_pairs": ORACLE_EMB_PAIRS,
         "text_langid": _langid_oracle(),
         "text_quality": _quality_oracle(),
+        "curate_corpus": _curate_oracle(),
         "token_count": ORACLE_TOKEN_COUNT,
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "multimodal_meta": ORACLE_MM_META,
