@@ -130,3 +130,21 @@ def test_resume_runs_two_jobs_per_bucket(spark, tmp_path):
     R.index_resumable(spark, pages, str(tmp_path / "jobs"), n_buckets=4)
     n_jobs = len(tracker.getJobIdsForGroup(None)) - before
     assert n_jobs <= 2 * 4, n_jobs
+
+
+def test_compact_stream_postings_preserves_rows(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    synth_pages(spark, 128).write.parquet(src)
+    R.stream_index(spark, src, out)
+    before = _postings_set(spark, out)
+    summary = R.compact_stream_postings(spark, out, n_buckets=8)
+    after_df = R.read_postings(spark, out)
+    assert "batch" not in after_df.columns
+    assert "term_bucket" in after_df.columns
+    after = {
+        (r["doc"], r["term"], r["wdf"], tuple(r["positions"] or []))
+        for r in after_df.collect()
+    }
+    assert after == before
+    assert summary["n_files"] > 0

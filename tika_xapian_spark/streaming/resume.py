@@ -308,3 +308,46 @@ def stream_index(
         .start()
     )
     q.awaitTermination()
+
+
+def compact_stream_postings(
+    spark: SparkSession, out_dir: str, n_buckets: int | None = None
+) -> dict:
+    """Fold the per-micro-batch ``batch=<id>`` directories stream_index
+    produces into the bucketed index layout — the standard small-files
+    compaction that follows streaming ingest at scale (thousands of tiny
+    batch files otherwise dominate scan planning time). Rewrites the
+    postings term-bucket-partitioned via the _staging swap protocol, so a
+    crash mid-compaction is recovered by the next reader/writer and
+    in-flight readers of the old layout are unaffected until the rename.
+
+    stream_index must not be running concurrently (it would write new
+    batch dirs into the directory being replaced — same contract as any
+    table-maintenance operation)."""
+    import shutil as _sh
+
+    from ..operators.index import N_BUCKETS, bucket_col
+
+    n_buckets = n_buckets or N_BUCKETS
+    src = os.path.join(out_dir, "postings")
+    df = spark.read.parquet(src)
+    if "batch" in df.columns:
+        df = df.drop("batch")
+    staging = os.path.join(out_dir, "_staging")
+    os.makedirs(staging, exist_ok=True)
+    tmp = os.path.join(staging, "compacted.tmp")
+    old = os.path.join(staging, "compacted.old")
+    (
+        df.withColumn("term_bucket", bucket_col("term", n_buckets))
+        .repartition("term_bucket")
+        .write.partitionBy("term_bucket")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    os.rename(src, old)
+    os.rename(tmp, src)
+    _sh.rmtree(old, ignore_errors=True)
+    n_files = sum(
+        1 for _, _, files in os.walk(src) for f in files if f.endswith(".parquet")
+    )
+    return {"out": src, "n_buckets": n_buckets, "n_files": n_files}
