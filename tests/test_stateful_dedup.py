@@ -74,3 +74,42 @@ def test_streaming_dedup_deterministic_representative(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["url"] == "https://a/1"  # lexicographically smallest
     assert rows[0]["n_duplicates_so_far"] == 2
+
+
+class TestStreamSessionization:
+    def test_session_spanning_batch_boundary(self, spark, tmp_path):
+        # one user's single session is split across micro-batches by the
+        # time-range chunking: the cross-batch state must stitch it back
+        # into ONE session
+        import datetime as dt
+
+        from tika_xapian_spark.streaming.sessionize import run_finalized_sessions
+        from tika_xapian_spark.streaming.windowed import EVENTS_SCHEMA
+
+        t0 = dt.datetime(2021, 1, 1, 12, 0, 0)
+        rows = []
+        # user 1: 6 events 10 min apart (one session, spans all 3 chunks)
+        for i in range(6):
+            rows.append((i, t0 + dt.timedelta(minutes=10 * i), 1, "c", 0.0, "{}"))
+        # user 2: 3 events days apart (three sessions)
+        for i in range(3):
+            rows.append(
+                (100 + i, t0 + dt.timedelta(days=i), 2, "c", 0.0, "{}")
+            )
+        src = str(tmp_path / "events.parquet")
+        df = spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1)
+        df.write.parquet(str(tmp_path / "ev"))
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / "ev" / "*.parquet"))[0]
+        shutil.move(part, src)
+
+        got = {
+            r["user_id"]: (r["n_sessions"], r["max_session_events"])
+            for r in run_finalized_sessions(
+                spark, src, str(tmp_path / "work"), n_chunks=3
+            ).collect()
+        }
+        assert got[1] == (1, 6)
+        assert got[2] == (3, 1)

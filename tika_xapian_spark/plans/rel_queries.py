@@ -68,6 +68,22 @@ def q_events_stream_windowed(spark, sf_dir):
     ).orderBy("window_start", "event_type")
 
 
+def q_events_stream_sessionized(spark, sf_dir):
+    """Gap-sessionization as a custom STATEFUL streaming operator
+    (applyInPandasWithState, streaming/sessionize.py): per-user state
+    carried across time-ordered micro-batches, finalized by a per-user
+    sentinel across a checkpointed restart. Equal to the batch
+    window-function form, so the same SQL oracle gates it."""
+    import tempfile
+
+    from ..streaming.sessionize import run_finalized_sessions
+
+    work = tempfile.mkdtemp(prefix="stream_sessions_")
+    return run_finalized_sessions(
+        spark, f"{sf_dir}/events.parquet", work
+    ).orderBy("user_id")
+
+
 def q_events_sessionized(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity): per-user session count
     and longest session by events — lag + running-sum window functions."""
@@ -295,6 +311,7 @@ REL_QUERIES = {
     "events_windowed": q_events_windowed,
     "events_stream_windowed": q_events_stream_windowed,
     "events_sessionized": q_events_sessionized,
+    "events_stream_sessionized": q_events_stream_sessionized,
     "events_top_users": q_events_top_users,
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "tpch_top_customers": q_tpch_top_customers,
@@ -308,6 +325,7 @@ def rel_oracle_sqls() -> dict[str, str]:
         "events_windowed": ORACLE_EVENTS_WINDOWED,
         "events_stream_windowed": ORACLE_EVENTS_WINDOWED,
         "events_sessionized": ORACLE_EVENTS_SESSIONS,
+        "events_stream_sessionized": ORACLE_EVENTS_SESSIONS,
         "events_top_users": ORACLE_EVENTS_TOP_USERS,
         "tpch_pricing_summary": ORACLE_TPCH_PRICING,
         "tpch_top_customers": ORACLE_TPCH_TOP_CUSTOMERS,

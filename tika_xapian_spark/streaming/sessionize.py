@@ -1,0 +1,208 @@
+"""Cross-batch stateful gap-sessionization (``applyInPandasWithState``).
+
+The batch form (plans/rel_queries.py::q_events_sessionized) computes per-user
+session counts with window functions; an ingest pipeline consuming an event
+stream needs the same semantics incrementally. This module runs the gap rule
+(new session when the inactivity gap exceeds ``gap_sec``) as a custom
+stateful operator: one state cell per user carrying (last event time,
+sessions so far, current/max session size), updated per micro-batch.
+
+SQL-checkable finalization (the windowed.py trick, adapted to state):
+
+  1. the events are staged as K time-range files and streamed with
+     ``maxFilesPerTrigger=1``, so micro-batches arrive in event-time order
+     and the cross-batch state transitions are the real ones (a session can
+     span a batch boundary);
+  2. a sentinel file with one flagged row per user is appended; a second
+     ``availableNow`` run resumes from the checkpoint and each group emits
+     its finalized (user_id, n_sessions, max_session_events) row on seeing
+     its sentinel.
+
+The emitted result equals the batch window-function aggregation exactly, so
+the same DuckDB oracle gates both. At scale the operator runs continuously
+with ``GroupStateTimeout.EventTimeTimeout`` finalizing idle users instead of
+a sentinel; state is one small tuple per active user, shuffled by user_id.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from .windowed import EVENTS_SCHEMA
+
+SENTINEL_TYPE = "__finalize_sentinel__"
+_NO_TS = -(10**15)  # state slot for "no event seen yet"
+
+IN_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("max_session_events", LongType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts", LongType()),  # epoch seconds
+        StructField("n_sessions", LongType()),
+        StructField("cur_n", LongType()),
+        StructField("max_n", LongType()),
+    ]
+)
+
+
+def make_session_fn(gap_sec: int):
+    def _fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        finalize = (batch["event_type"] == SENTINEL_TYPE).any()
+        data = batch[batch["event_type"] != SENTINEL_TYPE]
+        last_ts, n_sessions, cur_n, max_n = (
+            state.get if state.exists else (_NO_TS, 0, 0, 0)
+        )
+        if len(data):
+            # within-batch order by event time; cross-batch order comes from
+            # the time-range staged files (see run_finalized_sessions)
+            secs = (
+                data["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+            ).sort_values()
+            for t in secs:
+                if last_ts == _NO_TS or t - last_ts > gap_sec:
+                    n_sessions += 1
+                    cur_n = 1
+                else:
+                    cur_n += 1
+                if cur_n > max_n:
+                    max_n = cur_n
+                last_ts = int(t)
+        if finalize:
+            state.remove()
+            if n_sessions > 0:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "n_sessions": [n_sessions],
+                        "max_session_events": [max_n],
+                    }
+                )
+        else:
+            state.update((last_ts, n_sessions, cur_n, max_n))
+
+    return _fn
+
+
+def _stage_time_ordered(spark: SparkSession, events_parquet: str, inp: str, k: int = 3):
+    """Split the events into k contiguous time-range files, written in
+    ascending order (FileStreamSource processes by mtime, so batches arrive
+    in event-time order; boundary ties land in the earlier file, which the
+    gap rule is insensitive to — gap 0 joins the same session)."""
+    os.makedirs(inp, exist_ok=True)
+    ev = spark.read.parquet(events_parquet)
+    n = ev.count()
+    rows = (
+        ev.select("ts")
+        .orderBy("ts")
+        .limit(n)
+        .collect()
+    )
+    cuts = [rows[min(n - 1, (i + 1) * n // k)]["ts"] for i in range(k - 1)]
+    lo = None
+    for i in range(k):
+        hi = cuts[i] if i < k - 1 else None
+        part = ev
+        if lo is not None:
+            part = part.filter(F.col("ts") > F.lit(lo))
+        if hi is not None:
+            part = part.filter(F.col("ts") <= F.lit(hi))
+        tmp = os.path.join(inp, f"_tmp{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src_file = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        shutil.move(os.path.join(tmp, src_file), os.path.join(inp, f"chunk-{i:03d}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+        lo = hi
+
+
+def run_finalized_sessions(
+    spark: SparkSession,
+    events_parquet: str,
+    work_dir: str,
+    gap_sec: int = 1800,
+    n_chunks: int = 3,
+) -> DataFrame:
+    """Two-phase availableNow run (module docstring): returns finalized
+    (user_id, n_sessions, max_session_events), equal to the batch
+    sessionization over the same input."""
+    inp = os.path.join(work_dir, "input")
+    out = os.path.join(work_dir, "out")
+    ckpt = os.path.join(work_dir, "ckpt")
+    _stage_time_ordered(spark, events_parquet, inp, n_chunks)
+
+    def make_query():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inp)
+            .select("user_id", "ts", "event_type")
+        )
+        sessions = stream.groupBy("user_id").applyInPandasWithState(
+            make_session_fn(gap_sec),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    make_query()  # phase 1: state built across time-ordered batches
+
+    users = spark.read.parquet(events_parquet).select("user_id").distinct()
+    max_ts = spark.read.parquet(events_parquet).agg(F.max("ts").alias("m")).collect()[
+        0
+    ]["m"]
+    sentinel = users.select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        F.col("user_id"),
+        F.lit(SENTINEL_TYPE).alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(inp)
+
+    make_query()  # phase 2: every group sees its sentinel and finalizes
+
+    return spark.read.parquet(out)
