@@ -28,6 +28,13 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--buckets", type=int, default=16)
     pi.add_argument("--master", default=None)
 
+    pc = sub.add_parser(
+        "compact", help="fold streaming batch=<id> postings into bucketed layout"
+    )
+    pc.add_argument("--out", required=True, help="stream_index output dir")
+    pc.add_argument("--buckets", type=int, default=None)
+    pc.add_argument("--master", default=None)
+
     pq = sub.add_parser("query", help="ranked search over a written index")
     pq.add_argument("--index", required=True, help="index dir (write() layout)")
     pq.add_argument("qstr", help="query string (reference grammar)")
@@ -47,6 +54,10 @@ def main(argv: list[str] | None = None) -> int:
             pages = spark.read.parquet(args.pages)
             summary = index_resumable(spark, pages, args.out, args.buckets)
             print(json.dumps(summary))
+        elif args.cmd == "compact":
+            from .streaming.resume import compact_stream_postings
+
+            print(json.dumps(compact_stream_postings(spark, args.out, args.buckets)))
         else:
             from .operators.index import InvertedIndex
             from .plans.query_compiler import compile_query, explain, search

@@ -271,6 +271,49 @@ GROUP BY r.r_name
 ORDER BY r.r_name"""
 
 
+def q_tpch_shipping_priority(spark, sf_dir):
+    """Q3-shape: selective filters on both join sides, fact-fact join, agg,
+    deterministic top-10 — the canonical filtered-join-topk plan (filters
+    push to both scans; the orders side broadcasts after filtering)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    return (
+        li.join(
+            F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue_cents"),
+        )
+        .select(
+            F.col("l_orderkey").cast("long").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue_cents",
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TPCH_SHIPPING = """
+SELECT l.l_orderkey::BIGINT AS orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue_cents DESC, orderkey
+LIMIT 10"""
+
+
 def q_tpch_parts_per_supplier(spark, sf_dir):
     """Semi/anti-join pair: suppliers of large parts, suppliers with none."""
     part = _t(spark, sf_dir, "part")
@@ -317,6 +360,7 @@ REL_QUERIES = {
     "tpch_top_customers": q_tpch_top_customers,
     "tpch_region_revenue": q_tpch_region_revenue,
     "tpch_parts_per_supplier": q_tpch_parts_per_supplier,
+    "tpch_shipping_priority": q_tpch_shipping_priority,
 }
 
 
@@ -331,4 +375,5 @@ def rel_oracle_sqls() -> dict[str, str]:
         "tpch_top_customers": ORACLE_TPCH_TOP_CUSTOMERS,
         "tpch_region_revenue": ORACLE_TPCH_REGION_REVENUE,
         "tpch_parts_per_supplier": ORACLE_TPCH_PARTS_PER_SUPPLIER,
+        "tpch_shipping_priority": ORACLE_TPCH_SHIPPING,
     }
