@@ -271,3 +271,50 @@ class TestEndToEnd:
         )
         # scores 0, boolean filter semantics; doc text lengths: 15,17,9,25
         assert {r["doc"] for r in got.collect()} == {1}
+
+
+class TestScanFusion:
+    def test_or_fusion_equals_unfused(self, sindex):
+        from tika_xapian_spark.plans.query_compiler import (
+            Executor,
+            _or_leaf_terms,
+            compile_query,
+        )
+
+        node = compile_query("spark merge slow", partial=False)
+        assert _or_leaf_terms(node) is not None  # pure OR-of-StemTerm tree
+        fused = {
+            r["doc"]: r["score"] for r in Executor(sindex).run(node).collect()
+        }
+        # manual unfused fold
+        from tika_xapian_spark.operators import search as S
+
+        manual = S.op_or(
+            S.op_or(
+                S.score_terms(sindex, ["Zspark"]), S.score_terms(sindex, ["Zmerg"])
+            ),
+            S.score_terms(sindex, ["Zslow"]),
+        )
+        exp = {r["doc"]: r["score"] for r in manual.collect()}
+        assert set(fused) == set(exp)
+        for d in fused:
+            assert fused[d] == pytest.approx(exp[d], rel=1e-12)
+
+    def test_duplicate_words_not_fused(self, sindex):
+        # 'slow slow' must stay two OR branches (weights sum), not wqf=2
+        from tika_xapian_spark.plans.query_compiler import Executor, compile_query
+
+        single = {
+            r["doc"]: r["score"]
+            for r in Executor(sindex)
+            .run(compile_query("slow", partial=False))
+            .collect()
+        }
+        double = {
+            r["doc"]: r["score"]
+            for r in Executor(sindex)
+            .run(compile_query("slow slow", partial=False))
+            .collect()
+        }
+        for d in double:
+            assert double[d] == pytest.approx(single[d] * 2, rel=1e-12)

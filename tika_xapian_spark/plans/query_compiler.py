@@ -397,6 +397,21 @@ def _collect_terms(node: Node) -> list[str]:
     return []
 
 
+def _or_leaf_terms(node: Node) -> list[tuple[str, int]] | None:
+    """Index terms of a pure OR-of-StemTerm subtree, or None. For DISTINCT
+    terms, OR-folding per-term match sets (union + per-doc sum) equals one
+    grouped scan over all terms — score_terms — so the Executor fuses an
+    M-word free-text query into ONE postings scan instead of M."""
+    if isinstance(node, StemTerm):
+        return [("Z" + node.prefix + porter2_stem(node.word), node.wqf)]
+    if isinstance(node, Bool) and node.op == "OR":
+        l = _or_leaf_terms(node.left)
+        r = _or_leaf_terms(node.right)
+        if l is not None and r is not None:
+            return l + r
+    return None
+
+
 def _and_leaf_terms(node: Node) -> list[tuple[str, int]] | None:
     """Index terms of a pure AND-of-StemTerm subtree, or None if any
     descendant is not a plain stemmed term (the fusion precondition for
@@ -467,6 +482,14 @@ class Executor:
                 leaves = _and_leaf_terms(node)
                 if leaves is not None and len(set(t for t, _ in leaves)) == len(leaves):
                     return S.score_terms_all(idx, dict(leaves))
+            if node.op == "OR":
+                # fuse OR-of-distinct-term-leaves into one postings scan
+                # (duplicate terms stay as separate branches: the reference
+                # OR-joins repeated words, whose weights SUM — wqf folding
+                # would change the score)
+                leaves = _or_leaf_terms(node)
+                if leaves is not None and len(set(t for t, _ in leaves)) == len(leaves):
+                    return S.score_terms(idx, dict(leaves))
             l, r = self.run(node.left), self.run(node.right)
             return {
                 "AND": S.op_and,
