@@ -318,3 +318,14 @@ class TestScanFusion:
         }
         for d in double:
             assert double[d] == pytest.approx(single[d] * 2, rel=1e-12)
+
+
+def test_search_wand_equals_plain(sindex):
+    from tika_xapian_spark.plans.query_compiler import search
+
+    plain = [(r["doc"], r["score"]) for r in search(sindex, "spark merge", partial=False).collect()]
+    wand = [
+        (r["doc"], r["score"])
+        for r in search(sindex, "spark merge", partial=False, use_wand=True).collect()
+    ]
+    assert wand == plain

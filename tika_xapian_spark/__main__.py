@@ -40,6 +40,8 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("qstr", help="query string (reference grammar)")
     pq.add_argument("-k", type=int, default=100)
     pq.add_argument("--no-partial", action="store_true")
+    pq.add_argument("--wand", action="store_true",
+                    help="WAND candidate pruning for pure OR term queries (exact)")
     pq.add_argument("--master", default=None)
 
     args = p.parse_args(argv)
@@ -86,7 +88,10 @@ def main(argv: list[str] | None = None) -> int:
             node = compile_query(args.qstr, partial=not args.no_partial)
             print(f"# plan: {explain(node)}", file=sys.stderr)
             print(f"# query: {get_description(node)}", file=sys.stderr)
-            for r in search(idx, args.qstr, k=args.k, partial=not args.no_partial).collect():
+            for r in search(
+                idx, args.qstr, k=args.k, partial=not args.no_partial,
+                use_wand=args.wand,
+            ).collect():
                 print(f"{r['score']:.6f}\t{r['doc']}")
     finally:
         spark.stop()

@@ -542,7 +542,16 @@ def search(
     docs: DataFrame | None = None,
     range_cols: dict[str, str] | None = None,
     doc_key: str = "doc",
+    use_wand: bool = False,
 ) -> DataFrame:
-    """The TUI contract (U1): query string -> ranked top-k (doc, score)."""
+    """The TUI contract (U1): query string -> ranked top-k (doc, score).
+
+    ``use_wand=True`` routes pure OR-of-distinct-term queries through
+    top_k_wand (exact, max_wdf candidate pruning) — the right default on a
+    large corpus where the common terms' posting lists dominate."""
     node = compile_query(qstr, partial)
+    if use_wand:
+        leaves = _or_leaf_terms(node)
+        if leaves is not None and len(set(t for t, _ in leaves)) == len(leaves):
+            return S.top_k_wand(index, dict(leaves), k)
     return S.top_k(Executor(index, docs, range_cols, doc_key=doc_key).run(node), k)
