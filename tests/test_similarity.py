@@ -118,3 +118,13 @@ def test_multiprobe_hamming2_extension():
     # n_probe <= n_planes generates hamming-1 flips only (oracle lockstep)
     small = SIM.multiprobe_buckets(q, planes, n_probe=5)
     assert all(bin(small[0] ^ p).count("1") == 1 for p in small[1:])
+
+
+def test_ivf_falls_back_exact_when_no_centroid_exists(spark):
+    # corpus whose vec_ids miss every seeded centroid id entirely
+    rows = [(10_000 + i, [float(i + j) for j in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [1.0] * 8
+    exact = [r["vec_id"] for r in SIM.cosine_topk(df, q, 5).collect()]
+    got = [r["vec_id"] for r in SIM.ivf_cosine_topk(df, q, 5).collect()]
+    assert got == exact

@@ -261,6 +261,9 @@ def ivf_cosine_topk(
     the probe prunes to n_probe/n_list of the data; here the assignment is
     computed in-plan (pure JVM HOF math, no Python)."""
     cents = _centroids_of(embeddings, ivf_centroid_ids(n_list), id_col, vec_col)
+    if not cents:  # tiny corpus where no seeded id exists: exact fallback
+        return cosine_topk(embeddings, query_vec, k, id_col, vec_col)
+
     # driver-side probe selection over n_list centroids (same arithmetic the
     # oracle does in SQL); ties break by centroid id
     def d2(a, b):
