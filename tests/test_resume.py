@@ -132,19 +132,69 @@ def test_resume_runs_two_jobs_per_bucket(spark, tmp_path):
     assert n_jobs <= 2 * 4, n_jobs
 
 
-def test_compact_stream_postings_preserves_rows(spark, tmp_path):
+def _multi_batch_stream(spark, tmp_path, n_chunks=3, n=96):
+    """stream_index over several source files -> several batch dirs."""
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")
-    synth_pages(spark, 128).write.parquet(src)
-    R.stream_index(spark, src, out)
+    pages = synth_pages(spark, n).collect()
+    chunk = len(pages) // n_chunks
+    schema = synth_pages(spark, 1).schema
+    for i in range(n_chunks):
+        part = pages[i * chunk : (i + 1) * chunk] if i < n_chunks - 1 else pages[i * chunk :]
+        spark.createDataFrame(part, schema).coalesce(1).write.mode("append").parquet(src)
+        R.stream_index(spark, src, out)
+    return src, out
+
+
+def test_compact_stream_postings_preserves_rows(spark, tmp_path):
+    src, out = _multi_batch_stream(spark, tmp_path)
     before = _postings_set(spark, out)
-    summary = R.compact_stream_postings(spark, out, n_buckets=8)
-    after_df = R.read_postings(spark, out)
-    assert "batch" not in after_df.columns
-    assert "term_bucket" in after_df.columns
-    after = {
-        (r["doc"], r["term"], r["wdf"], tuple(r["positions"] or []))
-        for r in after_df.collect()
-    }
+    summary = R.compact_stream_postings(spark, out)
+    assert len(summary["folded"]) >= 2
+    assert _postings_set(spark, out) == before
+    # folded source dirs are gone; the merged target remains
+    import os as _os
+
+    dirs = [d for d in _os.listdir(_os.path.join(out, "postings")) if d.startswith("batch=")]
+    assert len(dirs) < len(summary["folded"]) + 1 or len(summary["folded"]) == 0
+
+
+def test_stream_resumes_after_compaction(spark, tmp_path):
+    # ingest -> compact -> MORE ingest: layout stays compatible and the
+    # postings equal a never-compacted run over the same input
+    src, out = _multi_batch_stream(spark, tmp_path)
+    R.compact_stream_postings(spark, out)
+    extra = synth_pages(spark, 32).withColumn(
+        "url", F.concat(F.lit("https://later/"), F.col("url"))
+    )
+    extra.coalesce(1).write.mode("append").parquet(src)
+    R.stream_index(spark, src, out)
+    got = _postings_set(spark, out)
+
+    clean_out = str(tmp_path / "clean_out")
+    R.stream_index(spark, src, clean_out)
+    assert got == _postings_set(spark, clean_out)
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    import json
+    import os as _os
+    import shutil as _sh
+
+    src, out = _multi_batch_stream(spark, tmp_path)
+    before = _postings_set(spark, out)
+    R.compact_stream_postings(spark, out)
+    after = _postings_set(spark, out)
     assert after == before
-    assert summary["n_files"] > 0
+    # simulate a crash right after the swap: re-create the pending marker
+    # with an already-deleted source list — recovery must be idempotent
+    staging = _os.path.join(out, "_staging")
+    _os.makedirs(staging, exist_ok=True)
+    with open(_os.path.join(staging, "compact-pending.json"), "w") as f:
+        json.dump(
+            {"target": _os.path.join(out, "postings", "batch=0"),
+             "delete": [_os.path.join(out, "postings", "batch=999")]},
+            f,
+        )
+    assert _postings_set(spark, out) == before  # read triggers recovery
+    assert not _os.path.exists(_os.path.join(staging, "compact-pending.json"))

@@ -88,6 +88,13 @@ def main(argv: list[str] | None = None) -> int:
             node = compile_query(args.qstr, partial=not args.no_partial)
             print(f"# plan: {explain(node)}", file=sys.stderr)
             print(f"# query: {get_description(node)}", file=sys.stderr)
+            if args.wand and not args.no_partial:
+                print(
+                    "# note: --wand prunes pure term queries; partial mode "
+                    "compiles wildcard forms, so this query runs unpruned "
+                    "(pass --no-partial to engage WAND)",
+                    file=sys.stderr,
+                )
             for r in search(
                 idx, args.qstr, k=args.k, partial=not args.no_partial,
                 use_wand=args.wand,

@@ -548,7 +548,10 @@ def search(
 
     ``use_wand=True`` routes pure OR-of-distinct-term queries through
     top_k_wand (exact, max_wdf candidate pruning) — the right default on a
-    large corpus where the common terms' posting lists dominate."""
+    large corpus where the common terms' posting lists dominate. It only
+    engages with ``partial=False``: FLAG_PARTIAL compiles every word to a
+    wildcard-synonym form, whose merged-postings score has no per-term
+    ceiling, so those queries run the plain plan unchanged."""
     node = compile_query(qstr, partial)
     if use_wand:
         leaves = _or_leaf_terms(node)

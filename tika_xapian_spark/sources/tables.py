@@ -104,9 +104,10 @@ class IcebergStore:
 
     def upsert(self, fresh: DataFrame, name: str, key_cols: list[str]) -> None:
         """Row-level upsert via MERGE INTO. For full replace-document
-        semantics callers first delete target rows for the incoming doc ids
-        (stale terms a doc no longer contains) — see resume.upsert_postings
-        for the doc-level variant."""
+        semantics callers MERGE first and then delete the docs' stale
+        (doc, term) rows — that order fails safe: a crash between the two
+        commits leaves a findable superset, never a vanished doc. See
+        resume.upsert_postings for the doc-level variant."""
         spark = fresh.sparkSession
         self._check(spark)
         view = f"_merge_src_{name}"

@@ -245,8 +245,9 @@ def _recover_bucket(path: str) -> None:
 
 
 def recover_postings(out_dir: str) -> None:
-    """Roll every bucket forward/back after a crash — cheap directory scan,
-    run by read_postings so readers never observe a mid-swap state."""
+    """Roll every bucket swap and any interrupted compaction forward/back —
+    cheap directory scan, run by read_postings so readers never observe a
+    mid-operation state."""
     staging = os.path.join(out_dir, "_staging")
     if not os.path.isdir(staging):
         return
@@ -254,6 +255,8 @@ def recover_postings(out_dir: str) -> None:
         if name.startswith("bucket-"):
             b = int(name.split("-", 1)[1].split(".")[0])
             _recover_bucket(os.path.join(out_dir, "postings", f"bucket={b}"))
+    if any(n.startswith("compact") for n in os.listdir(staging)):
+        _finish_compaction(out_dir)
 
 
 def read_postings(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -310,44 +313,117 @@ def stream_index(
     q.awaitTermination()
 
 
+def _committed_batch_ids(checkpoint_dir: str) -> set[int]:
+    commits = os.path.join(checkpoint_dir, "commits")
+    if not os.path.isdir(commits):
+        return set()
+    return {
+        int(f) for f in os.listdir(commits) if not f.startswith(".") and f.isdigit()
+    }
+
+
 def compact_stream_postings(
-    spark: SparkSession, out_dir: str, n_buckets: int | None = None
+    spark: SparkSession,
+    out_dir: str,
+    n_buckets: int | None = None,  # kept for CLI compat; partitioning unused
+    checkpoint_dir: str | None = None,
 ) -> dict:
-    """Fold the per-micro-batch ``batch=<id>`` directories stream_index
-    produces into the bucketed index layout — the standard small-files
+    """Merge COMMITTED ``batch=<id>`` directories into one — the small-files
     compaction that follows streaming ingest at scale (thousands of tiny
-    batch files otherwise dominate scan planning time). Rewrites the
-    postings term-bucket-partitioned via the _staging swap protocol, so a
-    crash mid-compaction is recovered by the next reader/writer and
-    in-flight readers of the old layout are unaffected until the rename.
+    batch files otherwise dominate scan planning).
 
-    stream_index must not be running concurrently (it would write new
-    batch dirs into the directory being replaced — same contract as any
-    table-maintenance operation)."""
-    import shutil as _sh
+    Safe to interleave with further stream_index runs:
+      - only batches recorded in the checkpoint's offset-commit log are
+        folded; an uncommitted (possibly replayed) batch keeps its own
+        directory, so the replay-overwrite idempotence is preserved;
+      - the merged data lands back in the SAME batch=<min folded id>
+        partition scheme, so subsequent batch writes stay layout-compatible;
+      - crash recovery: the merged directory is swapped in before any
+        source directory is deleted, with a pending-deletes marker in
+        ``_staging`` that recover_postings() (run by every read) rolls
+        forward — a crash can leave extra work, never lost or doubled rows.
 
-    from ..operators.index import N_BUCKETS, bucket_col
+    Rows inside the merged directory are clustered by term for row-group
+    pruning. Concurrent compactions are not supported (same contract as any
+    table-maintenance job)."""
+    import json as _json
 
-    n_buckets = n_buckets or N_BUCKETS
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_stream_checkpoint")
     src = os.path.join(out_dir, "postings")
-    df = spark.read.parquet(src)
-    if "batch" in df.columns:
-        df = df.drop("batch")
+    committed = _committed_batch_ids(checkpoint_dir)
+    batch_dirs = {
+        int(d.split("=", 1)[1]): os.path.join(src, d)
+        for d in os.listdir(src)
+        if d.startswith("batch=")
+    }
+    fold = sorted(b for b in batch_dirs if b in committed)
+    if len(fold) < 2:
+        return {"out": src, "folded": [], "n_files": _count_parquet(src)}
+    target_id = fold[0]
+    target = batch_dirs[target_id]
     staging = os.path.join(out_dir, "_staging")
     os.makedirs(staging, exist_ok=True)
     tmp = os.path.join(staging, "compacted.tmp")
     old = os.path.join(staging, "compacted.old")
+    pending = os.path.join(staging, "compact-pending.json")
+    merged = spark.read.parquet(*[batch_dirs[b] for b in fold])
     (
-        df.withColumn("term_bucket", bucket_col("term", n_buckets))
-        .repartition("term_bucket")
-        .write.partitionBy("term_bucket")
-        .mode("overwrite")
+        merged.repartition(F.col("term"))
+        .sortWithinPartitions("term", "doc")
+        .write.mode("overwrite")
         .parquet(tmp)
     )
-    os.rename(src, old)
-    os.rename(tmp, src)
-    _sh.rmtree(old, ignore_errors=True)
-    n_files = sum(
-        1 for _, _, files in os.walk(src) for f in files if f.endswith(".parquet")
+    # marker first: after the swap below, these directories' rows live in
+    # the target and must be deleted; recover_postings rolls this forward
+    with open(pending, "w") as f:
+        _json.dump({"target": target, "delete": [batch_dirs[b] for b in fold[1:]]}, f)
+    os.rename(target, old)
+    os.rename(tmp, target)
+    _finish_compaction(out_dir)
+    return {
+        "out": src,
+        "folded": fold,
+        "target": f"batch={target_id}",
+        "n_files": _count_parquet(src),
+    }
+
+
+def _count_parquet(path: str) -> int:
+    return sum(
+        1 for _, _, files in os.walk(path) for f in files if f.endswith(".parquet")
     )
-    return {"out": src, "n_buckets": n_buckets, "n_files": n_files}
+
+
+def _finish_compaction(out_dir: str) -> None:
+    """Roll a (possibly crashed) compaction forward or back. Invariants:
+    the pending marker exists for the whole danger window; ``compacted.old``
+    is the pre-swap target (its rows are a subset of the merged data, so
+    discarding it post-swap loses nothing); pre-swap crashes (tmp still in
+    _staging) just discard the tmp."""
+    import json as _json
+    import shutil as _sh
+
+    staging = os.path.join(out_dir, "_staging")
+    tmp = os.path.join(staging, "compacted.tmp")
+    old = os.path.join(staging, "compacted.old")
+    pending = os.path.join(staging, "compact-pending.json")
+    if not os.path.exists(pending):
+        _sh.rmtree(tmp, ignore_errors=True)
+        _sh.rmtree(old, ignore_errors=True)
+        return
+    with open(pending) as f:
+        plan = _json.load(f)
+    if os.path.exists(tmp):
+        # crashed before (or during) the swap: target still original if old
+        # absent -> abort cleanly; old present means mid-swap -> roll back
+        if os.path.exists(old) and not os.path.exists(plan["target"]):
+            os.rename(old, plan["target"])
+        _sh.rmtree(tmp, ignore_errors=True)
+        os.remove(pending)
+        _sh.rmtree(old, ignore_errors=True)
+        return
+    # swap completed: roll forward — delete folded sources and the old copy
+    for d in plan["delete"]:
+        _sh.rmtree(d, ignore_errors=True)
+    _sh.rmtree(old, ignore_errors=True)
+    os.remove(pending)

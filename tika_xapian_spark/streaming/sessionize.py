@@ -34,26 +34,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-    TimestampType,
-)
+from pyspark.sql.types import LongType, StructField, StructType
 
 from .windowed import EVENTS_SCHEMA
 
 SENTINEL_TYPE = "__finalize_sentinel__"
 _NO_TS = -(10**15)  # state slot for "no event seen yet"
-
-IN_SCHEMA = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("ts", TimestampType()),
-        StructField("event_type", StringType()),
-    ]
-)
 
 OUTPUT_SCHEMA = StructType(
     [
@@ -119,25 +105,24 @@ def _stage_time_ordered(spark: SparkSession, events_parquet: str, inp: str, k: i
     """Split the events into k contiguous time-range files, written in
     ascending order (FileStreamSource processes by mtime, so batches arrive
     in event-time order; boundary ties land in the earlier file, which the
-    gap rule is insensitive to — gap 0 joins the same session)."""
+    gap rule is insensitive to — gap 0 joins the same session). Cut points
+    come from percentile_approx over epoch seconds — correctness does not
+    depend on WHERE the cuts fall, only that the ranges are contiguous, so
+    an approximate quantile at constant driver cost is exactly right."""
     os.makedirs(inp, exist_ok=True)
     ev = spark.read.parquet(events_parquet)
-    n = ev.count()
-    rows = (
-        ev.select("ts")
-        .orderBy("ts")
-        .limit(n)
-        .collect()
-    )
-    cuts = [rows[min(n - 1, (i + 1) * n // k)]["ts"] for i in range(k - 1)]
+    qs = [(i + 1) / k for i in range(k - 1)]
+    cuts = ev.agg(
+        F.percentile_approx(F.unix_timestamp("ts"), qs, 10_000).alias("c")
+    ).collect()[0]["c"]
     lo = None
     for i in range(k):
-        hi = cuts[i] if i < k - 1 else None
+        hi = int(cuts[i]) if i < k - 1 else None
         part = ev
         if lo is not None:
-            part = part.filter(F.col("ts") > F.lit(lo))
+            part = part.filter(F.unix_timestamp("ts") > lo)
         if hi is not None:
-            part = part.filter(F.col("ts") <= F.lit(hi))
+            part = part.filter(F.unix_timestamp("ts") <= hi)
         tmp = os.path.join(inp, f"_tmp{i}")
         part.coalesce(1).write.mode("overwrite").parquet(tmp)
         src_file = next(
@@ -163,6 +148,8 @@ def run_finalized_sessions(
     ckpt = os.path.join(work_dir, "ckpt")
     _stage_time_ordered(spark, events_parquet, inp, n_chunks)
 
+    from .windowed import _run_available_now
+
     def make_query():
         stream = (
             spark.readStream.schema(EVENTS_SCHEMA)
@@ -177,15 +164,7 @@ def run_finalized_sessions(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-        q = (
-            sessions.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        _run_available_now(sessions, out, ckpt)
 
     make_query()  # phase 1: state built across time-ordered batches
 
