@@ -329,3 +329,62 @@ def test_search_wand_equals_plain(sindex):
         for r in search(sindex, "spark merge", partial=False, use_wand=True).collect()
     ]
     assert wand == plain
+
+
+class TestDigitInitialTerms:
+    """should_stem parity: the TermGenerator never Z-stems a term whose
+    first codepoint is not a letter (e.g. '2024'), so the compiled query,
+    the fused leaf-term paths, and get_description must all use the raw
+    term — Z2024 exists nowhere in the index (xapian-core
+    termgenerator_internal.cc should_stem; QueryParser renders 2024@1)."""
+
+    @pytest.fixture(scope="class")
+    def dindex(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "report 2024 results"), (2, "older 2023 report"),
+             (3, "plans for 2024 and 2025")],
+            "doc_id long, text string",
+        )
+        idx = InvertedIndex.build_from_body(docs, key="doc_id", stem=True)
+        yield idx
+        idx.unpersist()
+
+    def test_stem_term_executor(self, dindex):
+        got = {r["doc"] for r in search(dindex, "2024", partial=False).collect()}
+        assert got == {1, 3}
+
+    def test_or_fusion_with_digit_leaf(self, dindex):
+        from tika_xapian_spark.plans.query_compiler import _or_leaf_terms
+
+        node = compile_query("2024 report", partial=False)
+        leaves = _or_leaf_terms(node)
+        assert leaves is not None and ("2024", 1) in dict(leaves).items()
+        got = {r["doc"] for r in search(dindex, "2024 report", partial=False).collect()}
+        assert got == {1, 2, 3}
+
+    def test_and_fusion_with_digit_leaf(self, dindex):
+        from tika_xapian_spark.plans.query_compiler import _and_leaf_terms
+
+        node = compile_query("2024 AND report", partial=False)
+        assert _and_leaf_terms(node) == [("2024", 1), ("Zreport", 1)]
+        got = {r["doc"] for r in search(dindex, "2024 AND report", partial=False).collect()}
+        assert got == {1}
+
+    def test_get_description_renders_raw(self):
+        n = compile_query("2024", partial=False)
+        assert get_description(n) == "Query(2024@1)"
+        assert explain(n) == "2024"
+
+    def test_partial_mode_stem_branch(self, dindex):
+        # FLAG_PARTIAL: (WILDCARD 2024*) OR raw-term branch, never Z2024
+        n = compile_query("2024", partial=True)
+        assert explain(n) == "(WILDCARD 2024* OR 2024)"
+        got = {r["doc"] for r in search(dindex, "2024", partial=True).collect()}
+        assert got == {1, 3}
+
+    def test_elite_with_digit_term(self, dindex):
+        got = {
+            r["doc"]
+            for r in search(dindex, "report 2024 ELITE 2", partial=False).collect()
+        }
+        assert got  # lowering must not produce a nonexistent Z2024

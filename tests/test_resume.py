@@ -198,3 +198,63 @@ def test_compaction_crash_recovery(spark, tmp_path):
         )
     assert _postings_set(spark, out) == before  # read triggers recovery
     assert not _os.path.exists(_os.path.join(staging, "compact-pending.json"))
+
+
+def test_compact_rerun_recovers_mid_swap_crash(spark, tmp_path):
+    """Rerunning compact (the CLI retry path) after a crash BETWEEN the two
+    swap renames must first roll back — otherwise the min-id batch's rows
+    (parked as _staging/compacted.old with the target dir absent) are lost."""
+    import json
+    import os as _os
+
+    src, out = _multi_batch_stream(spark, tmp_path)
+    before = _postings_set(spark, out)
+    committed = sorted(R._committed_batch_ids(_os.path.join(out, "_stream_checkpoint")))
+    target = _os.path.join(out, "postings", f"batch={committed[0]}")
+    staging = _os.path.join(out, "_staging")
+    _os.makedirs(staging, exist_ok=True)
+    # simulate: tmp written, marker written, first rename done, crash
+    spark.read.parquet(target).write.mode("overwrite").parquet(
+        _os.path.join(staging, "compacted.tmp")
+    )
+    with open(_os.path.join(staging, "compact-pending.json"), "w") as f:
+        json.dump(
+            {"target": target,
+             "delete": [_os.path.join(out, "postings", f"batch={b}")
+                        for b in committed[1:]]},
+            f,
+        )
+    _os.rename(target, _os.path.join(staging, "compacted.old"))
+    summary = R.compact_stream_postings(spark, out)  # retry path
+    assert set(summary["folded"]) == set(committed)
+    assert _postings_set(spark, out) == before
+
+
+def test_compact_rerun_recovers_post_swap_crash(spark, tmp_path):
+    """Rerunning compact after a crash AFTER the swap but BEFORE source
+    deletion must roll forward first — otherwise the folded batch dirs are
+    merged a second time on top of the already-merged target (doubled rows)."""
+    import json
+    import os as _os
+    import shutil as _sh
+
+    src, out = _multi_batch_stream(spark, tmp_path)
+    before = _postings_set(spark, out)
+    committed = sorted(R._committed_batch_ids(_os.path.join(out, "_stream_checkpoint")))
+    target = _os.path.join(out, "postings", f"batch={committed[0]}")
+    folded_dirs = [_os.path.join(out, "postings", f"batch={b}") for b in committed[1:]]
+    staging = _os.path.join(out, "_staging")
+    _os.makedirs(staging, exist_ok=True)
+    # simulate the post-swap window: target holds the merged data, old copy
+    # parked, pending marker present, sources NOT yet deleted
+    merged = spark.read.parquet(target, *folded_dirs)
+    merged.write.mode("overwrite").parquet(_os.path.join(staging, "swapin.tmp"))
+    _os.rename(target, _os.path.join(staging, "compacted.old"))
+    _os.rename(_os.path.join(staging, "swapin.tmp"), target)
+    with open(_os.path.join(staging, "compact-pending.json"), "w") as f:
+        json.dump({"target": target, "delete": folded_dirs}, f)
+    summary = R.compact_stream_postings(spark, out)  # retry path
+    assert _postings_set(spark, out) == before
+    # roll-forward deleted the folded sources before the new listing
+    for d in folded_dirs:
+        assert not _os.path.exists(d)

@@ -42,19 +42,22 @@ MIN_NORMLEN = 0.5
 PAGE_SIZE = 100  # get_mset(0, 100)
 
 
-def stem_query_term(term: str) -> str:
+def stem_query_term(term: str, prefix: str = "") -> str:
     """Free query terms match the Z-stemmed index forms, as the reference's
     QueryParser does with STEM_SOME (golden `Zfoo@1` trees,
     /root/reference/src/xapian_utils.rs:504-508).
 
     Terms whose first codepoint is not a letter (e.g. ``2024``) are never
     stemmed by the TermGenerator (should_stem), so the index holds no Z-form
-    for them — STEM_SOME queries must use the raw term or they silently
-    match nothing."""
+    for them — STEM_SOME queries must use the raw ``prefix+term`` or they
+    silently match nothing. Prefixed stemmable terms follow the QueryParser
+    form ``Z<prefix><stem>``. Every StemTerm-lowering site (Executor,
+    leaf-term fusion, explain, get_description) routes through here so the
+    compiled plan, the debug dump, and the index agree."""
     t = term.lower()
     from ..functions.tokenizer import _should_stem
 
-    return "Z" + porter2_stem(t) if _should_stem(t) else t
+    return "Z" + prefix + porter2_stem(t) if _should_stem(t) else prefix + t
 
 
 def _termweight(df_col: Column, n_docs: int, wqf: Column) -> Column:

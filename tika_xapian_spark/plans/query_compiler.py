@@ -32,7 +32,6 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
-from ..functions.porter2 import stem as porter2_stem
 from ..functions.tokenizer import scan_terms
 from ..operators import search as S
 from ..operators.index import InvertedIndex
@@ -285,10 +284,10 @@ def explain(node: Node) -> str:
     if isinstance(node, Empty):
         return "<empty>"
     if isinstance(node, PartialTerm):
-        stemmed = "Z" + node.prefix + porter2_stem(node.word)
+        stemmed = S.stem_query_term(node.word, node.prefix)
         return f"(WILDCARD {node.prefix}{node.word}* OR {stemmed})"
     if isinstance(node, StemTerm):
-        return f"Z{node.prefix}{porter2_stem(node.word)}"
+        return S.stem_query_term(node.word, node.prefix)
     if isinstance(node, PhraseTerms):
         inner = " PHRASE ".join(f"{node.prefix}{w}" for w in node.words)
         return f"({inner})"
@@ -337,13 +336,13 @@ def _describe(node: Node) -> str:
     if isinstance(node, Empty):
         return ""
     if isinstance(node, PartialTerm):
-        stemmed = "Z" + node.prefix + porter2_stem(node.word)
+        stemmed = S.stem_query_term(node.word, node.prefix)
         return (
             f"(WILDCARD SYNONYM {node.prefix}{node.word}"
             f" OR {_term_desc(stemmed, pos=1)})"
         )
     if isinstance(node, StemTerm):
-        stemmed = "Z" + node.prefix + porter2_stem(node.word)
+        stemmed = S.stem_query_term(node.word, node.prefix)
         return _term_desc(stemmed, wqf=node.wqf, pos=1)
     if isinstance(node, PhraseTerms):
         n = len(node.words)
@@ -397,13 +396,30 @@ def _collect_terms(node: Node) -> list[str]:
     return []
 
 
+def _collect_term_pairs(node: Node) -> list[tuple[str, str]]:
+    """Flatten a subtree into (prefix, word) pairs — the prefix-preserving
+    sibling of _collect_terms, for sites that must stem the word alone
+    (ELITE lowering via stem_query_term)."""
+    if isinstance(node, (PartialTerm, StemTerm)):
+        return [(node.prefix, node.word)]
+    if isinstance(node, PhraseTerms):
+        return [(node.prefix, w) for w in node.words]
+    if isinstance(node, (Bool, Synonym, NearOp, PhraseOp)):
+        return _collect_term_pairs(node.left) + _collect_term_pairs(node.right)
+    if isinstance(node, (Scale, Elite)):
+        return _collect_term_pairs(node.child)
+    if isinstance(node, WildcardTerm):
+        return [(node.prefix, node.pattern)]
+    return []
+
+
 def _or_leaf_terms(node: Node) -> list[tuple[str, int]] | None:
     """Index terms of a pure OR-of-StemTerm subtree, or None. For DISTINCT
     terms, OR-folding per-term match sets (union + per-doc sum) equals one
     grouped scan over all terms — score_terms — so the Executor fuses an
     M-word free-text query into ONE postings scan instead of M."""
     if isinstance(node, StemTerm):
-        return [("Z" + node.prefix + porter2_stem(node.word), node.wqf)]
+        return [(S.stem_query_term(node.word, node.prefix), node.wqf)]
     if isinstance(node, Bool) and node.op == "OR":
         l = _or_leaf_terms(node.left)
         r = _or_leaf_terms(node.right)
@@ -417,7 +433,7 @@ def _and_leaf_terms(node: Node) -> list[tuple[str, int]] | None:
     descendant is not a plain stemmed term (the fusion precondition for
     score_terms_all)."""
     if isinstance(node, StemTerm):
-        return [("Z" + node.prefix + porter2_stem(node.word), node.wqf)]
+        return [(S.stem_query_term(node.word, node.prefix), node.wqf)]
     if isinstance(node, Bool) and node.op == "AND":
         l = _and_leaf_terms(node.left)
         r = _and_leaf_terms(node.right)
@@ -462,11 +478,11 @@ class Executor:
                 if expanded
                 else S._empty_matches(idx)
             )
-            st = S.score_terms(idx, ["Z" + node.prefix + porter2_stem(node.word)])
+            st = S.score_terms(idx, [S.stem_query_term(node.word, node.prefix)])
             return S.op_or(wc, st)
         if isinstance(node, StemTerm):
             return S.score_terms(
-                idx, {"Z" + node.prefix + porter2_stem(node.word): node.wqf}
+                idx, {S.stem_query_term(node.word, node.prefix): node.wqf}
             )
         if isinstance(node, PhraseTerms):
             return S.match_phrase(idx, [node.prefix + w for w in node.words])
@@ -509,10 +525,7 @@ class Executor:
             return S.op_scale(self.run(node.child), node.factor)
         if isinstance(node, Elite):
             zterms = [
-                "Z" + t if not t.startswith("Z") else t
-                for t in (
-                    porter2_stem(x) for x in _collect_terms(node.child)
-                )
+                S.stem_query_term(w, p) for p, w in _collect_term_pairs(node.child)
             ]
             return S.op_elite_set(idx, zterms, node.n)
         if isinstance(node, Synonym):

@@ -350,6 +350,13 @@ def compact_stream_postings(
 
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_stream_checkpoint")
     src = os.path.join(out_dir, "postings")
+    # Roll a previously crashed compaction forward/back BEFORE listing batch
+    # dirs: rerunning the compact CLI is a natural retry path that never goes
+    # through read_postings. Without this, a crash between the two swap
+    # renames loses the min-id batch (its dir is parked as compacted.old),
+    # and a crash after the swap but before source deletion double-counts
+    # the folded dirs in the new merge.
+    _finish_compaction(out_dir)
     committed = _committed_batch_ids(checkpoint_dir)
     batch_dirs = {
         int(d.split("=", 1)[1]): os.path.join(src, d)
