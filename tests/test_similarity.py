@@ -93,10 +93,12 @@ def test_ivf_recall_high_on_clustered_data(clustered):
     assert len(exact & approx) / 25 >= 0.9
 
 
-def test_ivf_centroid_ids_deterministic():
-    a = SIM.ivf_centroid_ids(16)
-    assert a == SIM.ivf_centroid_ids(16)
-    assert len(set(a)) == 16
+def test_ivf_seed_centroids_deterministic(clustered):
+    df, _ = clustered
+    a = SIM.ivf_seed_centroids(df, 16)
+    assert a == SIM.ivf_seed_centroids(df, 16)
+    assert 1 < len(a) <= 16
+    assert all(isinstance(cid, int) for cid, _ in a)
 
 
 def test_multiprobe_hamming2_extension():
@@ -120,11 +122,40 @@ def test_multiprobe_hamming2_extension():
     assert all(bin(small[0] ^ p).count("1") == 1 for p in small[1:])
 
 
-def test_ivf_falls_back_exact_when_no_centroid_exists(spark):
-    # corpus whose vec_ids miss every seeded centroid id entirely
-    rows = [(10_000 + i, [float(i + j) for j in range(8)]) for i in range(20)]
+def test_ivf_prunes_on_shifted_id_corpus(spark):
+    # data-derived centroids: an id space starting at 10^6 must still seed a
+    # real quantizer (pruned scan), NOT fall back to a silent full scan
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((8, 16)) * 4.0
+    rows = [
+        (1_000_000 + i, [float(x) for x in centers[i % 8] + rng.standard_normal(16) * 0.3])
+        for i in range(200)
+    ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    q = [1.0] * 8
-    exact = [r["vec_id"] for r in SIM.cosine_topk(df, q, 5).collect()]
-    got = [r["vec_id"] for r in SIM.ivf_cosine_topk(df, q, 5).collect()]
-    assert got == exact
+    q = rows[0][1]
+    cents = SIM.ivf_seed_centroids(df, 16)
+    assert len(cents) > 1 and all(cid >= 1_000_000 for cid, _ in cents)
+    # the probe really prunes: candidate set is a strict subset
+    probe_cells = [cid for cid, _ in cents][: SIM.IVF_N_PROBE]
+    n_cand = df.filter(
+        SIM._assign_cell("embedding", cents).isin(probe_cells)
+    ).count()
+    assert 0 < n_cand < len(rows)
+    # and the pruned result still has high recall on clustered data
+    exact = {r["vec_id"] for r in SIM.cosine_topk(df, q, 25).collect()}
+    approx = {
+        r["vec_id"]
+        for r in SIM.ivf_cosine_topk(df, q, 25, n_list=16, n_probe=4).collect()
+    }
+    assert len(exact & approx) / 25 >= 0.9
+
+
+def test_ivf_empty_corpus_falls_back_loudly(spark):
+    import warnings
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = SIM.ivf_cosine_topk(df, [1.0] * 8, 5).collect()
+    assert got == []
+    assert any("exact full scan" in str(x.message) for x in w)

@@ -201,32 +201,48 @@ def recall_at_k(
 
 IVF_N_LIST = 16  # coarse-quantizer cells; at 10^9+ vectors use ~sqrt(n)
 IVF_N_PROBE = 4
+IVF_SEED_DIMS = (0, 1, 2, 3, 4, 5, 6, 7)  # sign-bucket dims for seeding
 
 
-def ivf_centroid_ids(n_list: int = IVF_N_LIST, seed: int = 7) -> list[int]:
-    """Deterministic sample-seeded coarse quantizer: the centroids ARE data
-    rows (chosen by a seeded LCG over vec_ids), so both the Spark plan and
-    the SQL oracle can reconstruct the identical quantizer without running
-    k-means. Sample-seeding is the standard IVF bootstrap (k-means init);
-    skipping Lloyd iterations costs balance, not correctness — and keeps
-    the index build one pass."""
-    out, x = [], seed
-    while len(out) < n_list:
-        x = (x * 1103515245 + 12345) % (1 << 31)
-        cand = x % 997  # spread over a prime range of small vec_ids
-        if cand not in out:
-            out.append(cand)
-    return sorted(out)
+def ivf_seed_dims(n_list: int = IVF_N_LIST) -> tuple[int, ...]:
+    """First ceil(log2(n_list)) seed dimensions — 2^bits >= n_list sign
+    buckets. Dims must be < the embedding dimension (all data here is >= 8d;
+    raise the tuple for wider quantizers)."""
+    import math
+
+    bits = max(1, math.ceil(math.log2(max(n_list, 2))))
+    return IVF_SEED_DIMS[:bits]
 
 
-def _centroids_of(embeddings: DataFrame, ids: list[int], id_col: str, vec_col: str):
+def ivf_seed_centroids(
+    embeddings: DataFrame,
+    n_list: int = IVF_N_LIST,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """DATA-DERIVED deterministic coarse quantizer: partition the corpus by a
+    log2(n_list)-bit sign-LSH bucket and take each bucket's min-id row as a
+    centroid. Centroids are actual data rows chosen by an order-free
+    aggregation (GROUP BY bucket, min(id)), so the SQL oracle reconstructs
+    the identical quantizer, any id space works (no fixture coupling), and
+    the build is one pass + one bounded (<= n_list rows) collect. Empty
+    sign-buckets simply yield fewer cells — the probe math is unaffected.
+    Sample-seeding is the standard IVF bootstrap (k-means init); skipping
+    Lloyd iterations costs balance, not correctness."""
+    dims = ivf_seed_dims(n_list)
+    seeds = embeddings.groupBy(
+        sign_bucket(vec_col, dims).alias("_sb")
+    ).agg(F.min(F.col(id_col)).alias("_cid"))
     rows = (
-        embeddings.filter(F.col(id_col).isin(ids))
+        embeddings.join(
+            F.broadcast(seeds.select("_cid")),
+            F.col(id_col) == F.col("_cid"),
+            "left_semi",
+        )
         .select(id_col, vec_col)
-        .collect()
+        .collect()  # bounded: <= n_list rows
     )
-    by_id = {r[id_col]: [float(x) for x in r[vec_col]] for r in rows}
-    return [(i, by_id[i]) for i in sorted(by_id)]  # bounded: n_list rows
+    return sorted((r[id_col], [float(x) for x in r[vec_col]]) for r in rows)
 
 
 def _assign_cell(vec_col: str | Column, centroids: list) -> Column:
@@ -254,14 +270,28 @@ def ivf_cosine_topk(
     vec_col: str = "embedding",
     n_list: int = IVF_N_LIST,
     n_probe: int = IVF_N_PROBE,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: assign every vector to its nearest coarse-quantizer
-    cell, probe the n_probe cells nearest the query, exact cosine within.
-    At scale the cell id is a partition/bucket column written at ingest so
-    the probe prunes to n_probe/n_list of the data; here the assignment is
-    computed in-plan (pure JVM HOF math, no Python)."""
-    cents = _centroids_of(embeddings, ivf_centroid_ids(n_list), id_col, vec_col)
-    if not cents:  # tiny corpus where no seeded id exists: exact fallback
+    cell (data-derived — ivf_seed_centroids), probe the n_probe cells
+    nearest the query, exact cosine within. At scale the cell id is a
+    partition/bucket column written at ingest so the probe prunes to
+    n_probe/n_list of the data (operators/ann_index.py); here the
+    assignment is computed in-plan (pure JVM HOF math, no Python).
+
+    ``centroids``: precomputed (cid, vector) list (e.g. from a written
+    AnnIndex's metadata) — skips the seeding scan."""
+    cents = centroids if centroids is not None else ivf_seed_centroids(
+        embeddings, n_list, id_col, vec_col
+    )
+    if not cents:  # empty corpus: exact scan — and say so, don't hide it
+        import warnings
+
+        warnings.warn(
+            "ivf_cosine_topk: no centroids derivable (empty corpus); "
+            "falling back to exact full scan",
+            stacklevel=2,
+        )
         return cosine_topk(embeddings, query_vec, k, id_col, vec_col)
 
     # driver-side probe selection over n_list centroids (same arithmetic the

@@ -283,10 +283,10 @@ def q_ann_lsh_topk(spark, sf_dir):
     return SIM.lsh_cosine_topk(_emb(spark, sf_dir), qv, k=25)
 
 
-def _bucket_sql(col: str) -> str:
+def _bucket_sql(col: str, dims: tuple[int, ...] = SIM.LSH_DIMS) -> str:
     terms = [
         f"(CASE WHEN {col}[{d + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
-        for i, d in enumerate(SIM.LSH_DIMS)
+        for i, d in enumerate(dims)
     ]
     return " + ".join(terms)
 
@@ -370,23 +370,27 @@ LIMIT 25"""
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-flat ANN: deterministic sample-seeded coarse quantizer (the
-    centroids are data rows), probe the 4 nearest of 16 cells, exact cosine
-    within. The oracle reconstructs the identical quantizer in SQL."""
+    """IVF-flat ANN: data-derived deterministic coarse quantizer (each
+    log2(n_list)-bit sign-bucket's min-id row is a centroid), probe the 4
+    nearest of up to 16 cells, exact cosine within. The oracle reconstructs
+    the identical quantizer in SQL (GROUP BY bucket, min(vec_id))."""
     qv = _query_vec(spark, sf_dir)
     return SIM.ivf_cosine_topk(_emb(spark, sf_dir), qv, k=25)
 
 
 def _ivf_oracle(dim: int = 64) -> str:
-    ids = ", ".join(str(i) for i in SIM.ivf_centroid_ids(SIM.IVF_N_LIST))
+    seed_bucket = _bucket_sql("embedding", SIM.ivf_seed_dims(SIM.IVF_N_LIST))
     d2 = (
         "list_sum(list_transform(range(1, {d} + 1), "
         "j -> ({a}[j]::DOUBLE - {b}[j]::DOUBLE) * ({a}[j]::DOUBLE - {b}[j]::DOUBLE)))"
     )
     return f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+wb AS (SELECT vec_id, embedding, ({seed_bucket}) AS sb FROM embeddings),
+seed AS (SELECT sb, min(vec_id) AS scid FROM wb GROUP BY sb),
 cents AS (
-  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id IN ({ids})
+  SELECT w.vec_id AS cid, w.embedding AS cv
+  FROM wb w JOIN seed s ON w.vec_id = s.scid
 ),
 dists AS (
   SELECT e.vec_id, e.embedding, c.cid,

@@ -58,11 +58,13 @@ def q_events_stream_windowed(spark, sf_dir):
     checkpointed availableNow restart (streaming/windowed.py). The emitted
     windows equal the batch aggregation, so the batch oracle applies —
     a streaming query with a plain-SQL correctness gate."""
-    import tempfile
-
     from ..streaming.windowed import run_finalized_window_counts
+    from .workdirs import work_dir
 
-    work = tempfile.mkdtemp(prefix="stream_windowed_")
+    # fresh=True: the checkpointed two-phase run must start clean, and
+    # reuse-by-wipe keeps repeated driver/bench invocations from
+    # accumulating /tmp state
+    work = work_dir("stream_windowed", f"{sf_dir}/events.parquet", fresh=True)
     return run_finalized_window_counts(
         spark, f"{sf_dir}/events.parquet", work
     ).orderBy("window_start", "event_type")
@@ -74,11 +76,10 @@ def q_events_stream_sessionized(spark, sf_dir):
     carried across time-ordered micro-batches, finalized by a per-user
     sentinel across a checkpointed restart. Equal to the batch
     window-function form, so the same SQL oracle gates it."""
-    import tempfile
-
     from ..streaming.sessionize import run_finalized_sessions
+    from .workdirs import work_dir
 
-    work = tempfile.mkdtemp(prefix="stream_sessions_")
+    work = work_dir("stream_sessions", f"{sf_dir}/events.parquet", fresh=True)
     return run_finalized_sessions(
         spark, f"{sf_dir}/events.parquet", work
     ).orderBy("user_id")
