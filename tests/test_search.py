@@ -412,3 +412,56 @@ class TestStemmedProfile:
             assert set(got) == {1}
         finally:
             idx.unpersist()
+
+
+class TestSpellingTable:
+    """The spelling dictionary is persistent (xapian's spelling-B-tree
+    analogue): written by InvertedIndex.write, loaded by read, and the
+    per-query plan is a trigram point lookup — never a full-vocab explode."""
+
+    CORPUS = [
+        (1, "spark merge window query"),
+        (2, "spark table merge"),
+        (3, "window query value"),
+    ]
+
+    def test_written_table_point_lookup(self, spark, tmp_path):
+        docs = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        idx = InvertedIndex.build_from_body(docs, key="doc_id", stem=True)
+        try:
+            want = sorted(
+                (r["word"], r["suggestion"])
+                for r in S.spelling_suggestions(idx, ["merg", "qery"]).collect()
+            )
+            assert [w for w, _ in want] == ["merg", "qery"]
+            idx.write(str(tmp_path))
+        finally:
+            idx.unpersist()
+        reopened = InvertedIndex.read(spark, str(tmp_path))
+        assert reopened.vocab_tri is not None  # loaded, not rebuilt
+        df = S.spelling_suggestions(reopened, ["merg", "qery"])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # vocabulary side: a parquet scan of the written table with the
+        # trigram point lookup pushed down — NOT an explode of term_stats
+        # (the only Generate left is over the tiny query-words list)
+        assert "substring(term" not in plan
+        # (the scan path itself can be elided — FileScan locations truncate)
+        assert "FileScan parquet [term" in plan
+        assert "In(tri, " in plan.split("PushedFilters:")[1]
+        got = sorted((r["word"], r["suggestion"]) for r in df.collect())
+        assert got == want
+
+    def test_in_memory_table_built_once(self, spark):
+        docs = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        idx = InvertedIndex.build_from_body(docs, key="doc_id", stem=True)
+        try:
+            t1 = idx.spelling_table()
+            t2 = idx.spelling_table()
+            assert t1 is t2  # persisted once, reused across queries
+            got = {
+                r["word"]: r["suggestion"]
+                for r in S.spelling_suggestions(idx, ["qery"]).collect()
+            }
+            assert got == {"qery": "query"}
+        finally:
+            idx.unpersist()

@@ -373,6 +373,29 @@ def build_term_stats(postings: DataFrame) -> DataFrame:
     )
 
 
+def build_vocab_tri(term_stats: DataFrame) -> DataFrame:
+    """Xapian's persistent spelling table analogue (K12/Q19): vocabulary
+    terms exploded to character trigrams, keyed by trigram for blocked
+    candidate lookup (the same blocking xapian-core's spelling B-tree uses).
+    Z-stems are excluded — the spelling dictionary holds surface forms.
+    Built once per index (spelling_table()) and written by
+    InvertedIndex.write alongside term_stats; rebuilding it per query would
+    be a full-vocabulary explode per keystroke."""
+    vocab = term_stats.filter(~F.col("term").startswith("Z"))
+    return vocab.select(
+        "term",
+        "df",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(term) - 2, 1)), "
+                    "i -> substring(term, i, 3))"
+                )
+            )
+        ).alias("tri"),
+    )
+
+
 @dataclass
 class InvertedIndex:
     """The index tables + cached collection-level stats."""
@@ -382,6 +405,14 @@ class InvertedIndex:
     term_stats: DataFrame
     n_docs: int
     avg_len: float
+    # persistent spelling table (build_vocab_tri): loaded by read() when
+    # written, else built+persisted once on first spelling query
+    vocab_tri: DataFrame | None = None
+
+    def spelling_table(self) -> DataFrame:
+        if self.vocab_tri is None:
+            self.vocab_tri = build_vocab_tri(self.term_stats).persist()
+        return self.vocab_tri
 
     @classmethod
     def from_carrier(cls, carrier: DataFrame, persist: bool = True) -> "InvertedIndex":
@@ -437,7 +468,9 @@ class InvertedIndex:
         return cls.from_carrier(carrier, persist)
 
     def unpersist(self) -> None:
-        for df in (self.postings, self.doc_stats, self.term_stats):
+        for df in (self.postings, self.doc_stats, self.term_stats, self.vocab_tri):
+            if df is None:
+                continue
             try:
                 df.unpersist()
             except Exception:
@@ -455,6 +488,10 @@ class InvertedIndex:
         postings = store.read_table(spark, "postings").drop("term_bucket")
         doc_stats = store.read_table(spark, "doc_stats").drop("doc_bucket")
         term_stats = store.read_table(spark, "term_stats")
+        try:  # pre-vocab_tri indexes lack the table: built lazily instead
+            vocab_tri = store.read_table(spark, "vocab_tri")
+        except Exception:
+            vocab_tri = None
         row = doc_stats.agg(
             F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avg")
         ).collect()[0]
@@ -464,6 +501,7 @@ class InvertedIndex:
             term_stats=term_stats,
             n_docs=int(row["n"] or 0),
             avg_len=float(row["avg"] or 0.0),
+            vocab_tri=vocab_tri,
         )
 
     def write(self, base_dir: str, store=None) -> None:
@@ -491,3 +529,12 @@ class InvertedIndex:
             partition_by=["doc_bucket"],
         )
         store.write_table(self.term_stats, "term_stats")
+        # persistent spelling table: trigram-clustered so the per-query
+        # point lookup (tri IN (...)) prunes row groups, the parquet
+        # analogue of xapian's trigram-keyed spelling B-tree
+        store.write_table(
+            build_vocab_tri(self.term_stats)
+            .repartition(F.col("tri"))
+            .sortWithinPartitions("tri", "term"),
+            "vocab_tri",
+        )

@@ -385,27 +385,23 @@ def spelling_suggestions(
 
     Returns (word, suggestion, distance, df): the best suggestion per query
     word (distance <= max_distance, most frequent on ties, lexicographic
-    final tie-break). Scales: the trigram join prunes the vocabulary scan;
-    everything is JVM-side (levenshtein is a builtin).
+    final tie-break). Scales: the PERSISTENT trigram table
+    (index.spelling_table() — written by InvertedIndex.write, xapian's
+    spelling-B-tree analogue) replaces the former per-query full-vocabulary
+    explode; the query words' trigrams are known driver-side, so the probe
+    is a pushed tri IN (...) point lookup over the trigram-clustered table.
+    Everything else is JVM-side (levenshtein is a builtin).
     """
     spark = index.postings.sparkSession
 
-    # dynamic-start substring needs expr(); trigram lists built JVM-side
-    vocab = index.term_stats.filter(~F.col("term").startswith("Z")).filter(
-        F.col("df") >= min_df
+    # same trigram transform as the SQL side: substrings of length 3 at
+    # 1..max(len-2, 1) (whole word when shorter than 3 chars)
+    qtris = sorted(
+        {w[i : i + 3] for w in words for i in range(max(len(w) - 2, 1))}
     )
-    vocab_tri = vocab.select(
-        "term",
-        "df",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, greatest(length(term) - 2, 1)), "
-                    "i -> substring(term, i, 3))"
-                )
-            )
-        ).alias("tri"),
-    )
+    vocab_tri = index.spelling_table().filter(F.col("tri").isin(qtris))
+    if min_df > 1:
+        vocab_tri = vocab_tri.filter(F.col("df") >= min_df)
     qdf = spark.createDataFrame([(w,) for w in words], "word string")
     q_tri = qdf.select(
         "word",
