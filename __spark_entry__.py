@@ -22,20 +22,31 @@ def entry(spark: SparkSession) -> DataFrame:
     row carries n_ok / n_quarantined (the synthetic corpus's no-frontmatter
     and malformed cases land in quarantine, so n_quarantined > 0 by
     construction)."""
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     from tika_xapian_spark.operators import search as S
-    from tika_xapian_spark.operators.extract import extract_pages
-    from tika_xapian_spark.operators.index import InvertedIndex
+    from tika_xapian_spark.operators.index import (
+        InvertedIndex,
+        extract_index_carrier,
+    )
     from tika_xapian_spark.sources.pages import synth_pages
 
-    docs = extract_pages(synth_pages(spark, 2000))
-    counts = docs.agg(
+    # ONE fused extract+tokenize pass: the quarantine counts ride the same
+    # carrier via observe (no second aggregation subplan re-running the
+    # extraction UDF), and the carrier is persisted by from_fused_carrier so
+    # its one stats action materializes it exactly once for everything the
+    # returned plan references — the resume.py lineage pattern.
+    obs = Observation("entry_counts")
+    carrier = extract_index_carrier(synth_pages(spark, 2000)).observe(
+        obs,
         F.sum((F.col("status") == "ok").cast("long")).alias("n_ok"),
         F.sum((F.col("status") != "ok").cast("long")).alias("n_quarantined"),
     )
-    idx = InvertedIndex.build_from_extracted(
-        docs.filter(F.col("status") == "ok"), key="url", persist=False
+    idx = InvertedIndex.from_fused_carrier(carrier)  # runs the stats action
+    counts = spark.createDataFrame(
+        [(obs.get["n_ok"], obs.get["n_quarantined"])],
+        "n_ok long, n_quarantined long",
     )
     hits = S.top_k(S.score_free_text(idx, "markdown syntax"))
     return (

@@ -126,3 +126,36 @@ class TestWandPlan:
             ]
         finally:
             idx.unpersist()
+
+
+class TestFusedCarrierSingleExecution:
+    def test_from_fused_carrier_runs_extraction_once(self, spark):
+        """The persisted carrier means the fused extract+tokenize UDF
+        executes exactly once, even though postings/doc_stats/term_stats and
+        every later search all reference it (the resume.py lineage pattern,
+        now also entry()'s)."""
+        from tika_xapian_spark.operators import search as S
+        from tika_xapian_spark.operators.index import (
+            InvertedIndex,
+            extract_index_carrier,
+        )
+        from tika_xapian_spark.sources.pages import synth_pages
+
+        pages = synth_pages(spark, 160)
+        acc = spark.sparkContext.accumulator(0)
+
+        def counting(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        counted = pages.mapInPandas(counting, pages.schema)
+        idx = InvertedIndex.from_fused_carrier(extract_index_carrier(counted))
+        try:
+            assert acc.value == 160  # the build's one stats action, once
+            S.top_k(S.score_free_text(idx, "markdown syntax")).collect()
+            idx.postings.count()
+            idx.doc_stats.count()
+            assert acc.value == 160  # later actions hit the cache
+        finally:
+            idx.unpersist()

@@ -438,6 +438,34 @@ class InvertedIndex:
         )
 
     @classmethod
+    def from_fused_carrier(cls, carrier: DataFrame, persist: bool = True) -> "InvertedIndex":
+        """Index from the fused extract+tokenize carrier
+        (extract_index_carrier): quarantine rows drop here; postings and
+        doc_stats are pure map-side projections. With ``persist`` the
+        carrier is cached before the stats action, so the extraction UDF
+        executes exactly ONCE even though three tables reference the
+        carrier — the same single-execution discipline as
+        streaming/resume.py (pinned in test_plan_shapes)."""
+        if persist:
+            carrier = carrier.persist()
+        ok = carrier.filter(F.col("status") == "ok")
+        postings = explode_fused_carrier(carrier)
+        doc_stats = ok.select("doc", F.col("doclen").cast("long").alias("doclen"))
+        term_stats = build_term_stats(postings)
+        if persist:
+            term_stats = term_stats.persist()
+        row = doc_stats.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avg")
+        ).collect()[0]
+        return cls(
+            postings=postings,
+            doc_stats=doc_stats,
+            term_stats=term_stats,
+            n_docs=int(row["n"] or 0),
+            avg_len=float(row["avg"] or 0.0),
+        )
+
+    @classmethod
     def build_from_body(
         cls, docs: DataFrame, key: str, body_col: str = "text", stem: bool = True,
         persist: bool = True,
