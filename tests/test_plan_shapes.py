@@ -159,3 +159,24 @@ class TestFusedCarrierSingleExecution:
             assert acc.value == 160  # later actions hit the cache
         finally:
             idx.unpersist()
+
+
+class TestPositionalFusion:
+    def test_phrase_single_postings_scan(self, spark, docs, tmp_path):
+        """PHRASE/NEAR over M terms read the postings table ONCE (term IN
+        (...) + positions pivot), not once per term with an (M-1)-way
+        self-join chain — constant scan volume in M."""
+        from tika_xapian_spark.operators import search as S
+
+        base = str(tmp_path / "idx_pos")
+        built = InvertedIndex.build_from_body(docs, key="doc_id", stem=False)
+        built.write(base)
+        built.unpersist()
+        idx = InvertedIndex.read(spark, base)
+        for df in (
+            S.match_phrase(idx, ["spark", "join", "merge"], score=False),
+            S.match_near(idx, ["spark", "merge"], score=False),
+        ):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("FileScan parquet") == 1
+            assert "Join" not in plan  # pivot aggregation, no self-joins

@@ -218,15 +218,33 @@ def op_pure_not(index: InvertedIndex, m: DataFrame) -> DataFrame:
 
 
 def _positions_for(index: InvertedIndex, terms: list[str]) -> DataFrame:
-    """doc rows carrying one positions array column per query term (p0..pn-1);
-    inner n-way join on doc — docs containing ALL terms."""
-    out = None
-    for i, t in enumerate(terms):
-        cur = index.postings.filter(F.col("term") == t).select(
-            "doc", F.col("positions").alias(f"p{i}")
-        )
-        out = cur if out is None else out.join(cur, "doc")
-    return out
+    """doc rows carrying one positions array column per query term (p0..pn-1),
+    restricted to docs containing ALL terms — as ONE postings scan
+    (term IN (...) + groupBy doc with a per-term positions pivot) instead of
+    one filtered scan per term chained through M-1 self-joins: scan volume
+    is constant in M and a single aggregation replaces the join shuffles.
+    Duplicate query terms (e.g. a repeated phrase word) share the scanned
+    positions array, exactly as the join form duplicated it."""
+    uniq = list(dict.fromkeys(terms))
+    sub = index.postings.filter(F.col("term").isin(uniq)).select(
+        "doc", "term", "positions"
+    )
+    aggs = [
+        F.first(
+            F.when(F.col("term") == t, F.col("positions")), ignorenulls=True
+        ).alias(f"u{i}")
+        for i, t in enumerate(uniq)
+    ]
+    # postings are unique per (doc, term), so count(*) == matched term count
+    agg = (
+        sub.groupBy("doc")
+        .agg(*aggs, F.count(F.lit(1)).alias("_nt"))
+        .filter(F.col("_nt") == len(uniq))
+    )
+    pos_of = {t: f"u{i}" for i, t in enumerate(uniq)}
+    return agg.select(
+        "doc", *[F.col(pos_of[t]).alias(f"p{i}") for i, t in enumerate(terms)]
+    )
 
 
 def match_phrase(index: InvertedIndex, terms: list[str], score: bool = True) -> DataFrame:
