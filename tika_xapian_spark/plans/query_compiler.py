@@ -58,6 +58,53 @@ _TOKEN_PATTERN = re.compile(
     r"(?P<tagged>\w+:\"[^\"]*\"|\w+:\S+)|(?P<quoted>\"[^\"]*\")|(?P<word>\S+)"
 )
 
+# Reference-lexer token for the FINAL operator chunk (the input of
+# expression_into_query, xapian_utils.rs:441-443): whitespace, a quoted
+# phrase, or a word / field:value / trailing-* wildcard. Our documented
+# extensions over the reference's alnum-only `word`: a leading +/- (Q16
+# love/hate) and -/. joined word parts (hyphenated words stay one token).
+_LEX_TOKEN = re.compile(
+    r"""\s+
+      | "[^"]*"
+      | [+\-]?\w+(?:[-.]\w+)*(?::(?:"[^"]*"|\w+(?:[-.]\w+)*))?\*?
+    """,
+    re.VERBOSE,
+)
+
+
+def _final_chunk_tokens(chunk: str):
+    """Tokens of the final chunk with the reference's STREAMING-lexer
+    semantics, both pinned by its green goldens (xapian_utils.rs:486-554):
+
+      1. lexing stops at the first character that can start no token (e.g.
+         a backslash) and the REST OF THE INPUT IS DISCARDED — many1() in
+         expression() simply returns what it has;
+      2. a ``field:word`` token followed by anything but whitespace (end of
+         input, or a dead character) cannot complete XapianTag::parse —
+         nom's streaming ``word`` needs a byte after the value (the
+         reference's own tag_no_trailing_whitespace test asserts this) — so
+         it falls back to plain parse_query WITHOUT prefix registration: an
+         unprefixed implicit phrase (golden 2's ``(tag@1 PHRASE 2 rust@2)``,
+         :526-530). Quoted values close on their quote and keep the prefix.
+
+    Yields (token_text, degrade_field). Non-final chunks keep the intended
+    grammar (whitespace tokenizer, prefixes always honored) — same policy as
+    the Q21 operator-splitter decision in SURVEY.md §2.4."""
+    pos, n = 0, len(chunk)
+    while pos < n:
+        m = _LEX_TOKEN.match(chunk, pos)
+        if m is None or m.end() == pos:
+            break  # dead character: the reference discards the rest
+        pos = m.end()
+        tok = m.group(0)
+        if tok.isspace():
+            continue
+        degrade = bool(
+            re.fullmatch(r"\w+:[\w.-]+", tok)
+            and (pos >= n or not chunk[pos].isspace())
+        )
+        yield tok, degrade
+
 
 # ---------------------------------------------------------------------- AST
 
@@ -179,20 +226,31 @@ def _word_node(word: str, prefix: str, partial: bool) -> Node | None:
     return StemTerm(terms[0], prefix)
 
 
-def _chunk_to_node(chunk: str, partial: bool) -> Node:
-    """expression_into_query: tokens OR-folded (Q20), with love/hate (Q16)."""
+def _chunk_to_node(chunk: str, partial: bool, final_chunk: bool = False) -> Node:
+    """expression_into_query: tokens OR-folded (Q20), with love/hate (Q16).
+    The final chunk uses the reference-lexer semantics
+    (_final_chunk_tokens); earlier chunks the intended grammar."""
     loves: list[Node] = []
     hates: list[Node] = []
     others: list[Node] = []
-    for m in _TOKEN_PATTERN.finditer(chunk):
-        tok = m.group(0)
+    if final_chunk:
+        tokens = list(_final_chunk_tokens(chunk))
+    else:
+        tokens = [(m.group(0), False) for m in _TOKEN_PATTERN.finditer(chunk)]
+    for tok, degrade in tokens:
         bucket = others
-        if m.group("word"):
+        if not tok.startswith('"'):
             if tok.startswith("+") and len(tok) > 1:
                 tok, bucket = tok[1:], loves
             elif tok.startswith("-") and len(tok) > 1:
                 tok, bucket = tok[1:], hates
-        node = _parse_token(tok, partial)
+        if degrade:
+            # unprefixed implicit phrase of the token's words — the
+            # reference's parse_query fallback for an unterminated field
+            words = scan_terms(tok)
+            node = PhraseTerms(words, "") if words else None
+        else:
+            node = _parse_token(tok, partial)
         if node is not None:
             bucket.append(node)
 
@@ -222,12 +280,14 @@ def compile_query(qstr: str, partial: bool = True) -> Node:
     """Split on operator keywords, parse chunks, fold left-associatively
     (parse_user_query :598-643)."""
     parts = _OP_PATTERN.split(qstr)
-    # parts = [chunk, op, chunk, op, ...]
-    node = _chunk_to_node(parts[0], partial)
+    # parts = [chunk, op, chunk, op, ...]; the LAST chunk goes through
+    # expression_into_query in the reference, hence the lexer semantics
+    node = _chunk_to_node(parts[0], partial, final_chunk=len(parts) == 1)
     i = 1
     while i + 1 < len(parts):
         op = re.sub(r"\s+", " ", parts[i].upper())
         rhs_text = parts[i + 1]
+        is_final = i + 1 == len(parts) - 1
         i += 2
         if op == "SCALED":
             m = _NUMBER.match(rhs_text)
@@ -239,7 +299,7 @@ def compile_query(qstr: str, partial: bool = True) -> Node:
             if m:
                 node = Elite(node, int(float(m.group(1))))
                 continue
-        rhs = _chunk_to_node(rhs_text, partial)
+        rhs = _chunk_to_node(rhs_text, partial, final_chunk=is_final)
         if op == "AND MAYBE":
             node = Bool("AND_MAYBE", node, rhs)
         elif op == "AND NOT":

@@ -85,6 +85,23 @@ def q_events_stream_sessionized(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def q_events_stream_sessionized_timeout(spark, sf_dir):
+    """The AT-SCALE finalization of the same stateful sessionization:
+    GroupStateTimeout.EventTimeTimeout — idle users emit and retire when
+    the event-time watermark passes last_event + idle_sec, no sentinel data
+    rows (streaming/sessionize.py::run_timeout_sessions). idle_sec = 365
+    days exceeds every within-user gap in the corpus, so the emitted rows
+    equal the batch window-function aggregation and the same SQL oracle
+    gates this path too."""
+    from ..streaming.sessionize import run_timeout_sessions
+    from .workdirs import work_dir
+
+    work = work_dir("stream_sessions_timeout", f"{sf_dir}/events.parquet", fresh=True)
+    return run_timeout_sessions(
+        spark, f"{sf_dir}/events.parquet", work, idle_sec=365 * 24 * 3600
+    ).orderBy("user_id")
+
+
 def q_events_sessionized(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity): per-user session count
     and longest session by events — lag + running-sum window functions."""
@@ -356,6 +373,7 @@ REL_QUERIES = {
     "events_stream_windowed": q_events_stream_windowed,
     "events_sessionized": q_events_sessionized,
     "events_stream_sessionized": q_events_stream_sessionized,
+    "events_stream_sessionized_timeout": q_events_stream_sessionized_timeout,
     "events_top_users": q_events_top_users,
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "tpch_top_customers": q_tpch_top_customers,
@@ -371,6 +389,7 @@ def rel_oracle_sqls() -> dict[str, str]:
         "events_stream_windowed": ORACLE_EVENTS_WINDOWED,
         "events_sessionized": ORACLE_EVENTS_SESSIONS,
         "events_stream_sessionized": ORACLE_EVENTS_SESSIONS,
+        "events_stream_sessionized_timeout": ORACLE_EVENTS_SESSIONS,
         "events_top_users": ORACLE_EVENTS_TOP_USERS,
         "tpch_pricing_summary": ORACLE_TPCH_PRICING,
         "tpch_top_customers": ORACLE_TPCH_TOP_CUSTOMERS,

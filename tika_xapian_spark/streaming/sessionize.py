@@ -19,9 +19,20 @@ SQL-checkable finalization (the windowed.py trick, adapted to state):
      its sentinel.
 
 The emitted result equals the batch window-function aggregation exactly, so
-the same DuckDB oracle gates both. At scale the operator runs continuously
-with ``GroupStateTimeout.EventTimeTimeout`` finalizing idle users instead of
-a sentinel; state is one small tuple per active user, shuffled by user_id.
+the same DuckDB oracle gates both. State is one small tuple per active user,
+shuffled by user_id.
+
+Two finalization forms, both implemented:
+
+  run_finalized_sessions   sentinel rows + checkpointed restart (test
+                           harness: deterministic, every user finalizes);
+  run_timeout_sessions     ``GroupStateTimeout.EventTimeTimeout`` — the
+                           AT-SCALE form: an idle user's state emits and
+                           retires when the event-time watermark passes
+                           last_event + idle_sec, exactly how a continuous
+                           ingest pipeline bounds its state store. A user
+                           reappearing after retirement starts a fresh
+                           epoch (per-user-epoch rows downstream).
 """
 
 from __future__ import annotations
@@ -97,6 +108,51 @@ def make_session_fn(gap_sec: int):
                 )
         else:
             state.update((last_ts, n_sessions, cur_n, max_n))
+
+    return _fn
+
+
+def make_timeout_session_fn(gap_sec: int, idle_sec: int):
+    """EventTimeTimeout variant: same gap-rule state transitions, but
+    finalization comes from the state TIMEOUT — when the event-time
+    watermark passes last_event + idle_sec the group fires with
+    ``state.hasTimedOut`` and no rows, emits its aggregate, and retires.
+    No sentinel rows anywhere in the data."""
+
+    def _fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            last_ts, n_sessions, cur_n, max_n = state.get
+            state.remove()
+            if n_sessions > 0:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "n_sessions": [n_sessions],
+                        "max_session_events": [max_n],
+                    }
+                )
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        last_ts, n_sessions, cur_n, max_n = (
+            state.get if state.exists else (_NO_TS, 0, 0, 0)
+        )
+        secs = (
+            batch["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+        ).sort_values()
+        for t in secs:
+            if last_ts == _NO_TS or t - last_ts > gap_sec:
+                n_sessions += 1
+                cur_n = 1
+            else:
+                cur_n += 1
+            if cur_n > max_n:
+                max_n = cur_n
+            last_ts = int(t)
+        state.update((last_ts, n_sessions, cur_n, max_n))
+        state.setTimeoutTimestamp((last_ts + idle_sec) * 1000)
 
     return _fn
 
@@ -185,3 +241,67 @@ def run_finalized_sessions(
     make_query()  # phase 2: every group sees its sentinel and finalizes
 
     return spark.read.parquet(out)
+
+
+def run_timeout_sessions(
+    spark: SparkSession,
+    events_parquet: str,
+    work_dir: str,
+    gap_sec: int = 1800,
+    idle_sec: int = 7 * 24 * 3600,
+    n_chunks: int = 3,
+) -> DataFrame:
+    """The at-scale finalization: users retire by EventTimeTimeout when the
+    watermark passes last_event + idle_sec — no sentinel data rows. The
+    trailing watermark-advancer event (user_id=-1, far-future ts) plays the
+    role live traffic plays in a continuous pipeline: the stream's own
+    progress retires idle users. Equal to the batch aggregation whenever
+    ``idle_sec`` exceeds every within-user inactivity gap (otherwise a user
+    legitimately finalizes mid-stream and a reappearance starts a new
+    epoch — per-user-epoch semantics, documented above)."""
+    inp = os.path.join(work_dir, "input")
+    out = os.path.join(work_dir, "out")
+    ckpt = os.path.join(work_dir, "ckpt")
+    _stage_time_ordered(spark, events_parquet, inp, n_chunks)
+
+    from .windowed import _run_available_now
+
+    def make_query():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inp)
+            .select("user_id", "ts", "event_type")
+            .withWatermark("ts", "0 seconds")  # staged chunks are time-ordered
+        )
+        sessions = stream.groupBy("user_id").applyInPandasWithState(
+            make_timeout_session_fn(gap_sec, idle_sec),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        _run_available_now(sessions, out, ckpt)
+
+    make_query()  # phase 1: state built across time-ordered batches
+
+    max_ts = spark.read.parquet(events_parquet).agg(
+        F.max("ts").alias("m")
+    ).collect()[0]["m"]
+    advancer = spark.range(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (
+            F.lit(max_ts)
+            + F.expr(f"INTERVAL {idle_sec} SECONDS")
+            + F.expr("INTERVAL 1 DAYS")
+        ).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("__watermark_advancer__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    advancer.coalesce(1).write.mode("append").parquet(inp)
+
+    make_query()  # phase 2: the watermark passes every timeout -> all emit
+
+    return spark.read.parquet(out).filter(F.col("user_id") >= 0)
