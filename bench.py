@@ -118,6 +118,8 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_minhash_pairs",
         "text_simhash",
         "ann_cosine_topk",
+        "ann_multiprobe_topk",  # written-index path: partition-pruned probe
+        "spelling_suggest",  # persistent trigram table point lookup
         "text_quality",
         "tpch_pricing_summary",
         "events_sessionized",
@@ -161,7 +163,16 @@ def ann_recall(spark, sf_dir: str) -> dict:
                 "scan_fraction": round(n_cand / max(n, 1), 4),
             }
         )
-    return {"n_planes": SIM.N_PLANES, "multiprobe_curve": curve}
+    # the written index table's partition-level pruning (operators/ann_index):
+    # fraction of leaf cell=/hbucket= directories the default probe scans
+    from tika_xapian_spark.plans.data_queries import _ann_index
+
+    idx = _ann_index(spark, sf_dir)
+    return {
+        "n_planes": SIM.N_PLANES,
+        "multiprobe_curve": curve,
+        "written_index_probe_fraction": round(idx.probe_fraction(qv), 4),
+    }
 
 
 def bench_once() -> dict:
