@@ -49,6 +49,7 @@ class AnnIndex:
     sign_dims: tuple[int, ...]
     id_col: str = "vec_id"
     vec_col: str = "embedding"
+    _vectors: DataFrame | None = None  # cached relation (file listing done once)
 
     # ------------------------------------------------------------ build/io
 
@@ -115,7 +116,16 @@ class AnnIndex:
         )
 
     def vectors(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.base_dir, "vectors"))
+        """The index relation. Cached on the instance: partition DISCOVERY
+        (listing the cell=/hbucket= leaves) runs once per index handle — the
+        role a table catalog's metadata cache plays at cluster scale; with a
+        fresh read per query, listing dominates small-corpus probe latency.
+        Partition PRUNING still happens per query at planning time."""
+        if self._vectors is None:
+            self._vectors = self.spark.read.parquet(
+                os.path.join(self.base_dir, "vectors")
+            )
+        return self._vectors
 
     # ------------------------------------------------------------- queries
     # Probe selection is driver-side arithmetic over the stored quantizer

@@ -278,12 +278,17 @@ ORDER BY cos_micro DESC, vec_id
 LIMIT 25"""
 
 
+_ANN_INDEX_CACHE: dict[tuple[str, str], object] = {}
+
+
 def _ann_index(spark, sf_dir):
     """Build-once written ANN index for this corpus (operators/ann_index.py):
     the bucket/cell assignments are materialized as partition columns at
     ingest — queries probe with partition-pruned scans instead of
-    recomputing per-row hash math per query. Cached per input fingerprint
-    (plans/workdirs.py), the local stand-in for a written catalog table."""
+    recomputing per-row hash math per query. The on-disk table is cached per
+    input fingerprint (plans/workdirs.py) and the opened handle per session
+    (so partition discovery runs once, like a catalog's metadata cache) —
+    the local stand-in for a written catalog table."""
     from ..operators.ann_index import AnnIndex
     from .workdirs import cached_build
 
@@ -291,7 +296,10 @@ def _ann_index(spark, sf_dir):
     d = cached_build(
         "ann_index", emb_path, lambda out: AnnIndex.build(_emb(spark, sf_dir), out)
     )
-    return AnnIndex.read(spark, d)
+    key = (spark.sparkContext.applicationId, d)
+    if key not in _ANN_INDEX_CACHE:
+        _ANN_INDEX_CACHE[key] = AnnIndex.read(spark, d)
+    return _ANN_INDEX_CACHE[key]
 
 
 def q_ann_lsh_topk(spark, sf_dir):
