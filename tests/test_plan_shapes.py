@@ -180,3 +180,34 @@ class TestPositionalFusion:
             plan = df._jdf.queryExecution().executedPlan().toString()
             assert plan.count("FileScan parquet") == 1
             assert "Join" not in plan  # pivot aggregation, no self-joins
+
+
+class TestConnectedComponents:
+    def test_chain_and_singletons(self, spark):
+        """Transitive closure across multi-hop chains (label must propagate
+        the full diameter), separate components stay separate, vertices with
+        no edges map to themselves."""
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11)],
+            "doc_a long, doc_b long",
+        )
+        verts = spark.createDataFrame(
+            [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]], "doc_id long"
+        )
+        got = {
+            r["v"]: r["component"]
+            for r in D.connected_components(edges, verts).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+    def test_reversed_chain_worst_case(self, spark):
+        # labels must flow AGAINST the edge direction too (undirected)
+        edges = spark.createDataFrame(
+            [(5, 4), (4, 3), (3, 2), (2, 1)], "doc_a long, doc_b long"
+        )
+        verts = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+        got = {
+            r["v"]: r["component"]
+            for r in D.connected_components(edges, verts).collect()
+        }
+        assert got == {i: 1 for i in range(1, 6)}

@@ -256,3 +256,63 @@ def simhash_near_pairs(
         "doc_b",
         F.expr("bit_count(sh_a ^ sh_b)").cast("int").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-duplicate components: (v, component) for every vertex, where
+    component = the MINIMUM vertex id reachable through the undirected edge
+    set — the step after pair generation in a production dedup pipeline
+    (pairs alone don't dedup; transitive clusters with one canonical doc per
+    cluster do).
+
+    Iterative min-label propagation: each round every vertex takes the min
+    of its own label and its neighbors' labels — one equi-join + one
+    map-side-combining groupBy(min) per round, converging in graph-diameter
+    rounds (near-dup clusters are shallow: diameter is small even when
+    clusters are large, since near-dups of near-dups share shingles). This
+    is the doubling-free variant of Kiveris et al.'s star contractions —
+    the right trade at near-dup graph shapes, where diameter ~ O(1); swap in
+    large-star/small-star if a corpus exhibits chain-shaped components.
+
+    Scale hygiene: labels are localCheckpoint()ed each round, so the plan
+    stays one round deep instead of growing with the iteration count, and
+    the convergence test (count of changed labels) reuses the checkpointed
+    frame. ``edges``: (doc_a, doc_b) pairs; ``vertices``: one column of ids.
+    """
+    vcol = vertices.columns[0]
+    sym = (
+        edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = vertices.select(
+        F.col(vcol).alias("v"), F.col(vcol).alias("component")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        prop = sym.join(
+            labels.select(F.col("v").alias("u"), "component"), "u"
+        ).select("v", "component")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("v")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "_old"), "v"
+            )
+            .filter(F.col("component") != F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

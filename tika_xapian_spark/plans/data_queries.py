@@ -568,6 +568,46 @@ CURATE_QUALITY_MIN = 450_000
 CURATE_JACCARD_MIN = 500_000
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup CONNECTED COMPONENTS — the step after pair generation in a
+    production dedup flow: minhash-LSH verified pairs (jaccard >= 0.5) form
+    an undirected graph; every document maps to the min doc id of its
+    component (its canonical representative; singletons map to themselves).
+    Iterative min-label propagation in Spark (operators/dedup.py); the
+    oracle recomputes the identical components with a recursive CTE over
+    the same spliced pair SQL."""
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).filter(
+        F.col("jaccard_micro") >= CURATE_JACCARD_MIN
+    )
+    comps = D.connected_components(pairs, _docs(spark, sf_dir).select("doc_id"))
+    return comps.select(
+        F.col("v").alias("doc_id"), F.col("component").alias("canonical_id")
+    ).orderBy("doc_id")
+
+
+def _components_oracle(j_thresh: int = CURATE_JACCARD_MIN) -> str:
+    """Spliced from ORACLE_MINHASH_PAIRS (single source of truth) + a
+    recursive reachability CTE: reach(v, w) = w reachable from v over the
+    symmetric edge set; component = min(w) per v."""
+    tokc = _TOK_CTE.strip()
+    rest = ORACLE_MINHASH_PAIRS.split(tokc, 1)[1].lstrip(",\n")
+    mh_ctes, sel = rest.rsplit("\nSELECT c.doc_a,", 1)
+    mh_sel = ("SELECT c.doc_a," + sel).rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH RECURSIVE {_TOK_CTE.lstrip()},
+{mh_ctes.rstrip().rstrip(",")},
+jac AS ({mh_sel}),
+edge AS (SELECT doc_a AS u, doc_b AS v FROM jac WHERE jaccard_micro >= {j_thresh}),
+sym AS (SELECT u, v FROM edge UNION SELECT v AS u, u AS v FROM edge),
+reach(v, w) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.v, s.v FROM reach r JOIN sym s ON s.u = r.w
+)
+SELECT v AS doc_id, CAST(min(w) AS BIGINT) AS canonical_id
+FROM reach GROUP BY v ORDER BY doc_id"""
+
+
 def q_curate_corpus(spark, sf_dir):
     """End-to-end training-data curation — the composition a 100 TB corpus
     pipeline actually runs: language filter (en) -> quality floor ->
@@ -841,6 +881,7 @@ DATA_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_signature": q_dedup_minhash_signature,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_components": q_dedup_components,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "text_simhash": q_text_simhash,
@@ -866,6 +907,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_minhash_signature": ORACLE_MINHASH_SIG,
         "dedup_minhash_pairs": ORACLE_MINHASH_PAIRS,
+        "dedup_components": _components_oracle(),
         "dedup_ngram_pairs": ORACLE_NGRAM_PAIRS,
         "dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
         "text_simhash": ORACLE_SIMHASH,
