@@ -207,6 +207,17 @@ def op_scale(m: DataFrame, factor: float) -> DataFrame:
     return m.select("doc", (F.col("score") * F.lit(float(factor))).alias("score"))
 
 
+def op_max(left: DataFrame, right: DataFrame) -> DataFrame:
+    """OP_MAX (XC include/xapian/query.h OP_MAX, matcher/maxpostlist.cc):
+    union of the match sets, weight = MAX of the matching subqueries'
+    weights — the operator modern Xapian uses for wildcard expansion so a
+    document matching many expansions isn't over-rewarded. Linked by the
+    reference's engine; exposed here as a first-class combinator."""
+    return (
+        left.unionByName(right).groupBy("doc").agg(F.max("score").alias("score"))
+    )
+
+
 def op_pure_not(index: InvertedIndex, m: DataFrame) -> DataFrame:
     """Q17: all docs minus matches, weight 0 (boolean)."""
     return index.doc_stats.select("doc").join(m, "doc", "left_anti").select(
@@ -643,3 +654,22 @@ def fetch_documents(matches: DataFrame, docs: DataFrame, key: str) -> DataFrame:
     """S6: join the (small) ranked page back to the docs table — Catalyst
     broadcasts the top-k side."""
     return docs.join(F.broadcast(matches), on=docs[key] == matches["doc"]).drop("doc")
+
+
+def facet_counts(
+    matches: DataFrame, docs: DataFrame, key: str, facet_col: str
+) -> DataFrame:
+    """Faceting over the FULL match set (Xapian ValueCountMatchSpy:
+    api/matchspy.cc ValueCountMatchSpy::operator()) — each distinct value of
+    ``facet_col`` with the number of matching documents carrying it.
+
+    One semi-join (match set restricts the docs scan; no score shuffle — the
+    spy never looks at weights) + one partial-aggregated groupBy on the
+    facet value: the plan a 10^12-row corpus wants, since facet cardinality,
+    not match count, bounds the final shuffle."""
+    matched = docs.join(
+        matches.select("doc"), on=docs[key] == matches["doc"], how="left_semi"
+    )
+    return matched.groupBy(F.col(facet_col).alias("value")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

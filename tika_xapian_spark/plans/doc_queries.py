@@ -83,6 +83,26 @@ def q_search_xor(spark, sf_dir):
     )
 
 
+def q_search_max(spark, sf_dir):
+    """OP_MAX (query.h): union of the sides, weight = max subquery weight —
+    the combinator modern Xapian uses for wildcard expansion."""
+    idx = get_index(spark, sf_dir)
+    return _finalize(
+        S.op_max(S.score_terms(idx, _zt(["spark"])), S.score_terms(idx, _zt(["slow"])))
+    )
+
+
+def q_search_facets(spark, sf_dir):
+    """Faceting over the FULL match set (ValueCountMatchSpy analogue):
+    matching-doc count per lang value for a free-text query."""
+    idx = get_index(spark, sf_dir)
+    matches = S.score_terms(idx, _zt(["spark", "merge"]))
+    return (
+        S.facet_counts(matches, _docs(spark, sf_dir), "doc_id", "lang")
+        .orderBy("value")
+    )
+
+
 def q_search_and_maybe(spark, sf_dir):
     idx = get_index(spark, sf_dir)
     return _finalize(
@@ -339,6 +359,8 @@ QUERIES = {
     "search_and": q_search_and,
     "search_and_not": q_search_and_not,
     "search_xor": q_search_xor,
+    "search_max": q_search_max,
+    "search_facets": q_search_facets,
     "search_and_maybe": q_search_and_maybe,
     "search_filter": q_search_filter,
     "search_phrase": q_search_phrase,
@@ -463,6 +485,8 @@ SELECT word, suggestion, distance, df FROM ranked WHERE rn = 1 ORDER BY word"""
         "search_and": oracles.bool_op("and", ["spark"], ["merge"]),
         "search_and_not": oracles.bool_op("and_not", ["spark"], ["merge"]),
         "search_xor": oracles.bool_op("xor", ["spark"], ["slow"]),
+        "search_max": oracles.bool_op("max", ["spark"], ["slow"]),
+        "search_facets": oracles.facets(["spark", "merge"], "lang"),
         "search_and_maybe": oracles.bool_op("and_maybe", ["join"], ["merge"]),
         "search_filter": oracles.bool_op("filter", ["join"], ["spark"]),
         "search_phrase": oracles.phrase(["group", "order"]),

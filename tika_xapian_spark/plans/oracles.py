@@ -185,10 +185,28 @@ def bool_op(op: str, words_l: list[str], words_r: list[str], k: int = 100) -> st
                         coalesce(l.score, r.score) AS score
                  FROM lmatch l FULL OUTER JOIN rmatch r USING (doc_id)
                  WHERE (l.doc_id IS NULL) <> (r.doc_id IS NULL)"""
+    elif op == "max":
+        sel = """SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+                        greatest(coalesce(l.score, 0), coalesce(r.score, 0)) AS score
+                 FROM lmatch l FULL OUTER JOIN rmatch r USING (doc_id)"""
     else:
         raise ValueError(op)
     return (
         pre + f", matches AS ({sel})" + TOPK_TAIL.format(k=k)
+    )
+
+
+def facets(words: list[str], facet_col: str) -> str:
+    """Facet counts over the FULL match set of a free-text query
+    (ValueCountMatchSpy analogue): facet value -> matching-doc count."""
+    return (
+        "WITH " + base_ctes() + "," + _tweight_sql(qvalues(zterms(words)))
+        + "," + _score_sql()
+        + f"""
+SELECT d.{facet_col} AS value, count(*) AS n_docs
+FROM matches m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY d.{facet_col}
+ORDER BY value"""
     )
 
 
