@@ -656,6 +656,71 @@ def fetch_documents(matches: DataFrame, docs: DataFrame, key: str) -> DataFrame:
     return docs.join(F.broadcast(matches), on=docs[key] == matches["doc"]).drop("doc")
 
 
+def expand_terms(
+    index: InvertedIndex,
+    rset: DataFrame,
+    max_esize: int = 10,
+    expand_k: float = 1.0,
+    exclude: list[str] | None = None,
+    min_wt: float = 0.0,
+) -> DataFrame:
+    """ESet query expansion — ``Enquire::get_eset`` (XC api/omenquire.cc:
+    586-640, expand loop esetinternal.cc:150-210) with the default
+    TradEWeight scheme, reproduced exactly:
+
+      per relevant doc containing t (expandweight.h ExpandStats::accumulate):
+        multiplier += (k+1)*wdf / (k*doclen/avlen + wdf)   [wdf 0 -> 1]
+      per candidate term (tradeweight.cc:31-41):
+        tw = ln( (r+0.5)(N - n - (R-r) + 0.5) / ((n-r+0.5)(R-r+0.5)) )
+        wt = multiplier * tw
+      r = relevant docs containing t, n = df(t), N = collection size,
+      R = |rset|; keep wt > min_wt; query terms excluded
+      (ExpandDeciderFilterTerms) via ``exclude``.
+
+    The reference links this engine op but never surfaces it in the TUI;
+    exposed here as the relevance-feedback operator a retrieval pipeline
+    needs. Plan shape: the rset is a broadcast semi-join into one postings
+    scan, the aggregation is map-side-combined per term, and the result is
+    a bounded top-``max_esize`` — no driver-side iteration over candidates
+    (Xapian walks a termlist tree; the DataFrame form is the same math as
+    one scan + one groupBy)."""
+    rel = F.broadcast(rset.select("doc"))
+    rsize = rset.count()  # bounded: user-marked relevant docs
+    if rsize == 0:
+        return index.term_stats.select(
+            "term", F.lit(0.0).alias("wt")
+        ).limit(0)
+    avg_len = index.avg_len if index.avg_len > 0 else 1.0
+    wdf_adj = F.greatest(F.col("wdf"), F.lit(1))
+    m = (F.lit(expand_k + 1) * wdf_adj) / (
+        F.lit(expand_k) * F.col("doclen") / F.lit(avg_len) + wdf_adj
+    )
+    contrib = (
+        index.postings.join(rel, "doc", "left_semi")
+        .join(index.doc_stats, "doc")
+        .select("term", m.alias("m"))
+    )
+    cand = contrib.groupBy("term").agg(
+        F.sum("m").alias("multiplier"), F.count(F.lit(1)).alias("r")
+    )
+    if exclude:
+        cand = cand.filter(~F.col("term").isin(list(exclude)))
+    n_col = F.col("df").cast("double")
+    r_col = F.col("r").cast("double")
+    rel_without = F.lit(float(rsize)) - r_col
+    tw = F.log(
+        ((r_col + 0.5) * (F.lit(float(index.n_docs)) - n_col - rel_without + 0.5))
+        / ((n_col - r_col + 0.5) * (rel_without + 0.5))
+    )
+    return (
+        cand.join(index.term_stats.select("term", "df"), "term")
+        .select("term", (F.col("multiplier") * tw).alias("wt"))
+        .filter(F.col("wt") > F.lit(float(min_wt)))
+        .orderBy(F.desc("wt"), F.asc("term"))
+        .limit(max_esize)
+    )
+
+
 def facet_counts(
     matches: DataFrame, docs: DataFrame, key: str, facet_col: str
 ) -> DataFrame:

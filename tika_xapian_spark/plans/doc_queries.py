@@ -103,6 +103,22 @@ def q_search_facets(spark, sf_dir):
     )
 
 
+ESET_REL_DOCS = [1, 2, 3, 5, 8]
+ESET_EXCLUDE = ["Zspark", "Zmerg"]
+
+
+def q_search_eset(spark, sf_dir):
+    """ESet relevance-feedback expansion (Enquire::get_eset, TradEWeight
+    exact): the top expansion terms suggested by 5 marked-relevant docs,
+    with the original query's terms excluded (ExpandDeciderFilterTerms)."""
+    idx = get_index(spark, sf_dir)
+    rset = spark.createDataFrame([(d,) for d in ESET_REL_DOCS], "doc long")
+    out = S.expand_terms(idx, rset, max_esize=10, exclude=ESET_EXCLUDE)
+    return out.select(
+        "term", F.round(F.col("wt") * 1_000_000).cast("long").alias("wt_micro")
+    ).orderBy(F.desc("wt_micro"), F.asc("term"))
+
+
 def q_search_and_maybe(spark, sf_dir):
     idx = get_index(spark, sf_dir)
     return _finalize(
@@ -361,6 +377,7 @@ QUERIES = {
     "search_xor": q_search_xor,
     "search_max": q_search_max,
     "search_facets": q_search_facets,
+    "search_eset": q_search_eset,
     "search_and_maybe": q_search_and_maybe,
     "search_filter": q_search_filter,
     "search_phrase": q_search_phrase,
@@ -487,6 +504,7 @@ SELECT word, suggestion, distance, df FROM ranked WHERE rn = 1 ORDER BY word"""
         "search_xor": oracles.bool_op("xor", ["spark"], ["slow"]),
         "search_max": oracles.bool_op("max", ["spark"], ["slow"]),
         "search_facets": oracles.facets(["spark", "merge"], "lang"),
+        "search_eset": oracles.eset(ESET_REL_DOCS, 10, exclude=ESET_EXCLUDE),
         "search_and_maybe": oracles.bool_op("and_maybe", ["join"], ["merge"]),
         "search_filter": oracles.bool_op("filter", ["join"], ["spark"]),
         "search_phrase": oracles.phrase(["group", "order"]),

@@ -210,6 +210,47 @@ ORDER BY value"""
     )
 
 
+def eset(
+    rel_docs: list[int],
+    max_esize: int = 10,
+    expand_k: float = 1.0,
+    exclude: list[str] | None = None,
+) -> str:
+    """ESet expansion oracle: exact TradEWeight (tradeweight.cc:31-41 +
+    ExpandStats::accumulate) over the relevant-doc set."""
+    rels = ", ".join(f"({d})" for d in rel_docs)
+    rsize = len(rel_docs)
+    excl = ""
+    if exclude:
+        terms = ", ".join(f"'{t}'" for t in exclude)
+        excl = f"AND term NOT IN ({terms})"
+    return (
+        "WITH " + base_ctes() + f""",
+rel(doc_id) AS (VALUES {rels}),
+contrib AS (
+  SELECT p.term,
+         (({expand_k} + 1) * greatest(p.wdf, 1))
+           / ({expand_k} * d.doclen / c.avg_len + greatest(p.wdf, 1)) AS m
+  FROM allpost p
+       JOIN rel r ON r.doc_id = p.doc_id
+       JOIN doclen d ON d.doc_id = p.doc_id
+       CROSS JOIN coll c
+),
+cand AS (SELECT term, sum(m) AS multiplier, count(*) AS r FROM contrib GROUP BY term),
+wt AS (
+  SELECT c2.term,
+         c2.multiplier * ln(
+             ((c2.r + 0.5) * (co.n - s.df - ({rsize} - c2.r) + 0.5))
+           / ((s.df - c2.r + 0.5) * (({rsize} - c2.r) + 0.5))) AS wt
+  FROM cand c2 JOIN tstats s USING (term) CROSS JOIN coll co
+)
+SELECT term, CAST(round(wt * 1000000) AS BIGINT) AS wt_micro
+FROM wt WHERE wt > 0 {excl}
+ORDER BY wt_micro DESC, term
+LIMIT {max_esize}"""
+    )
+
+
 def _scored_in(docset_cte: str) -> str:
     """matches CTE: BM25 sum restricted to docs in ``docset_cte``."""
     return f"""matches AS (
