@@ -35,6 +35,14 @@ def normalize(rows, cols):
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
+# Queries whose algorithm is genuinely non-SQL-expressible: no DuckDB
+# oracle (the driver records a rows-only check); their correctness gate is
+# a dedicated golden/parity pytest instead, named here.
+NON_SQL_QUERIES = {
+    "search_snippets": "tests/test_snippets.py (xapian api_snippets goldens)",
+}
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
 def test_query_matches_oracle(spark, ddb, name):
     q = entrymod.queries()[name]
@@ -42,6 +50,10 @@ def test_query_matches_oracle(spark, ddb, name):
     sdf = q(spark, SF_DIR)
     scols = sdf.columns
     srows = [tuple(r[c] for c in scols) for r in sdf.collect()]
+    if name in NON_SQL_QUERIES:
+        assert sql is None
+        assert len(srows) > 0  # rows-only check; real gate per NON_SQL_QUERIES
+        return
     assert sql is not None, f"no oracle for {name}"
     res = ddb.execute(sql)
     ocols = [d[0] for d in res.description]

@@ -105,16 +105,22 @@ def scan_terms(text: str) -> list[str]:
 
         term = ""
         ch0 = text[i]
-        # acronym scan: ASCII uppercase letters separated by '.'
+        # acronym scan: ASCII uppercase letters separated by '.'. Faithful
+        # iterator semantics (termgenerator_internal.cc parse_terms do-while:
+        # `*p == '.' && ++p != end && U_isupper(*p)`): a '.' after the last
+        # letter is CONSUMED even when the acronym ends there (so "N.A.T.O. "
+        # scans past the final dot), and if a wordchar follows that consumed
+        # dot the acronym is rejected wholesale ("A.B.x" -> a, b, x).
         if ch0.isascii() and ch0.isupper():
             p = i
             acr = ""
             while True:
                 acr += text[p].lower()
                 p += 1
-                if p < n and text[p] == "." and p + 1 < n and text[p + 1].isascii() and text[p + 1].isupper():
-                    p += 1
-                    continue
+                if p < n and text[p] == ".":
+                    p += 1  # dot consumed even when the acronym ends here
+                    if p < n and text[p].isascii() and text[p].isupper():
+                        continue
                 break
             if len(acr) > 1 and (p >= n or not _is_wordchar(text[p])):
                 out.append(acr)

@@ -103,6 +103,25 @@ def q_search_facets(spark, sf_dir):
     )
 
 
+def q_search_snippets(spark, sf_dir):
+    """MSet::snippet per hit of the ranked page (the TUI's result
+    rendering): top-5 docs for spark/merge with <b>-highlighted best-window
+    snippets at length 120. No SQL oracle — the snippet algorithm (sliding
+    DECAY window, sentence/punctuation heuristics, background model) is not
+    SQL-expressible; parity is pinned string-equal against xapian-core's
+    api_snippets.cc goldens in tests/test_snippets.py, and the driver
+    records the rows-only check for this entry."""
+    from ..operators.snippet import snippets_for_page
+
+    idx = get_index(spark, sf_dir)
+    zts = _zt(["spark", "merge"])
+    top = S.top_k(S.score_terms(idx, zts), k=5)
+    page = S.fetch_documents(top, _docs(spark, sf_dir), key="doc_id")
+    return snippets_for_page(
+        idx, page, "doc_id", "text", loose_terms=zts, length=120
+    ).orderBy("doc_id")
+
+
 ESET_REL_DOCS = [1, 2, 3, 5, 8]
 ESET_EXCLUDE = ["Zspark", "Zmerg"]
 
@@ -378,6 +397,7 @@ QUERIES = {
     "search_max": q_search_max,
     "search_facets": q_search_facets,
     "search_eset": q_search_eset,
+    "search_snippets": q_search_snippets,
     "search_and_maybe": q_search_and_maybe,
     "search_filter": q_search_filter,
     "search_phrase": q_search_phrase,
