@@ -224,10 +224,17 @@ def _doc_postings_df(docs: DataFrame, key: str, udf_col: Column) -> DataFrame:
 
 
 def explode_doc_postings(carrier: DataFrame) -> DataFrame:
-    """carrier -> postings(doc, term, wdf, positions) with no shuffle."""
+    """carrier -> postings(doc, term, wdf, positions, doclen), no shuffle.
+
+    doclen rides every posting row — the same denormalization Xapian's
+    postlist entries use (each chert/glass entry stores wdf AND doclen), so
+    BM25 scoring is a pure map over the postings scan with NO doc_stats
+    join: at 10^12 docs that join would shuffle the full doc-stats side per
+    query. Storage cost is one RLE-friendly int per posting."""
     return (
         carrier.select(
             "doc",
+            F.col("p.doclen").cast("long").alias("doclen"),
             F.explode(F.arrays_zip("p.terms", "p.wdfs", "p.positions")).alias("e"),
         )
         .select(
@@ -235,6 +242,7 @@ def explode_doc_postings(carrier: DataFrame) -> DataFrame:
             F.col("e.terms").alias("term"),
             F.col("e.wdfs").alias("wdf"),
             F.col("e.positions").alias("positions"),
+            "doclen",
         )
     )
 
@@ -319,12 +327,14 @@ def extract_index_carrier(pages: DataFrame, stem: bool = True) -> DataFrame:
 
 
 def explode_fused_carrier(carrier: DataFrame) -> DataFrame:
-    """fused carrier -> postings(doc, term, wdf, positions), ok rows only,
-    no shuffle."""
+    """fused carrier -> postings(doc, term, wdf, positions, doclen), ok rows
+    only, no shuffle. doclen denormalized per posting — see
+    explode_doc_postings."""
     return (
         carrier.filter(F.col("status") == "ok")
         .select(
             "doc",
+            F.col("doclen").cast("long").alias("doclen"),
             F.explode(F.arrays_zip("terms", "wdfs", "positions")).alias("e"),
         )
         .select(
@@ -332,6 +342,7 @@ def explode_fused_carrier(carrier: DataFrame) -> DataFrame:
             F.col("e.terms").alias("term"),
             F.col("e.wdfs").alias("wdf"),
             F.col("e.positions").alias("positions"),
+            "doclen",
         )
     )
 
@@ -361,6 +372,10 @@ def salted_repartition(
 
 
 def build_doc_stats(postings: DataFrame) -> DataFrame:
+    if "doclen" in postings.columns:  # denormalized layout: no re-summing
+        return postings.groupBy("doc").agg(
+            F.max("doclen").cast("long").alias("doclen")
+        )
     return postings.groupBy("doc").agg(F.sum("wdf").cast("long").alias("doclen"))
 
 

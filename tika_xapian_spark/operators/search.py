@@ -113,13 +113,11 @@ def score_terms(
     postings = index.postings
     if candidates is not None:
         postings = postings.join(candidates.select("doc"), "doc", "left_semi")
-    return (
-        postings.join(F.broadcast(weights), "term")
-        .join(index.doc_stats, "doc")
-        .withColumn("part", part)
-        .groupBy("doc")
-        .agg(*aggs)
-    )
+    scored = postings.join(F.broadcast(weights), "term")
+    if "doclen" not in postings.columns:
+        # legacy layout without denormalized doclen: join doc_stats
+        scored = scored.join(index.doc_stats, "doc")
+    return scored.withColumn("part", part).groupBy("doc").agg(*aggs)
 
 
 def score_terms_all(
@@ -354,7 +352,11 @@ def op_synonym(index: InvertedIndex, terms: list[str], wqf: int = 1) -> DataFram
     postings are the merged member postings (synonympostlist.cc semantics,
     with df = docs matching any member, wdf summed)."""
     sub = index.postings.filter(F.col("term").isin(terms))
-    merged = sub.groupBy("doc").agg(F.sum("wdf").cast("int").alias("wdf"))
+    has_doclen = "doclen" in sub.columns
+    aggs = [F.sum("wdf").cast("int").alias("wdf")]
+    if has_doclen:  # denormalized doclen: no doc_stats join below
+        aggs.append(F.max("doclen").alias("doclen"))
+    merged = sub.groupBy("doc").agg(*aggs)
     # The pseudo-term's df (docs matching any member) is folded into the plan
     # as a broadcast 1-row scalar instead of an eager .count(): no extra
     # driver-synchronized job per query, and no re-execution of the merge
@@ -364,11 +366,10 @@ def op_synonym(index: InvertedIndex, terms: list[str], wqf: int = 1) -> DataFram
     avg_len = index.avg_len if index.avg_len > 0 else 1.0
     normlen = F.greatest(F.col("doclen") / F.lit(avg_len), F.lit(MIN_NORMLEN))
     denom = F.lit(K1) * (normlen * F.lit(B) + F.lit(1 - B)) + F.col("wdf")
-    return (
-        merged.crossJoin(F.broadcast(syn_df))
-        .join(index.doc_stats, "doc")
-        .select("doc", (tw * (F.col("wdf") / denom)).alias("score"))
-    )
+    out = merged.crossJoin(F.broadcast(syn_df))
+    if not has_doclen:
+        out = out.join(index.doc_stats, "doc")
+    return out.select("doc", (tw * (F.col("wdf") / denom)).alias("score"))
 
 
 def expand_wildcard(index: InvertedIndex, prefix: str, limit: int = 1000) -> list[str]:
@@ -695,11 +696,10 @@ def expand_terms(
     m = (F.lit(expand_k + 1) * wdf_adj) / (
         F.lit(expand_k) * F.col("doclen") / F.lit(avg_len) + wdf_adj
     )
-    contrib = (
-        index.postings.join(rel, "doc", "left_semi")
-        .join(index.doc_stats, "doc")
-        .select("term", m.alias("m"))
-    )
+    contrib = index.postings.join(rel, "doc", "left_semi")
+    if "doclen" not in contrib.columns:
+        contrib = contrib.join(index.doc_stats, "doc")
+    contrib = contrib.select("term", m.alias("m"))
     cand = contrib.groupBy("term").agg(
         F.sum("m").alias("multiplier"), F.count(F.lit(1)).alias("r")
     )
