@@ -180,3 +180,64 @@ class TestSnippetPhrase1:
         for text, length, expect in self.CASES:
             got = snippet(ctx, text, length, stemmer=porter2_stem)
             assert got == expect, (text, length, got, expect)
+
+
+class TestEdgeCases:
+    def test_too_easy_path(self, db):
+        # empty highlighters + text within length -> returned verbatim
+        ctx = make_ctx(db, loose=["rubbish"])
+        assert snippet(ctx, "any old text", 100, hi_start="", hi_end="") == (
+            "any old text"
+        )
+
+    def test_empty_without_match_flag(self, db):
+        from tika_xapian_spark.operators.snippet import (
+            SNIPPET_EMPTY_WITHOUT_MATCH,
+            SNIPPET_EXHAUSTIVE,
+        )
+
+        ctx = make_ctx(db, loose=["rubbish"])
+        flags = SNIPPET_EXHAUSTIVE | SNIPPET_EMPTY_WITHOUT_MATCH
+        assert snippet(ctx, "nothing matches here", 10, flags=flags) == ""
+        out = snippet(ctx, "some rubbish here", 100, flags=flags)
+        assert "<b>rubbish</b>" in out
+
+    def test_custom_markers(self, db):
+        ctx = make_ctx(db, loose=["rubbish"])
+        got = snippet(
+            ctx, "What a load of rubbish", 12,
+            hi_start="[", hi_end="]", omit="~",
+        )
+        assert got == "~of [rubbish]"
+
+    def test_xml_escaping(self, db):
+        ctx = make_ctx(db, loose=["rubbish"])
+        got = snippet(ctx, "a <tag> & rubbish", 100)
+        assert got == "a &lt;tag&gt; &amp; <b>rubbish</b>"
+
+    def test_empty_text(self, db):
+        ctx = make_ctx(db, loose=["rubbish"])
+        assert snippet(ctx, "", 100) == ""
+
+
+class TestSnippetShapes:
+    def test_compiler_decomposition(self):
+        from tika_xapian_spark.plans.query_compiler import (
+            compile_query,
+            snippet_shapes,
+        )
+
+        node = compile_query('spark "big table" merg* -slow', partial=False)
+        loose, phrases, wildcards = snippet_shapes(node)
+        assert "Zspark" in loose and "Zslow" in loose  # both AND_NOT sides
+        assert ("big", "table") in phrases
+        assert "merg" in wildcards
+
+    def test_partial_mode_shapes(self):
+        from tika_xapian_spark.plans.query_compiler import (
+            compile_query,
+            snippet_shapes,
+        )
+
+        loose, phrases, wildcards = snippet_shapes(compile_query("spar"))
+        assert wildcards == ["spar"] and loose == ["Zspar"]

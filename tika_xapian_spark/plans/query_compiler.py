@@ -502,6 +502,42 @@ def _and_leaf_terms(node: Node) -> list[tuple[str, int]] | None:
     return None
 
 
+def snippet_shapes(node: Node) -> tuple[list[str], list[tuple[str, ...]], list[str]]:
+    """check_query (termgenerator_internal.cc:672-720) over our AST: the
+    (loose_terms, exact_phrases, wildcards) decomposition MSet::snippet
+    highlights from — every leaf term (both sides of AND_NOT etc., exactly
+    like the C++ recursion), tight term-only phrases, wildcard patterns.
+    Terms are the INDEX forms (Z-stems for StemTerm, prefixed as indexed)."""
+    loose: list[str] = []
+    phrases: list[tuple[str, ...]] = []
+    wildcards: list[str] = []
+
+    def walk(n: Node) -> None:
+        if isinstance(n, StemTerm):
+            loose.append(S.stem_query_term(n.word, n.prefix))
+        elif isinstance(n, PartialTerm):
+            # FLAG_PARTIAL compiles to (WILDCARD word*) OR Zstem
+            wildcards.append(n.prefix + n.word)
+            loose.append(S.stem_query_term(n.word, n.prefix))
+        elif isinstance(n, WildcardTerm):
+            wildcards.append(n.prefix + n.pattern)
+        elif isinstance(n, PhraseTerms):
+            terms = tuple(n.prefix + w for w in n.words)
+            if len(terms) == 1:
+                loose.append(terms[0])
+            else:
+                phrases.append(terms)
+        elif isinstance(n, (Bool, Synonym, NearOp, PhraseOp)):
+            walk(n.left)
+            walk(n.right)
+        elif isinstance(n, (Scale, Elite)):
+            walk(n.child)
+        # Empty / RangeOp: no text terms
+
+    walk(node)
+    return loose, phrases, wildcards
+
+
 class Executor:
     """Lowers the AST to (doc, score) DataFrames over an InvertedIndex.
 
