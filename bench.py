@@ -53,12 +53,13 @@ def build_session(cpus: int, shuffle_partitions: int | None = None):
 PAGES_STAGE_DIR = "/tmp/bench_pages"
 
 
-def wait_for_quiet(thresh: float = 4.0, max_wait_sec: int = 240) -> float:
+def wait_for_quiet(thresh: float = 3.0, max_wait_sec: int = 420) -> float:
     """This VM shares its host: /proc/loadavg regularly shows 5-25 with no
-    local process, and a sample taken during a neighbor spike under-reports
-    throughput ~2x (or makes the 4-core leg of the scaling pair look
-    artificially slow -> fake superlinear efficiency). Bounded wait for a
-    quieter window; returns the 1-min load when we proceed."""
+    local process (spikes last minutes), and a sample taken during a
+    neighbor spike under-reports throughput ~2x (or makes the 4-core leg of
+    the scaling pair look artificially slow -> fake superlinear efficiency).
+    Bounded wait for a quieter window; returns the 1-min load when we
+    proceed."""
     deadline = time.time() + max_wait_sec
     while True:
         with open("/proc/loadavg") as f:
