@@ -685,8 +685,8 @@ def expand_terms(
     a bounded top-``max_esize`` — no driver-side iteration over candidates
     (Xapian walks a termlist tree; the DataFrame form is the same math as
     one scan + one groupBy)."""
-    rel = F.broadcast(rset.select("doc"))
-    rsize = rset.count()  # bounded: user-marked relevant docs
+    rel = F.broadcast(rset.select("doc").distinct())  # RSet semantics: a SET
+    rsize = rel.count()  # bounded: user-marked relevant docs
     if rsize == 0:
         return index.term_stats.select(
             "term", F.lit(0.0).alias("wt")
