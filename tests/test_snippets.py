@@ -241,3 +241,30 @@ class TestSnippetShapes:
 
         loose, phrases, wildcards = snippet_shapes(compile_query("spar"))
         assert wildcards == ["spar"] and loose == ["Zspar"]
+
+
+def test_snippets_for_page_string_keys(spark):
+    """Pages keyed by url STRINGS (the fused pipeline's doc key) must work —
+    the result schema derives the key type from the page."""
+    from tika_xapian_spark.operators import search as S
+    from tika_xapian_spark.operators.index import InvertedIndex
+    from tika_xapian_spark.operators.snippet import snippets_for_page
+
+    docs = spark.createDataFrame(
+        [("https://a/1", "rubbish and junk here"),
+         ("https://a/2", "nothing to see")],
+        "url string, text string",
+    )
+    idx = InvertedIndex.build_from_body(docs, key="url", stem=True)
+    try:
+        top = S.top_k(S.score_free_text(idx, "rubbish"), k=5)
+        page = docs.join(top, docs["url"] == top["doc"]).drop("doc")
+        out = {
+            r["url"]: r["snippet"]
+            for r in snippets_for_page(
+                idx, page, "url", "text", loose_terms=["Zrubbish"], length=50
+            ).collect()
+        }
+        assert "<b>rubbish</b>" in out["https://a/1"]
+    finally:
+        idx.unpersist()

@@ -59,3 +59,24 @@ def test_cached_build_builds_once_and_recovers_partial(tmp_path):
     assert d3 == d1 and len(calls) == 2  # rebuilt
     assert not os.path.exists(os.path.join(d1, "partial_junk"))  # wiped first
     assert os.path.exists(os.path.join(d1, "artifact"))
+
+
+def test_alternating_purposes_rebuild_cleanly(tmp_path):
+    """Alternating two inputs under one purpose: each switch GCs the other's
+    dir, and cached_build transparently rebuilds (the consumer-side handle
+    staleness is covered by _ann_index's marker-mtime check)."""
+    a, b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    _touch(a, "aaa")
+    _touch(b, "bbbb")
+    calls = []
+
+    def build(d):
+        calls.append(d)
+        _touch(os.path.join(d, "artifact"))
+
+    da1 = W.cached_build("t5", a, build)
+    db1 = W.cached_build("t5", b, build)   # GCs a's dir
+    assert not os.path.exists(da1)
+    da2 = W.cached_build("t5", a, build)   # rebuilds a
+    assert da2 == da1 and os.path.exists(os.path.join(da2, "artifact"))
+    assert len(calls) == 3

@@ -83,17 +83,15 @@ _NO_SPECIALS = _re.compile(r"[^A-Za-z0-9_ \t\r\n]")
 _SIMPLE_TOKEN = _re.compile(r"[a-z0-9_]+")
 
 
-def scan_terms(text: str) -> list[str]:
-    """Run the parse_terms state machine; yield raw (lowercased) terms in order.
-
-    Mirrors termgenerator_internal.cc parse_terms without CJK n-gramming
-    (the reference never enables FLAG_CJK_NGRAM — SURVEY.md K12).
-    A regex fast path covers plain alphanumeric text (~10x), falling back to
-    the exact scanner whenever any rule-triggering character is present.
-    """
-    if not _NO_SPECIALS.search(text):
-        return _SIMPLE_TOKEN.findall(text.lower())
-    out: list[str] = []
+def scan_term_spans(text: str) -> list[tuple[str, int]]:
+    """parse_terms state machine with offsets: (term, term_end) per word,
+    where term_end is the iterator position at the action() call — the index
+    past the last CONSUMED character, which may include an acronym's
+    trailing '.' or stripped +/# suffix characters, exactly like the C++
+    Utf8Iterator (termgenerator_internal.cc parse_terms). Single source of
+    truth for the exact scanner: scan_terms and the snippet highlighter both
+    derive from it, so index terms and highlight spans can never diverge."""
+    out: list[tuple[str, int]] = []
     n = len(text)
     i = 0
     while True:
@@ -106,7 +104,7 @@ def scan_terms(text: str) -> list[str]:
         term = ""
         ch0 = text[i]
         # acronym scan: ASCII uppercase letters separated by '.'. Faithful
-        # iterator semantics (termgenerator_internal.cc parse_terms do-while:
+        # iterator semantics (parse_terms do-while:
         # `*p == '.' && ++p != end && U_isupper(*p)`): a '.' after the last
         # letter is CONSUMED even when the acronym ends there (so "N.A.T.O. "
         # scans past the final dot), and if a wordchar follows that consumed
@@ -123,7 +121,7 @@ def scan_terms(text: str) -> list[str]:
                         continue
                 break
             if len(acr) > 1 and (p >= n or not _is_wordchar(text[p])):
-                out.append(acr)
+                out.append((acr, p))
                 i = p
                 continue
             # else: fall through to normal scan from i
@@ -156,6 +154,7 @@ def scan_terms(text: str) -> list[str]:
             i += 1
 
         # suffix chars: up to 3 of +/# unless followed by a word char
+        # (consumed suffix chars advance the iterator even when stripped)
         base_len = len(term)
         count = 0
         while i < n and text[i] in _SUFFIX_CHARS:
@@ -169,7 +168,20 @@ def scan_terms(text: str) -> list[str]:
             if i < n and _is_wordchar(text[i]):
                 term = term[:base_len]
 
-        out.append(term)
+        out.append((term, i))
+
+
+def scan_terms(text: str) -> list[str]:
+    """Run the parse_terms state machine; yield raw (lowercased) terms in order.
+
+    Mirrors termgenerator_internal.cc parse_terms without CJK n-gramming
+    (the reference never enables FLAG_CJK_NGRAM — SURVEY.md K12).
+    A regex fast path covers plain alphanumeric text (~10x); everything else
+    delegates to the span scanner (one exact state machine in the codebase).
+    """
+    if not _NO_SPECIALS.search(text):
+        return _SIMPLE_TOKEN.findall(text.lower())
+    return [t for t, _ in scan_term_spans(text)]
 
 
 @lru_cache(maxsize=262144)

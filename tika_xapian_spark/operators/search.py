@@ -686,11 +686,10 @@ def expand_terms(
     (Xapian walks a termlist tree; the DataFrame form is the same math as
     one scan + one groupBy)."""
     rel = F.broadcast(rset.select("doc").distinct())  # RSet semantics: a SET
-    rsize = rel.count()  # bounded: user-marked relevant docs
-    if rsize == 0:
-        return index.term_stats.select(
-            "term", F.lit(0.0).alias("wt")
-        ).limit(0)
+    # R = |rset| rides the plan as a broadcast 1-row scalar — the op_synonym
+    # pattern: no eager driver-synchronized count per query. An empty rset
+    # yields an empty contrib/cand chain, hence an empty result.
+    rsize_df = rel.agg(F.count(F.lit(1)).cast("double").alias("_rsize"))
     avg_len = index.avg_len if index.avg_len > 0 else 1.0
     wdf_adj = F.greatest(F.col("wdf"), F.lit(1))
     m = (F.lit(expand_k + 1) * wdf_adj) / (
@@ -707,16 +706,21 @@ def expand_terms(
         cand = cand.filter(~F.col("term").isin(list(exclude)))
     n_col = F.col("df").cast("double")
     r_col = F.col("r").cast("double")
-    rel_without = F.lit(float(rsize)) - r_col
+    rel_without = F.col("_rsize") - r_col
     tw = F.log(
         ((r_col + 0.5) * (F.lit(float(index.n_docs)) - n_col - rel_without + 0.5))
         / ((n_col - r_col + 0.5) * (rel_without + 0.5))
     )
+    # top-N by the micro-integerized weight (repo convention: integerize
+    # before any cross-engine comparison) with the lexical tie-break — raw
+    # double ordering could disagree with the SQL oracle at the cutoff when
+    # two candidates' weights differ by less than the rounding grain
     return (
         cand.join(index.term_stats.select("term", "df"), "term")
+        .crossJoin(F.broadcast(rsize_df))
         .select("term", (F.col("multiplier") * tw).alias("wt"))
         .filter(F.col("wt") > F.lit(float(min_wt)))
-        .orderBy(F.desc("wt"), F.asc("term"))
+        .orderBy(F.desc(F.round(F.col("wt") * 1_000_000)), F.asc("term"))
         .limit(max_esize)
     )
 

@@ -28,15 +28,7 @@ from dataclasses import dataclass, field
 from typing import Callable, Iterable
 
 from ..functions.porter2 import stem as porter2_stem
-from ..functions.tokenizer import (
-    _IGNORE,
-    _INFIX,
-    _INFIX_DIGIT,
-    _INFIX_NORMALIZE,
-    _SUFFIX_CHARS,
-    _is_digit,
-    _is_wordchar,
-)
+from ..functions.tokenizer import _is_wordchar, scan_term_spans
 
 SNIPPET_BACKGROUND_MODEL = 1
 SNIPPET_EXHAUSTIVE = 2
@@ -45,81 +37,6 @@ DEFAULT_FLAGS = SNIPPET_BACKGROUND_MODEL | SNIPPET_EXHAUSTIVE
 
 DECAY = 2.0
 MAX_WORD_LENGTH = 64
-
-
-# ------------------------------------------------------- spans tokenizer
-
-
-def scan_term_spans(text: str):
-    """parse_terms with offsets: yields (term, term_end) per word, where
-    term_end is the iterator position at the action() call (the byte past
-    the last CONSUMED character — which may include an acronym's trailing
-    '.' or stripped suffix characters, exactly like the C++ iterator)."""
-    out = []
-    n = len(text)
-    i = 0
-    while True:
-        while i < n and not _is_wordchar(text[i]):
-            i += 1
-        if i >= n:
-            return out
-
-        term = ""
-        ch0 = text[i]
-        if ch0.isascii() and ch0.isupper():
-            p = i
-            acr = ""
-            while True:
-                acr += text[p].lower()
-                p += 1
-                if p < n and text[p] == ".":
-                    p += 1  # dot consumed even when the acronym ends here
-                    if p < n and text[p].isascii() and text[p].isupper():
-                        continue
-                break
-            if len(acr) > 1 and (p >= n or not _is_wordchar(text[p])):
-                out.append((acr, p))
-                i = p
-                continue
-
-        while True:
-            while i < n and _is_wordchar(text[i]):
-                term += text[i].lower()
-                i += 1
-            if i >= n:
-                break
-            if i + 1 >= n or not _is_wordchar(text[i + 1]):
-                break
-            c = text[i]
-            prev_digit = _is_digit(text[i - 1])
-            next_digit = _is_digit(text[i + 1])
-            if prev_digit and next_digit:
-                if c in _INFIX_DIGIT:
-                    term += c
-                elif c not in _IGNORE:
-                    break
-            else:
-                c = _INFIX_NORMALIZE.get(c, c)
-                if c in _INFIX:
-                    term += c
-                elif c not in _IGNORE:
-                    break
-            i += 1
-
-        base_len = len(term)
-        count = 0
-        while i < n and text[i] in _SUFFIX_CHARS:
-            count += 1
-            if count > 3:
-                term = term[:base_len]
-                break
-            term += text[i]
-            i += 1  # suffix chars stay consumed even if stripped below
-        else:
-            if i < n and _is_wordchar(text[i]):
-                term = term[:base_len]
-
-        out.append((term, i))
 
 
 # ---------------------------------------------------------- unicode helpers
@@ -375,8 +292,13 @@ def snippet(
 
     snip = _SnipPipe(length)
 
-    exact_phrases = [tuple(p) for p in ctx.exact_phrases]
+    # check_query never registers 1-term phrases (they are loose terms);
+    # normalize the same way so the phrase ring buffer is never 0-sized
+    exact_phrases = [tuple(p) for p in ctx.exact_phrases if len(p) >= 2]
     loose_terms: dict[str, list] = {t: [0.0] for t in ctx.loose_terms}
+    for p in ctx.exact_phrases:
+        if len(p) == 1:
+            loose_terms.setdefault(p[0], [0.0])
     wildcards = list(ctx.wildcards)
     longest_phrase = max((len(p) for p in exact_phrases), default=0)
 
@@ -571,4 +493,5 @@ def snippets_for_page(
         for r in rows
     ]
     spark = page.sparkSession
-    return spark.createDataFrame(out, f"{key_col} long, snippet string")
+    key_type = dict(page.dtypes)[key_col]  # url pages key by string, not long
+    return spark.createDataFrame(out, f"{key_col} {key_type}, snippet string")

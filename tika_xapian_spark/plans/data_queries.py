@@ -292,14 +292,24 @@ def _ann_index(spark, sf_dir):
     from ..operators.ann_index import AnnIndex
     from .workdirs import cached_build
 
+    import os
+
+    from . import workdirs
+
     emb_path = f"{sf_dir}/embeddings.parquet"
     d = cached_build(
         "ann_index", emb_path, lambda out: AnnIndex.build(_emb(spark, sf_dir), out)
     )
+    # cache keyed by the build marker's mtime: if the dir was rebuilt since
+    # the handle was opened (input changed, or a sibling-GC + rebuild when
+    # alternating corpora in one session), the stale handle's cached file
+    # listing would point at deleted part-files — reopen instead
+    stamp = os.stat(os.path.join(d, workdirs._MARKER)).st_mtime_ns
     key = (spark.sparkContext.applicationId, d)
-    if key not in _ANN_INDEX_CACHE:
-        _ANN_INDEX_CACHE[key] = AnnIndex.read(spark, d)
-    return _ANN_INDEX_CACHE[key]
+    hit = _ANN_INDEX_CACHE.get(key)
+    if hit is None or hit[0] != stamp:
+        _ANN_INDEX_CACHE[key] = (stamp, AnnIndex.read(spark, d))
+    return _ANN_INDEX_CACHE[key][1]
 
 
 def q_ann_lsh_topk(spark, sf_dir):

@@ -65,9 +65,13 @@ def q_events_stream_windowed(spark, sf_dir):
     # reuse-by-wipe keeps repeated driver/bench invocations from
     # accumulating /tmp state
     work = work_dir("stream_windowed", f"{sf_dir}/events.parquet", fresh=True)
-    return run_finalized_window_counts(
-        spark, f"{sf_dir}/events.parquet", work
-    ).orderBy("window_start", "event_type")
+    # localCheckpoint decouples the returned frame from the work dir's
+    # parquet files, which the NEXT invocation's reuse-by-wipe deletes
+    return (
+        run_finalized_window_counts(spark, f"{sf_dir}/events.parquet", work)
+        .orderBy("window_start", "event_type")
+        .localCheckpoint()
+    )
 
 
 def q_events_stream_sessionized(spark, sf_dir):
@@ -80,9 +84,11 @@ def q_events_stream_sessionized(spark, sf_dir):
     from .workdirs import work_dir
 
     work = work_dir("stream_sessions", f"{sf_dir}/events.parquet", fresh=True)
-    return run_finalized_sessions(
-        spark, f"{sf_dir}/events.parquet", work
-    ).orderBy("user_id")
+    return (
+        run_finalized_sessions(spark, f"{sf_dir}/events.parquet", work)
+        .orderBy("user_id")
+        .localCheckpoint()
+    )
 
 
 def q_events_stream_sessionized_timeout(spark, sf_dir):
@@ -97,9 +103,13 @@ def q_events_stream_sessionized_timeout(spark, sf_dir):
     from .workdirs import work_dir
 
     work = work_dir("stream_sessions_timeout", f"{sf_dir}/events.parquet", fresh=True)
-    return run_timeout_sessions(
-        spark, f"{sf_dir}/events.parquet", work, idle_sec=365 * 24 * 3600
-    ).orderBy("user_id")
+    return (
+        run_timeout_sessions(
+            spark, f"{sf_dir}/events.parquet", work, idle_sec=365 * 24 * 3600
+        )
+        .orderBy("user_id")
+        .localCheckpoint()
+    )
 
 
 def q_events_sessionized(spark, sf_dir):

@@ -29,13 +29,19 @@ def _fingerprint(input_path: str) -> str:
     p = os.path.abspath(input_path)
     h.update(p.encode())
     if os.path.isdir(p):
-        for root, _, files in os.walk(p):
+        # sorted dirs + relpath keys: the walk order (and therefore the
+        # fingerprint) is deterministic across listdir orderings, and two
+        # files with the same basename in different subdirs don't collide
+        for root, dirs, files in os.walk(p):
+            dirs.sort()
             for f in sorted(files):
+                full = os.path.join(root, f)
                 try:
-                    st = os.stat(os.path.join(root, f))
+                    st = os.stat(full)
                 except OSError:
                     continue
-                h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+                rel = os.path.relpath(full, p)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
     elif os.path.exists(p):
         st = os.stat(p)
         h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
