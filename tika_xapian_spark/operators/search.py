@@ -664,19 +664,29 @@ def expand_terms(
     expand_k: float = 1.0,
     exclude: list[str] | None = None,
     min_wt: float = 0.0,
+    scheme: str = "trad",
 ) -> DataFrame:
     """ESet query expansion — ``Enquire::get_eset`` (XC api/omenquire.cc:
-    586-640, expand loop esetinternal.cc:150-210) with the default
-    TradEWeight scheme, reproduced exactly:
+    586-640, expand loop esetinternal.cc:150-210) with BOTH of Xapian's
+    expansion schemes, reproduced exactly:
 
+    ``scheme="trad"`` (the default, tradeweight.cc:31-41):
       per relevant doc containing t (expandweight.h ExpandStats::accumulate):
         multiplier += (k+1)*wdf / (k*doclen/avlen + wdf)   [wdf 0 -> 1]
-      per candidate term (tradeweight.cc:31-41):
+      per candidate term:
         tw = ln( (r+0.5)(N - n - (R-r) + 0.5) / ((n-r+0.5)(R-r+0.5)) )
         wt = multiplier * tw
       r = relevant docs containing t, n = df(t), N = collection size,
-      R = |rset|; keep wt > min_wt; query terms excluded
-      (ExpandDeciderFilterTerms) via ``exclude``.
+      R = |rset|.
+
+    ``scheme="bo1"`` (Bose-Einstein 1, bo1eweight.cc:31-41):
+        mean = cf(t) / N
+        wt = rcf * log2((1 + mean) / mean) + log2(1 + mean)
+      rcf = sum of wdf of t over the relevant docs
+      (ExpandStats.rcollection_freq).
+
+    Both: keep wt > min_wt; query terms excluded
+    (ExpandDeciderFilterTerms) via ``exclude``.
 
     The reference links this engine op but never surfaces it in the TUI;
     exposed here as the relevance-feedback operator a retrieval pipeline
@@ -698,27 +708,41 @@ def expand_terms(
     contrib = index.postings.join(rel, "doc", "left_semi")
     if "doclen" not in contrib.columns:
         contrib = contrib.join(index.doc_stats, "doc")
-    contrib = contrib.select("term", m.alias("m"))
+    contrib = contrib.select("term", m.alias("m"), "wdf")
     cand = contrib.groupBy("term").agg(
-        F.sum("m").alias("multiplier"), F.count(F.lit(1)).alias("r")
+        F.sum("m").alias("multiplier"),
+        F.count(F.lit(1)).alias("r"),
+        F.sum(F.greatest(F.col("wdf"), F.lit(1))).alias("rcf"),
     )
     if exclude:
         cand = cand.filter(~F.col("term").isin(list(exclude)))
-    n_col = F.col("df").cast("double")
-    r_col = F.col("r").cast("double")
-    rel_without = F.col("_rsize") - r_col
-    tw = F.log(
-        ((r_col + 0.5) * (F.lit(float(index.n_docs)) - n_col - rel_without + 0.5))
-        / ((n_col - r_col + 0.5) * (rel_without + 0.5))
-    )
+    if scheme == "bo1":
+        mean = F.col("cf").cast("double") / F.lit(float(index.n_docs))
+        wt_expr = (
+            F.col("rcf").cast("double") * F.log2((1.0 + mean) / mean)
+            + F.log2(1.0 + mean)
+        )
+        stats_cols = index.term_stats.select("term", "cf")
+    elif scheme == "trad":
+        n_col = F.col("df").cast("double")
+        r_col = F.col("r").cast("double")
+        rel_without = F.col("_rsize") - r_col
+        tw = F.log(
+            ((r_col + 0.5) * (F.lit(float(index.n_docs)) - n_col - rel_without + 0.5))
+            / ((n_col - r_col + 0.5) * (rel_without + 0.5))
+        )
+        wt_expr = F.col("multiplier") * tw
+        stats_cols = index.term_stats.select("term", "df")
+    else:
+        raise ValueError(f"unknown expansion scheme {scheme!r}")
     # top-N by the micro-integerized weight (repo convention: integerize
     # before any cross-engine comparison) with the lexical tie-break — raw
     # double ordering could disagree with the SQL oracle at the cutoff when
     # two candidates' weights differ by less than the rounding grain
     return (
-        cand.join(index.term_stats.select("term", "df"), "term")
+        cand.join(stats_cols, "term")
         .crossJoin(F.broadcast(rsize_df))
-        .select("term", (F.col("multiplier") * tw).alias("wt"))
+        .select("term", wt_expr.alias("wt"))
         .filter(F.col("wt") > F.lit(float(min_wt)))
         .orderBy(F.desc(F.round(F.col("wt") * 1_000_000)), F.asc("term"))
         .limit(max_esize)

@@ -138,6 +138,20 @@ def q_search_eset(spark, sf_dir):
     ).orderBy(F.desc("wt_micro"), F.asc("term"))
 
 
+def q_search_eset_bo1(spark, sf_dir):
+    """The same ESet expansion under Xapian's alternative Bo1 scheme
+    (Bose-Einstein 1, bo1eweight.cc): wt = rcf*log2((1+mean)/mean) +
+    log2(1+mean), mean = cf/N."""
+    idx = get_index(spark, sf_dir)
+    rset = spark.createDataFrame([(d,) for d in ESET_REL_DOCS], "doc long")
+    out = S.expand_terms(
+        idx, rset, max_esize=10, exclude=ESET_EXCLUDE, scheme="bo1"
+    )
+    return out.select(
+        "term", F.round(F.col("wt") * 1_000_000).cast("long").alias("wt_micro")
+    ).orderBy(F.desc("wt_micro"), F.asc("term"))
+
+
 def q_search_and_maybe(spark, sf_dir):
     idx = get_index(spark, sf_dir)
     return _finalize(
@@ -397,6 +411,7 @@ QUERIES = {
     "search_max": q_search_max,
     "search_facets": q_search_facets,
     "search_eset": q_search_eset,
+    "search_eset_bo1": q_search_eset_bo1,
     "search_snippets": q_search_snippets,
     "search_and_maybe": q_search_and_maybe,
     "search_filter": q_search_filter,
@@ -525,6 +540,7 @@ SELECT word, suggestion, distance, df FROM ranked WHERE rn = 1 ORDER BY word"""
         "search_max": oracles.bool_op("max", ["spark"], ["slow"]),
         "search_facets": oracles.facets(["spark", "merge"], "lang"),
         "search_eset": oracles.eset(ESET_REL_DOCS, 10, exclude=ESET_EXCLUDE),
+        "search_eset_bo1": oracles.eset(ESET_REL_DOCS, 10, exclude=ESET_EXCLUDE, scheme="bo1"),
         "search_and_maybe": oracles.bool_op("and_maybe", ["join"], ["merge"]),
         "search_filter": oracles.bool_op("filter", ["join"], ["spark"]),
         "search_phrase": oracles.phrase(["group", "order"]),

@@ -71,7 +71,8 @@ coll AS (
   SELECT count(*)::DOUBLE AS n, avg(doclen)::DOUBLE AS avg_len FROM doclen
 ),
 tstats AS (
-  SELECT term, count(*)::DOUBLE AS df FROM allpost GROUP BY term
+  SELECT term, count(*)::DOUBLE AS df, sum(wdf)::DOUBLE AS cf
+  FROM allpost GROUP BY term
 )"""
 
 
@@ -215,34 +216,49 @@ def eset(
     max_esize: int = 10,
     expand_k: float = 1.0,
     exclude: list[str] | None = None,
+    scheme: str = "trad",
 ) -> str:
-    """ESet expansion oracle: exact TradEWeight (tradeweight.cc:31-41 +
-    ExpandStats::accumulate) over the relevant-doc set."""
+    """ESet expansion oracle: exact TradEWeight (tradeweight.cc:31-41) or
+    Bo1EWeight (bo1eweight.cc:31-41) + ExpandStats::accumulate over the
+    relevant-doc set."""
     rels = ", ".join(f"({d})" for d in rel_docs)
     rsize = len(rel_docs)
     excl = ""
     if exclude:
         terms = ", ".join(f"'{t}'" for t in exclude)
         excl = f"AND term NOT IN ({terms})"
+    if scheme == "bo1":
+        wt_select = """SELECT c2.term,
+         c2.rcf * log2((1.0 + s.cf / co.n) / (s.cf / co.n))
+           + log2(1.0 + s.cf / co.n) AS wt
+  FROM cand c2 JOIN tstats s USING (term) CROSS JOIN coll co"""
+    elif scheme == "trad":
+        wt_select = f"""SELECT c2.term,
+         c2.multiplier * ln(
+             ((c2.r + 0.5) * (co.n - s.df - ({rsize} - c2.r) + 0.5))
+           / ((s.df - c2.r + 0.5) * (({rsize} - c2.r) + 0.5))) AS wt
+  FROM cand c2 JOIN tstats s USING (term) CROSS JOIN coll co"""
+    else:
+        raise ValueError(scheme)
     return (
         "WITH " + base_ctes() + f""",
 rel(doc_id) AS (VALUES {rels}),
 contrib AS (
   SELECT p.term,
          (({expand_k} + 1) * greatest(p.wdf, 1))
-           / ({expand_k} * d.doclen / c.avg_len + greatest(p.wdf, 1)) AS m
+           / ({expand_k} * d.doclen / c.avg_len + greatest(p.wdf, 1)) AS m,
+         greatest(p.wdf, 1) AS w
   FROM allpost p
        JOIN rel r ON r.doc_id = p.doc_id
        JOIN doclen d ON d.doc_id = p.doc_id
        CROSS JOIN coll c
 ),
-cand AS (SELECT term, sum(m) AS multiplier, count(*) AS r FROM contrib GROUP BY term),
+cand AS (
+  SELECT term, sum(m) AS multiplier, count(*) AS r, sum(w) AS rcf
+  FROM contrib GROUP BY term
+),
 wt AS (
-  SELECT c2.term,
-         c2.multiplier * ln(
-             ((c2.r + 0.5) * (co.n - s.df - ({rsize} - c2.r) + 0.5))
-           / ((s.df - c2.r + 0.5) * (({rsize} - c2.r) + 0.5))) AS wt
-  FROM cand c2 JOIN tstats s USING (term) CROSS JOIN coll co
+  {wt_select}
 )
 SELECT term, CAST(round(wt * 1000000) AS BIGINT) AS wt_micro
 FROM wt WHERE wt > 0 {excl}
@@ -437,7 +453,8 @@ coll AS (
   SELECT count(*)::DOUBLE AS n, avg(doclen)::DOUBLE AS avg_len FROM doclen
 ),
 tstats AS (
-  SELECT term, count(*)::DOUBLE AS df FROM allpost GROUP BY term
+  SELECT term, count(*)::DOUBLE AS df, sum(wdf)::DOUBLE AS cf
+  FROM allpost GROUP BY term
 )"""
 
 
