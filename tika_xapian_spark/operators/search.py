@@ -216,6 +216,20 @@ def op_max(left: DataFrame, right: DataFrame) -> DataFrame:
     )
 
 
+def value_weight_matches(
+    docs: DataFrame, key: str, value_col: str, scale: float = 1.0
+) -> DataFrame:
+    """ValueWeightPostingSource (XC api/valuerangepostingsource.cc /
+    include/xapian/postingsource.h): a match set whose weight IS a document
+    value — every doc with a non-null value matches, scored scale*value.
+    Combined with a text query via AND_MAYBE this is Xapian's standard
+    recency/popularity boost; pure map over the docs scan, no shuffle."""
+    c = F.col(value_col).cast("double")
+    return docs.filter(c.isNotNull()).select(
+        F.col(key).alias("doc"), (F.lit(float(scale)) * c).alias("score")
+    )
+
+
 def op_pure_not(index: InvertedIndex, m: DataFrame) -> DataFrame:
     """Q17: all docs minus matches, weight 0 (boolean)."""
     return index.doc_stats.select("doc").join(m, "doc", "left_anti").select(

@@ -152,6 +152,17 @@ def q_search_eset_bo1(spark, sf_dir):
     ).orderBy(F.desc("wt_micro"), F.asc("term"))
 
 
+def q_search_value_boost(spark, sf_dir):
+    """ValueWeightPostingSource pattern (postingsource.h): text relevance
+    AND_MAYBE a document-value weight — Xapian's standard recency/popularity
+    boost, here boosting by n_chars * 0.001."""
+    idx = get_index(spark, sf_dir)
+    boost = S.value_weight_matches(
+        _docs(spark, sf_dir), key="doc_id", value_col="n_chars", scale=0.001
+    )
+    return _finalize(S.op_and_maybe(S.score_terms(idx, _zt(["spark"])), boost))
+
+
 def q_search_and_maybe(spark, sf_dir):
     idx = get_index(spark, sf_dir)
     return _finalize(
@@ -412,6 +423,7 @@ QUERIES = {
     "search_facets": q_search_facets,
     "search_eset": q_search_eset,
     "search_eset_bo1": q_search_eset_bo1,
+    "search_value_boost": q_search_value_boost,
     "search_snippets": q_search_snippets,
     "search_and_maybe": q_search_and_maybe,
     "search_filter": q_search_filter,
@@ -541,6 +553,7 @@ SELECT word, suggestion, distance, df FROM ranked WHERE rn = 1 ORDER BY word"""
         "search_facets": oracles.facets(["spark", "merge"], "lang"),
         "search_eset": oracles.eset(ESET_REL_DOCS, 10, exclude=ESET_EXCLUDE),
         "search_eset_bo1": oracles.eset(ESET_REL_DOCS, 10, exclude=ESET_EXCLUDE, scheme="bo1"),
+        "search_value_boost": oracles.value_boost(["spark"], "n_chars", 0.001),
         "search_and_maybe": oracles.bool_op("and_maybe", ["join"], ["merge"]),
         "search_filter": oracles.bool_op("filter", ["join"], ["spark"]),
         "search_phrase": oracles.phrase(["group", "order"]),

@@ -267,6 +267,28 @@ LIMIT {max_esize}"""
     )
 
 
+def value_boost(words: list[str], value_col: str, scale: float, k: int = 100) -> str:
+    """ValueWeightPostingSource AND_MAYBE oracle: BM25 matches keep their
+    docs, each boosted by scale * value when present."""
+    return (
+        "WITH " + base_ctes() + "," + _tweight_sql(qvalues(zterms(words)))
+        + "," + _score_sql()
+        + f""",
+boost AS (
+  SELECT doc_id, {value_col}::DOUBLE * {scale} AS bscore
+  FROM documents WHERE {value_col} IS NOT NULL
+),
+combined AS (
+  SELECT m.doc_id, m.score + coalesce(b.bscore, 0) AS score
+  FROM matches m LEFT JOIN boost b USING (doc_id)
+)
+SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micro
+FROM combined
+ORDER BY score_micro DESC, doc_id
+LIMIT {k}"""
+    )
+
+
 def _scored_in(docset_cte: str) -> str:
     """matches CTE: BM25 sum restricted to docs in ``docset_cte``."""
     return f"""matches AS (
