@@ -219,11 +219,13 @@ def op_max(left: DataFrame, right: DataFrame) -> DataFrame:
 def value_weight_matches(
     docs: DataFrame, key: str, value_col: str, scale: float = 1.0
 ) -> DataFrame:
-    """ValueWeightPostingSource (XC api/valuerangepostingsource.cc /
+    """ValueWeightPostingSource (XC api/postingsource.cc ValueWeightPostingSource,
     include/xapian/postingsource.h): a match set whose weight IS a document
-    value — every doc with a non-null value matches, scored scale*value.
-    Combined with a text query via AND_MAYBE this is Xapian's standard
-    recency/popularity boost; pure map over the docs scan, no shuffle."""
+    value — every doc whose value casts to a number matches, scored
+    scale*value (uncastable/null values drop, the TRY_CAST semantics the
+    oracle mirrors). Combined with a text query via AND_MAYBE this is
+    Xapian's standard recency/popularity boost; pure map over the docs
+    scan, no shuffle."""
     c = F.col(value_col).cast("double")
     return docs.filter(c.isNotNull()).select(
         F.col(key).alias("doc"), (F.lit(float(scale)) * c).alias("score")
@@ -722,22 +724,35 @@ def expand_terms(
     contrib = index.postings.join(rel, "doc", "left_semi")
     if "doclen" not in contrib.columns:
         contrib = contrib.join(index.doc_stats, "doc")
-    contrib = contrib.select("term", m.alias("m"), "wdf")
-    cand = contrib.groupBy("term").agg(
-        F.sum("m").alias("multiplier"),
-        F.count(F.lit(1)).alias("r"),
-        F.sum(F.greatest(F.col("wdf"), F.lit(1))).alias("rcf"),
-    )
+    # aggregate only what the chosen scheme reads (a dead crossJoin or
+    # aggregate is not pruned by Catalyst once multiplicity changes)
+    if scheme == "bo1":
+        contrib = contrib.select(
+            "term", F.greatest(F.col("wdf"), F.lit(1)).alias("w")
+        )
+        cand = contrib.groupBy("term").agg(F.sum("w").alias("rcf"))
+    elif scheme == "trad":
+        contrib = contrib.select("term", m.alias("m"))
+        cand = contrib.groupBy("term").agg(
+            F.sum("m").alias("multiplier"), F.count(F.lit(1)).alias("r")
+        )
+    else:
+        raise ValueError(f"unknown expansion scheme {scheme!r}")
     if exclude:
         cand = cand.filter(~F.col("term").isin(list(exclude)))
     if scheme == "bo1":
+        # log2 via ln(x) * (1/ln 2) with an identical literal on the SQL
+        # side: Spark's and DuckDB's log2 intrinsics disagree in the last
+        # ulp ~400x more often than their ln does, which matters for the
+        # exact-integer micro comparison
+        inv_ln2 = 1.4426950408889634
         mean = F.col("cf").cast("double") / F.lit(float(index.n_docs))
         wt_expr = (
-            F.col("rcf").cast("double") * F.log2((1.0 + mean) / mean)
-            + F.log2(1.0 + mean)
+            F.col("rcf").cast("double") * (F.log((1.0 + mean) / mean) * inv_ln2)
+            + F.log(1.0 + mean) * inv_ln2
         )
-        stats_cols = index.term_stats.select("term", "cf")
-    elif scheme == "trad":
+        scored = cand.join(index.term_stats.select("term", "cf"), "term")
+    else:
         n_col = F.col("df").cast("double")
         r_col = F.col("r").cast("double")
         rel_without = F.col("_rsize") - r_col
@@ -746,17 +761,15 @@ def expand_terms(
             / ((n_col - r_col + 0.5) * (rel_without + 0.5))
         )
         wt_expr = F.col("multiplier") * tw
-        stats_cols = index.term_stats.select("term", "df")
-    else:
-        raise ValueError(f"unknown expansion scheme {scheme!r}")
+        scored = cand.join(
+            index.term_stats.select("term", "df"), "term"
+        ).crossJoin(F.broadcast(rsize_df))
     # top-N by the micro-integerized weight (repo convention: integerize
     # before any cross-engine comparison) with the lexical tie-break — raw
     # double ordering could disagree with the SQL oracle at the cutoff when
     # two candidates' weights differ by less than the rounding grain
     return (
-        cand.join(stats_cols, "term")
-        .crossJoin(F.broadcast(rsize_df))
-        .select("term", wt_expr.alias("wt"))
+        scored.select("term", wt_expr.alias("wt"))
         .filter(F.col("wt") > F.lit(float(min_wt)))
         .orderBy(F.desc(F.round(F.col("wt") * 1_000_000)), F.asc("term"))
         .limit(max_esize)

@@ -228,9 +228,11 @@ def eset(
         terms = ", ".join(f"'{t}'" for t in exclude)
         excl = f"AND term NOT IN ({terms})"
     if scheme == "bo1":
+        # same ln * (1/ln2) form and literal as the Spark side — log2
+        # intrinsics disagree across engines in the last ulp far more often
         wt_select = """SELECT c2.term,
-         c2.rcf * log2((1.0 + s.cf / co.n) / (s.cf / co.n))
-           + log2(1.0 + s.cf / co.n) AS wt
+         c2.rcf * (ln((1.0 + s.cf / co.n) / (s.cf / co.n)) * 1.4426950408889634)
+           + ln(1.0 + s.cf / co.n) * 1.4426950408889634 AS wt
   FROM cand c2 JOIN tstats s USING (term) CROSS JOIN coll co"""
     elif scheme == "trad":
         wt_select = f"""SELECT c2.term,
@@ -275,8 +277,8 @@ def value_boost(words: list[str], value_col: str, scale: float, k: int = 100) ->
         + "," + _score_sql()
         + f""",
 boost AS (
-  SELECT doc_id, {value_col}::DOUBLE * {scale} AS bscore
-  FROM documents WHERE {value_col} IS NOT NULL
+  SELECT doc_id, TRY_CAST({value_col} AS DOUBLE) * {scale} AS bscore
+  FROM documents WHERE TRY_CAST({value_col} AS DOUBLE) IS NOT NULL
 ),
 combined AS (
   SELECT m.doc_id, m.score + coalesce(b.bscore, 0) AS score
