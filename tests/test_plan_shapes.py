@@ -212,6 +212,27 @@ class TestConnectedComponents:
         }
         assert got == {i: 1 for i in range(1, 6)}
 
+    def test_nonconvergence_is_loud(self, spark):
+        """A chain deeper than max_iter must RAISE, not silently return
+        partially-propagated labels (the repo's no-silent-caps rule)."""
+        import pytest
+
+        n = 8
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long"
+        )
+        verts = spark.createDataFrame(
+            [(i,) for i in range(1, n + 1)], "doc_id long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            D.connected_components(edges, verts, max_iter=2)
+        # and with enough rounds the same graph converges fine
+        got = {
+            r["v"]: r["component"]
+            for r in D.connected_components(edges, verts, max_iter=n).collect()
+        }
+        assert got == {i: 1 for i in range(1, n + 1)}
+
 
 class TestDenormalizedDoclen:
     def test_score_plan_has_no_docstats_join(self, spark, docs):

@@ -315,4 +315,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Loud, not silent: a component deeper than max_iter rounds would
+        # return partially-propagated labels. Near-dup graphs converge in
+        # diameter rounds (O(1) in practice), so hitting the cap means the
+        # graph is chain-shaped — the caller should raise max_iter or swap
+        # in large-star/small-star contraction.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter or use "
+            "star-contraction for chain-shaped components"
+        )
     return labels
