@@ -274,11 +274,31 @@ class TestSynonymElite:
         S.op_synonym(index, ["slow", "merge"])
         assert len(tracker.getJobIdsForGroup(None)) == before
 
-    def test_elite_keeps_rarest(self, index):
-        # df: slow=1 < merge=2 < spark=3; elite(2) keeps slow+merge
+    def test_elite_keeps_highest_bound(self, index):
+        # bounds here order slow > merge > spark (df order and bound order
+        # agree on this corpus); elite(2) keeps slow+merge
         got = scores_of(S.op_elite_set(index, ["spark", "merge", "slow"], 2))
         exp = scores_of(S.score_terms(index, ["merge", "slow"]))
         assert set(got) == set(exp)
+
+    def test_elite_bound_order_beats_df_order(self, spark):
+        """Xapian elite selection ranks by get_maxweight(), not rarity: a
+        common-but-bursty term (huge max_wdf) outranks a rare flat one.
+        rare: df=2, max_wdf=1 -> ub = ln(3.4)*2 * 1/1.75      = 1.398
+        bursty: df=3, max_wdf=50 -> ub = ln(2.143)*2 * 50/50.75 = 1.502"""
+        rows = [(1, "rare pad"), (2, "rare pad")]
+        rows += [(3, "bursty " * 50), (4, "bursty pad"), (5, "bursty pad")]
+        rows += [(i, "pad filler") for i in range(6, 11)]
+        docs = spark.createDataFrame(
+            [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+        )
+        idx = InvertedIndex.build_from_body(docs, key="doc_id", stem=False)
+        try:
+            got = scores_of(S.op_elite_set(idx, ["rare", "bursty"], 1))
+            exp = scores_of(S.score_terms(idx, ["bursty"]))
+            assert set(got) == set(exp) == {3, 4, 5}
+        finally:
+            idx.unpersist()
 
 
 class TestRanking:

@@ -403,15 +403,15 @@ def expand_wildcard(index: InvertedIndex, prefix: str, limit: int = 1000) -> lis
 
 
 def op_elite_set(index: InvertedIndex, terms: list[str], n: int) -> DataFrame:
-    """Q11 ELITE: keep the N highest-weight subterms (lowest df as the weight
-    proxy — XC api/queryinternal.cc elite selection), then OR them."""
-    stats = (
-        index.term_stats.filter(F.col("term").isin(terms))
-        .orderBy(F.asc("df"), F.asc("term"))
-        .limit(n)
-        .collect()
-    )
-    keep = [r["term"] for r in stats]
+    """Q11 ELITE: keep the N subterms with the highest max-weight estimate,
+    then OR them — Xapian ranks elite candidates by each subquery's
+    ``get_maxweight()`` (XC api/queryinternal.cc QueryEliteSet::done), which
+    for a term is the BM25 ceiling we already store for WAND
+    (term_stats.max_wdf → _term_upper_bounds), NOT raw rarity: a common but
+    bursty term (huge max_wdf) can outrank a rare flat one. Ties break by
+    term asc for determinism."""
+    ubs = _term_upper_bounds(index, {t: 1 for t in terms})
+    keep = [t for t in sorted(ubs, key=lambda t: (-ubs[t], t))[:n]]
     return score_terms(index, keep)
 
 

@@ -387,12 +387,25 @@ matches AS (
 
 
 def elite(words: list[str], n: int, k: int = 100) -> str:
-    """Q11: keep the n rarest (df asc, term asc) of the candidate terms."""
+    """Q11: keep the n candidates with the highest BM25 max-weight bound
+    (termweight * max_wdf / (K1*(MIN_NORMLEN*B + 1-B) + max_wdf)) — the SQL
+    mirror of operators/search.py::_term_upper_bounds, matching Xapian's
+    elite selection by get_maxweight()."""
     in_list = ", ".join(f"'{t}'" for t in zterms(words))
+    denom_const = K1 * (MIN_NORMLEN * B + (1 - B))
     return f"""WITH {base_ctes()},
+maxw AS (
+  SELECT term, max(wdf)::DOUBLE AS max_wdf FROM allpost
+  WHERE term IN ({in_list}) GROUP BY term
+),
 kept AS (
-  SELECT term, 1 AS wqf FROM tstats WHERE term IN ({in_list})
-  ORDER BY df ASC, term ASC LIMIT {n}
+  SELECT term, 1 AS wqf FROM (
+    SELECT term,
+           ln(CASE WHEN tw < 2 THEN tw*0.5 + 1 ELSE tw END) * 2.0
+             * max_wdf / ({denom_const} + max_wdf) AS ub
+    FROM (SELECT s.term, m.max_wdf, (c.n - s.df + 0.5)/(s.df + 0.5) AS tw
+          FROM tstats s JOIN maxw m USING (term) CROSS JOIN coll c)
+  ) ORDER BY ub DESC, term ASC LIMIT {n}
 ),
 tweight AS (
   SELECT term,
