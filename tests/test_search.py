@@ -301,6 +301,37 @@ class TestSynonymElite:
             idx.unpersist()
 
 
+class TestMaxTerms:
+    def test_op_max_terms_equals_folded_op_max(self, index):
+        """op_max_terms = OP_MAX over single-term match sets, in one scan."""
+        got = scores_of(S.op_max_terms(index, ["spark", "merge", "slow"]))
+        exp = scores_of(
+            S.op_max(
+                S.op_max(
+                    S.score_terms(index, ["spark"]),
+                    S.score_terms(index, ["merge"]),
+                ),
+                S.score_terms(index, ["slow"]),
+            )
+        )
+        assert set(got) == set(exp)
+        for d in exp:
+            assert got[d] == pytest.approx(exp[d], rel=1e-12), d
+
+    def test_op_max_terms_single_scan(self, index):
+        plan = (
+            S.op_max_terms(index, ["spark", "merge"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # one shuffle (the per-doc max), broadcast weights, no per-term
+        # scan fan-out or sort-merge join
+        assert plan.count("Exchange hashpartitioning(doc") == 1
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+
 class TestRanking:
     def test_percent(self, index):
         got = S.with_percent(S.score_terms(index, ["spark"])).collect()

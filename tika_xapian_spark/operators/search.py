@@ -216,6 +216,39 @@ def op_max(left: DataFrame, right: DataFrame) -> DataFrame:
     )
 
 
+def op_max_terms(index: InvertedIndex, terms: list[str]) -> DataFrame:
+    """Multi-way OP_MAX over term leaves in ONE postings scan: union of the
+    per-term match sets, weight = MAX single-term BM25 score — modern
+    Xapian's default wildcard combiner (queryparser expands WILDCARD to
+    OP_MAX over matching terms so a doc hitting many expansions isn't
+    over-rewarded; XC matcher/maxpostlist.cc). The per-posting BM25 part IS
+    the single-term score, so groupBy(doc).max(part) beats folding op_max
+    over |expansion| separate scans — scan volume constant in expansion
+    width, one shuffle total."""
+    if not terms:
+        return _empty_matches(index)
+    qdf = index.postings.sparkSession.createDataFrame(
+        [(t,) for t in dict.fromkeys(terms)], "term string"
+    )
+    weights = (
+        index.term_stats.join(F.broadcast(qdf), "term")
+        .withColumn(
+            "termweight", _termweight(F.col("df"), index.n_docs, F.lit(1))
+        )
+        .select("term", "termweight")
+    )
+    avg_len = index.avg_len if index.avg_len > 0 else 1.0
+    normlen = F.greatest(F.col("doclen") / F.lit(avg_len), F.lit(MIN_NORMLEN))
+    denom = F.lit(K1) * (normlen * F.lit(B) + F.lit(1 - B)) + F.col("wdf")
+    scored = index.postings.join(F.broadcast(weights), "term")
+    if "doclen" not in index.postings.columns:
+        scored = scored.join(index.doc_stats, "doc")
+    part = F.col("termweight") * (F.col("wdf") / denom)
+    return scored.withColumn("part", part).groupBy("doc").agg(
+        F.max("part").alias("score")
+    )
+
+
 def value_weight_matches(
     docs: DataFrame, key: str, value_col: str, scale: float = 1.0
 ) -> DataFrame:

@@ -204,6 +204,18 @@ def q_search_wildcard(spark, sf_dir):
     return _finalize(S.op_synonym(idx, expanded))
 
 
+def q_search_wildcard_max(spark, sf_dir):
+    """Q15 + OP_MAX: wildcard expansion combined with modern Xapian's
+    default wildcard combiner (OP_MAX over the expansions, weight = best
+    single-expansion score) instead of the reference parser's
+    WILDCARD-SYNONYM fold — opt-in parity with current Xapian defaults."""
+    idx = get_index(spark, sf_dir)
+    expanded = [
+        t for t in S.expand_wildcard(idx, "sp") if not t.startswith("Z")
+    ]
+    return _finalize(S.op_max_terms(idx, expanded))
+
+
 def q_search_elite(spark, sf_dir):
     idx = get_index(spark, sf_dir)
     return _finalize(S.op_elite_set(idx, _zt(["spark", "merge", "slow"]), 2))
@@ -431,6 +443,7 @@ QUERIES = {
     "search_near": q_search_near,
     "search_synonym": q_search_synonym,
     "search_wildcard": q_search_wildcard,
+    "search_wildcard_max": q_search_wildcard_max,
     "search_elite": q_search_elite,
     "search_pure_not": q_search_pure_not,
     "search_partial": q_search_partial,
@@ -560,6 +573,7 @@ SELECT word, suggestion, distance, df FROM ranked WHERE rn = 1 ORDER BY word"""
         "search_near": oracles.near(["hash", "join"], window=10),
         "search_synonym": oracles.synonym(zt(["merge", "slow"])),
         "search_wildcard": oracles.wildcard("sp"),
+        "search_wildcard_max": oracles.wildcard_max("sp"),
         "search_elite": oracles.elite(["spark", "merge", "slow"], 2),
         "search_pure_not": oracles.pure_not(["spark"]),
         "search_partial": oracles.partial("a"),

@@ -361,6 +361,32 @@ matches AS (
 )""" + TOPK_TAIL.format(k=k)
 
 
+def wildcard_max(prefix: str, k: int = 100) -> str:
+    """Q15 + OP_MAX: expand unstemmed vocabulary by prefix; weight = MAX
+    single-expansion BM25 score per doc (modern Xapian's default wildcard
+    combiner; mirror of operators/search.py::op_max_terms)."""
+    return f"""WITH {base_ctes()},
+expanded AS (
+  SELECT term FROM posting GROUP BY term HAVING term LIKE '{prefix}%'
+),
+tweight AS (
+  SELECT term,
+         ln(CASE WHEN tw < 2 THEN tw*0.5 + 1 ELSE tw END) * 2.0 AS termweight
+  FROM (SELECT e.term, (c.n - s.df + 0.5)/(s.df + 0.5) AS tw
+        FROM expanded e JOIN tstats s USING (term) CROSS JOIN coll c)
+),
+matches AS (
+  SELECT p.doc_id,
+         max(w.termweight * p.wdf /
+             ({K1} * (greatest(d.doclen / c.avg_len, {MIN_NORMLEN}) * {B} + {1 - B}) + p.wdf)
+         ) AS score
+  FROM posting p JOIN tweight w USING (term)
+       JOIN doclen d USING (doc_id)
+       CROSS JOIN coll c
+  GROUP BY p.doc_id
+)""" + TOPK_TAIL.format(k=k)
+
+
 def wildcard(prefix: str, k: int = 100) -> str:
     """Q15: expand unstemmed vocabulary by prefix, then synonym-score."""
     return f"""WITH {base_ctes()},
