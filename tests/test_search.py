@@ -489,18 +489,42 @@ class TestSpellingTable:
         finally:
             idx.unpersist()
         reopened = InvertedIndex.read(spark, str(tmp_path))
-        assert reopened.vocab_tri is not None  # loaded, not rebuilt
+        assert reopened.vocab_frag is not None  # loaded, not rebuilt
         df = S.spelling_suggestions(reopened, ["merg", "qery"])
         plan = df._jdf.queryExecution().executedPlan().toString()
         # vocabulary side: a parquet scan of the written table with the
-        # trigram point lookup pushed down — NOT an explode of term_stats
-        # (the only Generate left is over the tiny query-words list)
+        # fragment point lookup pushed down — NOT an explode of term_stats
         assert "substring(term" not in plan
         # (the scan path itself can be elided — FileScan locations truncate)
         assert "FileScan parquet [term" in plan
-        assert "In(tri, " in plan.split("PushedFilters:")[1]
+        assert "In(frag, " in plan.split("PushedFilters:")[1]
         got = sorted((r["word"], r["suggestion"]) for r in df.collect())
         assert got == want
+
+    def test_transposition_costs_one(self, spark):
+        """Xapian's spelling metric is restricted Damerau-Levenshtein
+        (XC spelling/editdistance.cc): 'teh' -> 'the' is ONE edit, not the
+        two plain levenshtein charges."""
+        assert S.osa_distance("teh", "the") == 1
+        assert S.osa_distance("sprak", "spark") == 1
+        assert S.osa_distance("merg", "merge") == 1
+        assert S.osa_distance("abc", "abc") == 0
+        # the RESTRICTED variant: no edit inside a transposed pair
+        # (true Damerau-Levenshtein would give 2 here)
+        assert S.osa_distance("ca", "abc") == 3
+        docs = spark.createDataFrame(
+            [(1, "the quick fox"), (2, "the lazy dog")],
+            "doc_id long, text string",
+        )
+        idx = InvertedIndex.build_from_body(docs, key="doc_id", stem=False)
+        try:
+            got = {
+                r["word"]: (r["suggestion"], r["distance"])
+                for r in S.spelling_suggestions(idx, ["teh"]).collect()
+            }
+            assert got == {"teh": ("the", 1)}
+        finally:
+            idx.unpersist()
 
     def test_in_memory_table_built_once(self, spark):
         docs = spark.createDataFrame(self.CORPUS, "doc_id long, text string")

@@ -58,7 +58,7 @@ def test_index_write_routes_through_store(spark, tmp_path):
             ("postings", ("term_bucket",)),
             ("doc_stats", ("doc_bucket",)),
             ("term_stats", ()),
-            ("vocab_tri", ()),
+            ("vocab_frag", ()),
         ]
         back = InvertedIndex.read(spark, str(tmp_path))
         assert back.n_docs == 2

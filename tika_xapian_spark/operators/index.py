@@ -388,26 +388,40 @@ def build_term_stats(postings: DataFrame) -> DataFrame:
     )
 
 
-def build_vocab_tri(term_stats: DataFrame) -> DataFrame:
+# Xapian's spelling fragment scheme (XC backends/glass/glass_spelling.cc
+# toggle_word): Head 'H'+first2, Tail 'T'+last2, Bookends 'B'+first+last for
+# words of <= 4 chars (covers middle-pair transposition / middle-char edits
+# that change every interior trigram), Middles 'M'+each trigram for words of
+# > 2 chars. Words must be >= 2 chars (Xapian asserts word.size() > 1).
+_FRAG_EXPR = """
+array_distinct(concat(
+  array(concat('H', substring(term, 1, 2)),
+        concat('T', substring(term, length(term) - 1, 2))),
+  CASE WHEN length(term) <= 4
+       THEN array(concat('B', substring(term, 1, 1),
+                         substring(term, length(term), 1)))
+       ELSE cast(array() as array<string>) END,
+  CASE WHEN length(term) > 2
+       THEN transform(sequence(1, length(term) - 2),
+                      i -> concat('M', substring(term, i, 3)))
+       ELSE cast(array() as array<string>) END
+))
+"""
+
+
+def build_vocab_frag(term_stats: DataFrame) -> DataFrame:
     """Xapian's persistent spelling table analogue (K12/Q19): vocabulary
-    terms exploded to character trigrams, keyed by trigram for blocked
-    candidate lookup (the same blocking xapian-core's spelling B-tree uses).
-    Z-stems are excluded — the spelling dictionary holds surface forms.
-    Built once per index (spelling_table()) and written by
-    InvertedIndex.write alongside term_stats; rebuilding it per query would
-    be a full-vocabulary explode per keystroke."""
-    vocab = term_stats.filter(~F.col("term").startswith("Z"))
+    terms exploded to spelling fragments (the H/T/B/M scheme of
+    xapian-core's spelling B-tree — see _FRAG_EXPR), keyed by fragment for
+    blocked candidate lookup. Z-stems are excluded — the spelling dictionary
+    holds surface forms. Built once per index (spelling_table()) and written
+    by InvertedIndex.write alongside term_stats; rebuilding it per query
+    would be a full-vocabulary explode per keystroke."""
+    vocab = term_stats.filter(
+        ~F.col("term").startswith("Z") & (F.length("term") >= 2)
+    )
     return vocab.select(
-        "term",
-        "df",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, greatest(length(term) - 2, 1)), "
-                    "i -> substring(term, i, 3))"
-                )
-            )
-        ).alias("tri"),
+        "term", "df", F.explode(F.expr(_FRAG_EXPR)).alias("frag")
     )
 
 
@@ -420,14 +434,14 @@ class InvertedIndex:
     term_stats: DataFrame
     n_docs: int
     avg_len: float
-    # persistent spelling table (build_vocab_tri): loaded by read() when
+    # persistent spelling table (build_vocab_frag): loaded by read() when
     # written, else built+persisted once on first spelling query
-    vocab_tri: DataFrame | None = None
+    vocab_frag: DataFrame | None = None
 
     def spelling_table(self) -> DataFrame:
-        if self.vocab_tri is None:
-            self.vocab_tri = build_vocab_tri(self.term_stats).persist()
-        return self.vocab_tri
+        if self.vocab_frag is None:
+            self.vocab_frag = build_vocab_frag(self.term_stats).persist()
+        return self.vocab_frag
 
     @classmethod
     def from_carrier(cls, carrier: DataFrame, persist: bool = True) -> "InvertedIndex":
@@ -511,7 +525,7 @@ class InvertedIndex:
         return cls.from_carrier(carrier, persist)
 
     def unpersist(self) -> None:
-        for df in (self.postings, self.doc_stats, self.term_stats, self.vocab_tri):
+        for df in (self.postings, self.doc_stats, self.term_stats, self.vocab_frag):
             if df is None:
                 continue
             try:
@@ -531,10 +545,11 @@ class InvertedIndex:
         postings = store.read_table(spark, "postings").drop("term_bucket")
         doc_stats = store.read_table(spark, "doc_stats").drop("doc_bucket")
         term_stats = store.read_table(spark, "term_stats")
-        try:  # pre-vocab_tri indexes lack the table: built lazily instead
-            vocab_tri = store.read_table(spark, "vocab_tri")
+        try:  # older indexes lack the table (or carry the pre-round-4
+            # plain-trigram layout under "vocab_tri"): rebuilt lazily instead
+            vocab_frag = store.read_table(spark, "vocab_frag")
         except Exception:
-            vocab_tri = None
+            vocab_frag = None
         row = doc_stats.agg(
             F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avg")
         ).collect()[0]
@@ -544,7 +559,7 @@ class InvertedIndex:
             term_stats=term_stats,
             n_docs=int(row["n"] or 0),
             avg_len=float(row["avg"] or 0.0),
-            vocab_tri=vocab_tri,
+            vocab_frag=vocab_frag,
         )
 
     def write(self, base_dir: str, store=None) -> None:
@@ -572,12 +587,12 @@ class InvertedIndex:
             partition_by=["doc_bucket"],
         )
         store.write_table(self.term_stats, "term_stats")
-        # persistent spelling table: trigram-clustered so the per-query
-        # point lookup (tri IN (...)) prunes row groups, the parquet
-        # analogue of xapian's trigram-keyed spelling B-tree
+        # persistent spelling table: fragment-clustered so the per-query
+        # point lookup (frag IN (...)) prunes row groups, the parquet
+        # analogue of xapian's fragment-keyed spelling B-tree
         store.write_table(
-            build_vocab_tri(self.term_stats)
-            .repartition(F.col("tri"))
-            .sortWithinPartitions("tri", "term"),
-            "vocab_tri",
+            build_vocab_frag(self.term_stats)
+            .repartition(F.col("frag"))
+            .sortWithinPartitions("frag", "term"),
+            "vocab_frag",
         )

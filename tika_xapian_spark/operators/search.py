@@ -448,6 +448,75 @@ def op_elite_set(index: InvertedIndex, terms: list[str], n: int) -> DataFrame:
     return score_terms(index, keep)
 
 
+def spelling_query_fragments(w: str) -> list[str]:
+    """Query-side spelling fragments — the probe set
+    GlassSpellingTable::open_termlist builds (glass_spelling.cc): the H/T/
+    B/M fragments of the word itself, plus for 3-char words the two
+    single-transposition middle forms (ABC -> BAC, ACB) and for 2-char
+    words the transposed head/tail, so one-transposition misspellings of
+    short words still block to their correction. Index-side fragments are
+    generated by operators/index.py::_FRAG_EXPR."""
+    if len(w) < 2:  # Xapian asserts word.size() > 1
+        return []
+    frags = {"H" + w[:2], "T" + w[-2:]}
+    if len(w) <= 4:
+        frags.add("B" + w[0] + w[-1])
+    if len(w) > 2:
+        for i in range(len(w) - 2):
+            frags.add("M" + w[i : i + 3])
+    if len(w) == 3:
+        frags.add("M" + w[1] + w[0] + w[2])  # ABC -> BAC
+        frags.add("M" + w[0] + w[2] + w[1])  # ABC -> ACB
+    if len(w) == 2:
+        frags.add("H" + w[1] + w[0])
+        frags.add("T" + w[1] + w[0])
+    return sorted(frags)
+
+
+def osa_distance(a: str, b: str) -> int:
+    """Restricted Damerau-Levenshtein (optimal string alignment): adjacent
+    transposition costs 1 — Xapian's spelling metric
+    (XC spelling/editdistance.cc), unlike plain levenshtein where a swap
+    costs 2 ('teh' -> 'the' is distance 1 here, 2 there)."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev2: list[int] = []
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                d = min(d, prev2[j - 2] + 1)
+            cur[j] = d
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+def _osa_udf_impl(word, term):
+    import pandas as pd
+
+    return pd.Series(
+        [osa_distance(w, t) for w, t in zip(word, term)], dtype="int32"
+    )
+
+
+# DataType instance (not a DDL string) so the UDF registers at import time
+# without an active SparkSession
+from pyspark.sql.types import IntegerType as _IntegerType  # noqa: E402
+
+_osa_udf = F.pandas_udf(_osa_udf_impl, _IntegerType())
+
+
 def spelling_suggestions(
     index: InvertedIndex,
     words: list[str],
@@ -458,46 +527,40 @@ def spelling_suggestions(
     populates a spelling dictionary, so it is a silent no-op
     (SURVEY.md §2.3 K12 / §2.4 Q19). Here the term dictionary IS the
     spelling dictionary: candidate vocabulary terms are blocked by sharing a
-    character trigram with the query word (the same blocking xapian's
-    spelling table uses), then ranked by built-in levenshtein distance, then
-    collection frequency.
+    spelling fragment with the query word — xapian's own H/T/B/M fragment
+    scheme (glass_spelling.cc: head, tail, bookends for <=4-char words,
+    middle trigrams, plus the transposed-form probes open_termlist adds for
+    2- and 3-char query words, so 'teh' finds 'the') — then ranked by
+    restricted Damerau-Levenshtein distance (transposition costs 1 —
+    XC spelling/editdistance.cc, computed by an Arrow-batched pandas UDF
+    over the bounded fragment-blocked candidate set), then collection
+    frequency.
 
     Returns (word, suggestion, distance, df): the best suggestion per query
     word (distance <= max_distance, most frequent on ties, lexicographic
-    final tie-break). Scales: the PERSISTENT trigram table
+    final tie-break). Scales: the PERSISTENT fragment table
     (index.spelling_table() — written by InvertedIndex.write, xapian's
     spelling-B-tree analogue) replaces the former per-query full-vocabulary
-    explode; the query words' trigrams are known driver-side, so the probe
-    is a pushed tri IN (...) point lookup over the trigram-clustered table.
-    Everything else is JVM-side (levenshtein is a builtin).
+    explode; the query words' fragments are known driver-side, so the probe
+    is a pushed frag IN (...) point lookup over the fragment-clustered
+    table. Everything else is JVM-side; the distance UDF only ever sees the
+    fragment-blocked candidates.
     """
     spark = index.postings.sparkSession
 
-    # same trigram transform as the SQL side: substrings of length 3 at
-    # 1..max(len-2, 1) (whole word when shorter than 3 chars)
-    qtris = sorted(
-        {w[i : i + 3] for w in words for i in range(max(len(w) - 2, 1))}
-    )
-    vocab_tri = index.spelling_table().filter(F.col("tri").isin(qtris))
+    qfrags = sorted({f for w in words for f in spelling_query_fragments(w)})
+    vocab_frag = index.spelling_table().filter(F.col("frag").isin(qfrags))
     if min_df > 1:
-        vocab_tri = vocab_tri.filter(F.col("df") >= min_df)
-    qdf = spark.createDataFrame([(w,) for w in words], "word string")
-    q_tri = qdf.select(
-        "word",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, greatest(length(word) - 2, 1)), "
-                    "i -> substring(word, i, 3))"
-                )
-            )
-        ).alias("tri"),
+        vocab_frag = vocab_frag.filter(F.col("df") >= min_df)
+    q_frag = spark.createDataFrame(
+        [(w, f) for w in words for f in spelling_query_fragments(w)],
+        "word string, frag string",
     )
     cand = (
-        vocab_tri.join(F.broadcast(q_tri), "tri")
+        vocab_frag.join(F.broadcast(q_frag), "frag")
         .select("word", "term", "df")
         .distinct()
-        .withColumn("distance", F.levenshtein("word", "term"))
+        .withColumn("distance", _osa_udf("word", "term"))
         .filter(F.col("distance") <= max_distance)
         .filter(F.col("distance") > 0)
     )

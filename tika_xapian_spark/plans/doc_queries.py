@@ -523,27 +523,44 @@ FROM with_pct WHERE pct >= 60
 ORDER BY score_micro DESC, doc_id
 LIMIT {K}"""
     )
+    spelling_words = ["sprak", "merg", "window", "qery"]
+    word_frag_values = ", ".join(
+        f"('{w}', '{f}')"
+        for w in spelling_words
+        for f in S.spelling_query_fragments(w)
+    )
+    # vocab side mirrors operators/index.py::_FRAG_EXPR (xapian's H/T/B/M
+    # fragment scheme); word side is the open_termlist probe set, inlined
+    # from the same Python helper the Spark path uses. Distance is DuckDB's
+    # damerau_levenshtein (its unrestricted variant agrees with the engine's
+    # restricted OSA on every fragment-blocked pair at distance <= 2).
     spelling_sql = f"""
 WITH {oracles.base_ctes()},
 vocab AS (
-  SELECT term, count(*)::BIGINT AS df FROM posting GROUP BY term
+  SELECT term, count(*)::BIGINT AS df FROM posting
+  WHERE length(term) >= 2 GROUP BY term
 ),
-vocab_tri AS (
+vocab_frag AS (
   SELECT DISTINCT term, df,
-         unnest(list_transform(range(1, greatest(length(term) - 2, 1) + 1),
-                i -> substr(term, i, 3))) AS tri
+         unnest(
+           ['H' || substr(term, 1, 2),
+            'T' || substr(term, length(term) - 1, 2)]
+           || CASE WHEN length(term) <= 4
+                   THEN ['B' || substr(term, 1, 1)
+                             || substr(term, length(term), 1)]
+                   ELSE [] END
+           || CASE WHEN length(term) > 2
+                   THEN list_transform(range(1, length(term) - 1),
+                                       i -> 'M' || substr(term, i, 3))
+                   ELSE [] END
+         ) AS frag
   FROM vocab
 ),
-words(word) AS (VALUES ('sprak'), ('merg'), ('window'), ('qery')),
-word_tri AS (
-  SELECT DISTINCT word,
-         unnest(list_transform(range(1, greatest(length(word) - 2, 1) + 1),
-                i -> substr(word, i, 3))) AS tri
-  FROM words
-),
+word_frag(word, frag) AS (VALUES {word_frag_values}),
 cand AS (
-  SELECT DISTINCT w.word, v.term, v.df, levenshtein(w.word, v.term) AS distance
-  FROM word_tri w JOIN vocab_tri v USING (tri)
+  SELECT DISTINCT w.word, v.term, v.df,
+         damerau_levenshtein(w.word, v.term) AS distance
+  FROM word_frag w JOIN vocab_frag v USING (frag)
 ),
 ranked AS (
   SELECT word, term AS suggestion, distance::INT AS distance, df,
