@@ -37,10 +37,10 @@ def normalize(rows, cols):
 
 # Queries whose algorithm is genuinely non-SQL-expressible: no DuckDB
 # oracle (the driver records a rows-only check); their correctness gate is
-# a dedicated golden/parity pytest instead, named here.
-NON_SQL_QUERIES = {
-    "search_snippets": "tests/test_snippets.py (xapian api_snippets goldens)",
-}
+# a dedicated golden/parity pytest instead, named here. (search_snippets
+# graduated to a pinned-VALUES oracle in round 4 — the algorithm gate is
+# still tests/test_snippets.py's 22 api_snippets.cc string goldens.)
+NON_SQL_QUERIES: dict[str, str] = {}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))

@@ -106,11 +106,12 @@ def q_search_facets(spark, sf_dir):
 def q_search_snippets(spark, sf_dir):
     """MSet::snippet per hit of the ranked page (the TUI's result
     rendering): top-5 docs for spark/merge with <b>-highlighted best-window
-    snippets at length 120. No SQL oracle — the snippet algorithm (sliding
-    DECAY window, sentence/punctuation heuristics, background model) is not
-    SQL-expressible; parity is pinned string-equal against xapian-core's
-    api_snippets.cc goldens in tests/test_snippets.py, and the driver
-    records the rows-only check for this entry."""
+    snippets at length 120. The snippet algorithm (sliding DECAY window,
+    sentence/punctuation heuristics, background model) is not
+    SQL-expressible, so the oracle is a literal VALUES table of the
+    expected rows per deterministic corpus (see oracle_sqls); the
+    algorithm's own parity gate is string-equality against xapian-core's
+    api_snippets.cc goldens in tests/test_snippets.py."""
     from ..operators.snippet import snippets_for_page
 
     idx = get_index(spark, sf_dir)
@@ -569,10 +570,47 @@ ranked AS (
   FROM cand WHERE distance BETWEEN 1 AND 2
 )
 SELECT word, suggestion, distance, df FROM ranked WHERE rn = 1 ORDER BY word"""
+    # search_snippets: the snippet algorithm (sliding DECAY window,
+    # punctuation heuristics, background model) is not SQL-expressible, so
+    # the oracle is the expected rows themselves, pinned as literals —
+    # derived ONCE from the golden-tested renderer (string-equal against 22
+    # xapian api_snippets.cc goldens in tests/test_snippets.py) over each
+    # deterministic corpus, keyed by sum(length(text)) so the right literal
+    # is selected per sf and an unknown corpus yields zero rows (loud
+    # rowcount mismatch, never a silent pass).
+    snip_a = [  # sf0.001: sum(length(text)) = 153156
+        (96, "<b>spark</b> <b>spark</b> part line group <b>spark</b> row <b>merge</b> value window small sort data sort big vector key value small a agg part <b>merge</b>..."),
+        (135, "...<b>merge</b> <b>merge</b> sort data <b>merge</b> table key stream window <b>spark</b> table <b>merge</b> a <b>spark</b> scan fast order window slow window <b>spark</b>..."),
+        (206, "...part <b>spark</b> a stream key query <b>merge</b> sort window part window <b>spark</b> batch data slow <b>spark</b> a hash part <b>merge</b> key key <b>spark</b>..."),
+        (457, "...<b>merge</b> order stream batch small data order slow join <b>spark</b> <b>merge</b> fast slow scan fast group the small small small <b>spark</b>..."),
+        (481, "...agg the <b>spark</b> the line line query <b>spark</b> scan scan agg hash data big <b>merge</b> agg part join big key <b>merge</b> scan vector <b>merge</b>..."),
+    ]
+    snip_b = [  # sf0.01: sum(length(text)) = 149174
+        (97, "...window fast order <b>spark</b> <b>merge</b> vector big small small <b>spark</b> join join vector <b>spark</b> scan <b>merge</b> table fast window <b>spark</b>..."),
+        (319, "...vector scan table batch <b>spark</b> table <b>spark</b> group stream join small <b>merge</b> scan <b>merge</b> stream slow customer key key <b>spark</b>..."),
+        (321, "...<b>merge</b> small order agg <b>spark</b> order big line filter order line <b>spark</b> <b>spark</b> order vector customer row stream stream <b>merge</b>..."),
+        (395, "...part customer column fast <b>spark</b> stream table stream <b>merge</b> <b>spark</b> <b>spark</b> <b>merge</b> batch group big small column filter <b>merge</b>"),
+        (498, "...column <b>merge</b> <b>spark</b> part <b>merge</b> query join group big window slow <b>merge</b> group join filter data <b>merge</b> customer a <b>spark</b> <b>spark</b>..."),
+    ]
+
+    def _vals(rows):
+        return ", ".join(f"({d}, '{s}')" for d, s in rows)
+
+    snippets_sql = f"""
+WITH corpus AS (SELECT sum(length(text)) AS tot FROM documents),
+exp_a(doc_id, snippet) AS (VALUES {_vals(snip_a)}),
+exp_b(doc_id, snippet) AS (VALUES {_vals(snip_b)})
+SELECT doc_id::BIGINT AS doc_id, snippet FROM exp_a
+WHERE (SELECT tot FROM corpus) = 153156
+UNION ALL
+SELECT doc_id::BIGINT AS doc_id, snippet FROM exp_b
+WHERE (SELECT tot FROM corpus) = 149174
+ORDER BY doc_id"""
     return {
         "search_or": oracles.bm25_topk(["spark", "merge"]),
         "fetch_documents": fetch_sql,
         "spelling_suggest": spelling_sql,
+        "search_snippets": snippets_sql,
         "search_count": count_sql,
         "search_sort_by_meta": sort_meta_sql,
         "search_cutoff": cutoff_sql,
