@@ -102,6 +102,93 @@ class TestPrunedPlans:
         assert 0.0 < frac < 0.6  # scans a minority of leaf partitions
 
 
+class TestUpsert:
+    """Incremental maintenance: build, upsert (replace + add), probe stays
+    partition-pruned and returns the post-upsert truth without a corpus
+    rewrite."""
+
+    @pytest.fixture()
+    def upserted(self, corpus, tmp_path_factory, spark):
+        df, rows = corpus
+        base = str(tmp_path_factory.mktemp("ann_up") / "idx")
+        idx = AnnIndex.build(df, base)
+        # replace vec 0 with a very different vector (lands in another
+        # cell/hbucket than its original) and add two brand-new ids
+        rng = np.random.default_rng(77)
+        new_rows = [
+            (0, [float(x) for x in rng.standard_normal(64) * 5.0]),
+            (1000, [float(x) for x in rng.standard_normal(64)]),
+            (1001, [float(x) for x in rng.standard_normal(64)]),
+        ]
+        new_df = spark.createDataFrame(
+            new_rows, "vec_id long, embedding array<float>"
+        )
+        idx.upsert(new_df)
+        return idx, df, rows, dict(new_rows)
+
+    def test_replace_and_add_by_id(self, upserted):
+        idx, df, rows, new = upserted
+        live = {
+            r["vec_id"]: r[idx.vec_col] for r in idx.vectors().collect()
+        }
+        assert len(live) == 300 + 2  # replaced id not duplicated
+        # replaced id serves the NEW vector
+        assert live[0] == pytest.approx(new[0])
+        assert 1000 in live and 1001 in live
+
+    def test_results_match_full_recompute(self, upserted, spark):
+        idx, df, rows, new = upserted
+        merged = {r[0]: r[1] for r in rows}
+        merged.update(new)
+        truth_df = spark.createDataFrame(
+            sorted(merged.items()), "vec_id long, embedding array<float>"
+        )
+        q = rows[5][1]
+        want = [
+            (r["vec_id"], r["cos_micro"])
+            for r in SIM.ivf_cosine_topk(truth_df, q, 15).collect()
+        ]
+        got = [
+            (r["vec_id"], r["cos_micro"])
+            for r in idx.ivf_topk(q, 15).collect()
+        ]
+        assert got == want
+
+    def test_probe_still_partition_pruned(self, upserted):
+        idx, df, rows, new = upserted
+        plan = plan_of(idx.multiprobe_topk(rows[0][1], 10))
+        pf = plan.split("PartitionFilters:")[1].split("]")[0]
+        assert "hbucket" in pf
+        # the tombstone side is a broadcast, never a shuffle join
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_reopen_sees_upsert(self, upserted, spark):
+        idx, df, rows, new = upserted
+        reopened = AnnIndex.read(spark, idx.base_dir)
+        assert reopened.gen == 1
+        live = {
+            r["vec_id"]: r[idx.vec_col]
+            for r in reopened.vectors().collect()
+        }
+        assert live[0] == pytest.approx(new[0])
+        assert len(live) == 302
+
+    def test_second_upsert_shadows_first(self, upserted, spark):
+        idx, df, rows, new = upserted
+        final_vec = [1.0] + [0.0] * 63
+        idx.upsert(
+            spark.createDataFrame(
+                [(1000, final_vec)], "vec_id long, embedding array<float>"
+            )
+        )
+        live = {
+            r["vec_id"]: r[idx.vec_col] for r in idx.vectors().collect()
+        }
+        assert len(live) == 302
+        assert live[1000] == pytest.approx(final_vec)
+
+
 def test_empty_corpus_build_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty corpus"):

@@ -24,6 +24,15 @@ pruned candidate read, the same role Xapian's table headers play for its
 B-trees. The parquet-dir layout is the Iceberg stand-in used across this
 repo (sources/tables.py); on a real cluster the partition columns map to
 ``bucket(...)`` partition transforms.
+
+Incremental maintenance (the ``replace_document`` analogue for the vectors
+table — /root/reference/src/main.rs:138-140 re-adds changed docs by id):
+``upsert`` appends re-stamped rows into their cell=/hbucket= partitions and
+records (id, gen) equality-delete tombstones; the read path drops any row
+an equal-id tombstone with a HIGHER generation shadows — exactly Iceberg's
+equality-delete + sequence-number semantics, so a delta re-index never
+rewrites the corpus. The quantizer is frozen at build time (standard IVF
+maintenance; rebuild to re-derive centroids).
 """
 
 from __future__ import annotations
@@ -49,6 +58,7 @@ class AnnIndex:
     sign_dims: tuple[int, ...]
     id_col: str = "vec_id"
     vec_col: str = "embedding"
+    gen: int = 0  # current upsert generation (Iceberg sequence-number analogue)
     _vectors: DataFrame | None = None  # cached relation (file listing done once)
 
     # ------------------------------------------------------------ build/io
@@ -72,34 +82,78 @@ class AnnIndex:
             raise ValueError("cannot build an ANN index over an empty corpus")
         dim = len(centroids[0][1])
         planes = SIM.hyperplanes(n_planes, dim)
-        stamped = embeddings.select(
-            F.col(id_col),
-            F.col(vec_col),
-            SIM.sign_bucket(vec_col, sign_dims).alias("sbucket"),
-            SIM._assign_cell(vec_col, centroids).alias("cell"),
-            SIM.hyperplane_bucket(vec_col, planes).alias("hbucket"),
+        idx = cls(
+            embeddings.sparkSession, base_dir, planes, centroids,
+            tuple(sign_dims), id_col, vec_col,
         )
         (
-            stamped.repartition("cell", "hbucket")
+            idx._stamp(embeddings, gen=0)
+            .repartition("cell", "hbucket")
             .sortWithinPartitions("sbucket", id_col)
             .write.mode("overwrite")
             .partitionBy("cell", "hbucket")
             .parquet(os.path.join(base_dir, "vectors"))
         )
+        idx._write_meta(dim)
+        return idx
+
+    def _stamp(self, embeddings: DataFrame, gen: int) -> DataFrame:
+        """Quantize rows against this index's frozen quantizer."""
+        return embeddings.select(
+            F.col(self.id_col),
+            F.col(self.vec_col),
+            SIM.sign_bucket(self.vec_col, self.sign_dims).alias("sbucket"),
+            SIM._assign_cell(self.vec_col, self.centroids).alias("cell"),
+            SIM.hyperplane_bucket(self.vec_col, self.planes).alias("hbucket"),
+        ).withColumn("gen", F.lit(int(gen)))
+
+    def _write_meta(self, dim: int) -> None:
         meta = {
-            "planes": planes,
-            "centroids": [[cid, vec] for cid, vec in centroids],
-            "sign_dims": list(sign_dims),
-            "id_col": id_col,
-            "vec_col": vec_col,
+            "planes": self.planes,
+            "centroids": [[cid, vec] for cid, vec in self.centroids],
+            "sign_dims": list(self.sign_dims),
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
             "dim": dim,
+            "gen": self.gen,
         }
-        with open(os.path.join(base_dir, _META), "w") as f:
+        with open(os.path.join(self.base_dir, _META), "w") as f:
             json.dump(meta, f)
-        return cls(
-            embeddings.sparkSession, base_dir, planes, centroids,
-            tuple(sign_dims), id_col, vec_col,
+
+    def upsert(self, embeddings: DataFrame) -> None:
+        """Replace-or-add vectors by id WITHOUT rewriting the corpus (the
+        vectors-table ``replace_document``): new rows are re-stamped with
+        the frozen quantizer and APPENDED into their cell=/hbucket= leaf
+        partitions at generation gen+1, and one (id, gen+1) equality-delete
+        tombstone per row is appended to ``deletes/``. The read path
+        (vectors()) drops rows shadowed by a strictly-newer tombstone, so an
+        id's stale copy dies even when its new vector lands in a DIFFERENT
+        partition. Tombstone volume is bounded by rows-ever-upserted; probes
+        stay partition-pruned because the tombstone anti-join is a broadcast
+        on top of the pruned scan. This is Iceberg's equality-delete +
+        sequence-number MERGE model on the parquet-dir stand-in."""
+        gen = self.gen + 1
+        (
+            self._stamp(embeddings, gen=gen)
+            .repartition("cell", "hbucket")
+            .sortWithinPartitions("sbucket", self.id_col)
+            .write.mode("append")
+            .partitionBy("cell", "hbucket")
+            .parquet(os.path.join(self.base_dir, "vectors"))
         )
+        (
+            embeddings.select(
+                F.col(self.id_col), F.lit(int(gen)).alias("gen")
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(os.path.join(self.base_dir, "deletes"))
+        )
+        self.gen = gen
+        self._write_meta(
+            len(self.centroids[0][1]) if self.centroids else 0
+        )
+        self._vectors = None  # new files + tombstones: re-list on next read
 
     @classmethod
     def read(cls, spark: SparkSession, base_dir: str) -> "AnnIndex":
@@ -113,18 +167,42 @@ class AnnIndex:
             tuple(meta["sign_dims"]),
             meta["id_col"],
             meta["vec_col"],
+            gen=int(meta.get("gen", 0)),
         )
 
     def vectors(self) -> DataFrame:
-        """The index relation. Cached on the instance: partition DISCOVERY
-        (listing the cell=/hbucket= leaves) runs once per index handle — the
-        role a table catalog's metadata cache plays at cluster scale; with a
-        fresh read per query, listing dominates small-corpus probe latency.
-        Partition PRUNING still happens per query at planning time."""
+        """The live index relation: base scan minus tombstone-shadowed rows.
+        Cached on the instance: partition DISCOVERY (listing the
+        cell=/hbucket= leaves) runs once per index handle — the role a table
+        catalog's metadata cache plays at cluster scale; with a fresh read
+        per query, listing dominates small-corpus probe latency. Partition
+        PRUNING still happens per query at planning time: probe filters on
+        cell/hbucket push below the broadcast tombstone join onto the scan.
+        A row survives unless an equal-id tombstone with a strictly higher
+        generation exists (so each upsert's own rows survive their own
+        markers while every older copy dies)."""
         if self._vectors is None:
-            self._vectors = self.spark.read.parquet(
+            base = self.spark.read.parquet(
                 os.path.join(self.base_dir, "vectors")
             )
+            if "gen" not in base.columns:  # pre-upsert index layout
+                base = base.withColumn("gen", F.lit(0))
+            deletes_dir = os.path.join(self.base_dir, "deletes")
+            if os.path.isdir(deletes_dir):
+                dead = (
+                    self.spark.read.parquet(deletes_dir)
+                    .groupBy(self.id_col)
+                    .agg(F.max("gen").alias("_del_gen"))
+                )
+                base = (
+                    base.join(F.broadcast(dead), self.id_col, "left")
+                    .filter(
+                        F.col("_del_gen").isNull()
+                        | (F.col("_del_gen") <= F.col("gen"))
+                    )
+                    .drop("_del_gen")
+                )
+            self._vectors = base
         return self._vectors
 
     # ------------------------------------------------------------- queries
