@@ -281,8 +281,148 @@ def bench_scaling(n_rows: int | None = None) -> dict:
     return result
 
 
+QUERY_IDX_DIR = "/tmp/bench_qidx"
+
+
+def stage_query_index(n_rows: int) -> str:
+    """Build + write the full InvertedIndex over the synthetic pages corpus
+    ONCE (setup, untimed): the query-scaling leg times searches against a
+    PRE-WRITTEN index, the steady-state serving shape (index build
+    amortized), so both core levels read identical bytes."""
+    path = f"{QUERY_IDX_DIR}_{n_rows}"
+    marker = os.path.join(path, "_QIDX_COMPLETE")
+    if not os.path.exists(marker):
+        from tika_xapian_spark.operators.index import (
+            InvertedIndex,
+            extract_index_carrier,
+        )
+
+        spark = build_session(16)
+        try:
+            pages = spark.read.parquet(stage_pages(spark, n_rows))
+            idx = InvertedIndex.from_fused_carrier(extract_index_carrier(pages))
+            shutil.rmtree(path, ignore_errors=True)
+            idx.write(path)
+            idx.unpersist()
+            with open(marker, "w") as f:
+                f.write("ok")
+        finally:
+            spark.stop()
+    return path
+
+
+QBENCH_WORDS = [
+    "body", "markdown", "filename", "scalar", "subtitle",
+    "note", "syntax", "date", "line", "example",
+]
+QBENCH_BATCH = 48  # queries per timed batch
+QBENCH_INFLIGHT = 16  # concurrent submissions (a serving pool's depth)
+
+
+def _run_one_query(idx, i: int) -> None:
+    """Query i of the mixed workload: OR / AND / PHRASE / WAND over rotating
+    common corpus words (every shape the TUI's parser emits for multi-word
+    input). Terms rotate so consecutive queries don't share a plan."""
+    from tika_xapian_spark.operators import search as S
+
+    a = QBENCH_WORDS[i % len(QBENCH_WORDS)]
+    b = QBENCH_WORDS[(i + 3) % len(QBENCH_WORDS)]
+    za, zb = S.stem_query_term(a), S.stem_query_term(b)
+    kind = i % 4
+    if kind == 0:
+        S.top_k(S.score_terms(idx, [za, zb])).collect()
+    elif kind == 1:
+        S.top_k(S.score_terms_all(idx, [za, zb])).collect()
+    elif kind == 2:
+        S.top_k(S.match_phrase(idx, [a, b])).collect()
+    else:
+        S.top_k_wand(idx, [za, zb], k=100).collect()
+
+
+def bench_scaling_queries(n_rows: int | None = None) -> dict:
+    """Query-path N vs 4N leg (round-3 verdict item #1).
+
+    What scales on the query path is THROUGHPUT under concurrent load, not
+    single-query latency: a well-indexed query is latency-bound by design
+    (pushed `term IN` + row-group pruning leave little parallel work per
+    query — that's the index succeeding), so the serving-cluster criterion
+    is queries/sec with a full request pool, measured here as a batch of
+    QBENCH_BATCH mixed OR/AND/PHRASE/WAND queries over rotating terms,
+    QBENCH_INFLIGHT in flight, against the same pre-written pages index at
+    both core counts. Protocol mirrors bench_scaling: load-gated,
+    full warm batch per level, best-of-N batch walls (contention only ever
+    slows a batch), efficiency = qps ratio / core ratio. Single-query
+    latencies are also reported per level for the latency story."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    sf = _sf_name(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    n = n_rows or int(os.environ.get("BENCH_ROWS", SF_ROWS.get(sf, 60_000)))
+    lo, hi = (
+        int(x) for x in os.environ.get("BENCH_SCALE_CORES", "4,16").split(",")
+    )
+    idx_path = stage_query_index(n)
+    from tika_xapian_spark.operators.index import InvertedIndex
+
+    result: dict = {
+        "metric": f"query_scaling_efficiency_{lo}_to_{hi}",
+        "rows": n,
+        "sf": sf,
+        "batch": QBENCH_BATCH,
+        "inflight": QBENCH_INFLIGHT,
+    }
+    qps = {}
+    for cpus in (lo, hi):
+        wait_for_quiet()
+        spark = build_session(cpus)
+        try:
+            idx = InvertedIndex.read(spark, idx_path)
+
+            def batch() -> float:
+                t0 = time.time()
+                with ThreadPoolExecutor(QBENCH_INFLIGHT) as ex:
+                    list(
+                        ex.map(
+                            lambda i: _run_one_query(idx, i),
+                            range(QBENCH_BATCH),
+                        )
+                    )
+                return time.time() - t0
+
+            batch()  # warm: plan compile, broadcasts, page cache
+            walls = []
+            for _ in range(4):
+                walls.append(batch())
+                close = [w for w in walls if w <= min(walls) * 1.05]
+                if len(close) >= 2:
+                    break
+                wait_for_quiet(max_wait_sec=90)
+            wall = min(walls)
+            # single-query latency (min-of-2) for the latency story
+            lat = {}
+            for kind, name in enumerate(("or", "and", "phrase", "wand")):
+                trials = []
+                for _ in range(2):
+                    t0 = time.time()
+                    _run_one_query(idx, kind)
+                    trials.append(time.time() - t0)
+                lat[name] = round(min(trials), 3)
+        finally:
+            spark.stop()
+        qps[cpus] = QBENCH_BATCH / wall
+        result[f"qps_local{cpus}"] = round(qps[cpus], 2)
+        result[f"batch_walls_local{cpus}"] = [round(w, 2) for w in walls]
+        result[f"latency_local{cpus}"] = lat
+    result["value"] = result["efficiency"] = round(
+        qps[hi] / qps[lo] / (hi / lo), 3
+    )
+    result["unit"] = "ratio"
+    return result
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-queries" in sys.argv:
+        print(json.dumps(bench_scaling_queries()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(bench_scaling()))
     else:
         print(json.dumps(bench_once()))

@@ -575,8 +575,15 @@ class InvertedIndex:
 
             store = ParquetDirStore(base_dir)
         store.write_table(
+            # term-sorted within each bucket file: parquet row-group min/max
+            # stats then satisfy the pushed `term IN (...)` probe by skipping
+            # every non-matching group — the columnar analogue of Xapian's
+            # term-ordered postlist B-tree. Unsorted files leave every row
+            # group's term range spanning the whole dictionary, making the
+            # pushdown a no-op.
             self.postings.withColumn("term_bucket", bucket_col("term"))
-            .repartition("term_bucket"),
+            .repartition("term_bucket")
+            .sortWithinPartitions("term", "doc"),
             "postings",
             partition_by=["term_bucket"],
         )
@@ -586,7 +593,10 @@ class InvertedIndex:
             "doc_stats",
             partition_by=["doc_bucket"],
         )
-        store.write_table(self.term_stats, "term_stats")
+        # term-sorted for the same row-group pruning on the dictionary probe
+        store.write_table(
+            self.term_stats.sort("term"), "term_stats"
+        )
         # persistent spelling table: fragment-clustered so the per-query
         # point lookup (frag IN (...)) prunes row groups, the parquet
         # analogue of xapian's fragment-keyed spelling B-tree

@@ -60,6 +60,26 @@ def stem_query_term(term: str, prefix: str = "") -> str:
     return "Z" + prefix + porter2_stem(t) if _should_stem(t) else prefix + t
 
 
+def _literal_qterms(spark, terms: dict[str, int]):
+    """(term, wqf) rows as a PURE-PLAN literal relation: createDataFrame on
+    a Python list runs a driver RDD job per call (~0.4s of serial latency on
+    every query); exploding a literal array costs nothing until the
+    broadcast build and never touches the Python-RDD path."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"), F.lit(int(w)).cast("int").alias("wqf")
+            )
+            for t, w in terms.items()
+        ]
+    )
+    return (
+        spark.range(1)
+        .select(F.explode(entries).alias("e"))
+        .select("e.term", "e.wqf")
+    )
+
+
 def _termweight(df_col: Column, n_docs: int, wqf: Column) -> Column:
     tw = (F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5)
     tw = F.when(tw < 2.0, tw * 0.5 + 1.0).otherwise(tw)
@@ -93,13 +113,17 @@ def score_terms(
     if not terms:
         out = _empty_matches(index)
         return out.withColumn("n_sub", F.lit(0)) if with_nsub else out
-    spark = index.postings.sparkSession
-    qdf = spark.createDataFrame(
-        [(t, int(w)) for t, w in terms.items()], "term string, wqf int"
-    )
-    # tiny build side: broadcast term stats + query terms into the postings scan
+    term_list = list(terms)
+    qdf = _literal_qterms(index.postings.sparkSession, terms)
+    # tiny build side: broadcast term stats + query terms into the postings
+    # scan. The static IN filter is semantically redundant with the join but
+    # REACHES THE PARQUET SCAN as a pushed filter (the join key alone never
+    # pushes), so over a written term-sorted index the row-group stats skip
+    # every non-matching group — the B-tree-seek analogue; without it every
+    # query is a full postings scan.
     weights = (
-        index.term_stats.join(F.broadcast(qdf), "term")
+        index.term_stats.filter(F.col("term").isin(term_list))
+        .join(F.broadcast(qdf), "term")
         .withColumn("termweight", _termweight(F.col("df"), index.n_docs, F.col("wqf")))
         .select("term", "termweight")
     )
@@ -110,7 +134,7 @@ def score_terms(
     aggs = [F.sum("part").alias("score")]
     if with_nsub:
         aggs.append(F.count(F.lit(1)).cast("int").alias("n_sub"))
-    postings = index.postings
+    postings = index.postings.filter(F.col("term").isin(term_list))
     if candidates is not None:
         postings = postings.join(candidates.select("doc"), "doc", "left_semi")
     scored = postings.join(F.broadcast(weights), "term")
@@ -227,11 +251,11 @@ def op_max_terms(index: InvertedIndex, terms: list[str]) -> DataFrame:
     width, one shuffle total."""
     if not terms:
         return _empty_matches(index)
-    qdf = index.postings.sparkSession.createDataFrame(
-        [(t,) for t in dict.fromkeys(terms)], "term string"
-    )
+    term_list = list(dict.fromkeys(terms))
+    qdf = _literal_qterms(index.postings.sparkSession, {t: 1 for t in term_list})
     weights = (
-        index.term_stats.join(F.broadcast(qdf), "term")
+        index.term_stats.filter(F.col("term").isin(term_list))
+        .join(F.broadcast(qdf), "term")
         .withColumn(
             "termweight", _termweight(F.col("df"), index.n_docs, F.lit(1))
         )
@@ -240,7 +264,9 @@ def op_max_terms(index: InvertedIndex, terms: list[str]) -> DataFrame:
     avg_len = index.avg_len if index.avg_len > 0 else 1.0
     normlen = F.greatest(F.col("doclen") / F.lit(avg_len), F.lit(MIN_NORMLEN))
     denom = F.lit(K1) * (normlen * F.lit(B) + F.lit(1 - B)) + F.col("wdf")
-    scored = index.postings.join(F.broadcast(weights), "term")
+    scored = index.postings.filter(F.col("term").isin(term_list)).join(
+        F.broadcast(weights), "term"
+    )
     if "doclen" not in index.postings.columns:
         scored = scored.join(index.doc_stats, "doc")
     part = F.col("termweight") * (F.col("wdf") / denom)
