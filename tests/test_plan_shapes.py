@@ -234,6 +234,40 @@ class TestConnectedComponents:
         assert got == {i: 1 for i in range(1, n + 1)}
 
 
+class TestCorpusHygiene:
+    def test_contamination_broadcasts_probes(self, spark):
+        """Decontamination at 10^12 docs: the eval-set probe shingles are
+        the small side and MUST broadcast — a shuffle join on the corpus
+        shingle stream would move the whole corpus."""
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta doc{i}") for i in range(20)],
+            "doc_id long, text string",
+        )
+        corpus_sh = D.shingles_df(docs, key="doc_id")
+        probe_sh = D.shingles_df(
+            docs.filter(F.col("doc_id") < 2), key="doc_id"
+        )
+        out = D.contamination_hits(corpus_sh, probe_sh)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        got = {r["doc"]: r["n_probe_hits"] for r in out.collect()}
+        # every doc shares 'alpha beta gamma'/'beta gamma delta' with probes
+        assert set(got) == set(range(20))
+        assert got[0] > got[5]  # probe doc matches its own unique shingles
+
+    def test_boilerplate_profile(self, spark):
+        rows = [(i, "nav home about " + f"unique{i} body text") for i in range(10)]
+        rows += [(100 + i, f"solo{i} words only here") for i in range(10)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = D.boilerplate_shingles(
+            docs, key="doc_id", min_frac=0.3, limit=10
+        ).collect()
+        top = {r["shingle"]: r["df"] for r in out}
+        assert top.get("nav home about") == 10
+        assert all(df >= 6 for df in top.values())  # 0.3 * 20 docs
+
+
 class TestDenormalizedDoclen:
     def test_score_plan_has_no_docstats_join(self, spark, docs):
         """BM25 scoring over the denormalized layout is one postings scan +

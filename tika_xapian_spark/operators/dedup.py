@@ -327,3 +327,66 @@ def connected_components(
             "star-contraction for chain-shaped components"
         )
     return labels
+
+
+# ----------------------------------------------------- corpus-hygiene ops
+# Two more stages every large-scale training-data pipeline runs alongside
+# dedup: benchmark decontamination (drop training docs that overlap the
+# eval set) and boilerplate profiling (find n-grams so over-represented
+# they are template text, the df-cap idea surfaced as its own report).
+
+
+def contamination_hits(
+    corpus_shingles: DataFrame, probe_shingles: DataFrame
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing an n-gram shingle
+    with the eval-set probe docs (the n-gram-overlap decontamination used for
+    LLM training corpora, e.g. GPT-3 appendix C / PaLM's 'contaminated if
+    any 8-gram overlaps'). Inputs are two (doc, shingle) frames from
+    shingles_df. Returns (doc, n_probe_hits, first_hit): matched docs only,
+    with how many DISTINCT probe shingles hit and the lexicographically
+    first one (the audit trail a removal pass logs).
+
+    Scale: the probe side (eval sets: thousands of docs) is broadcast into
+    the corpus shingle stream — one map-side semi-join + one groupBy(doc),
+    no corpus-sized shuffle of text. For probe sets too big to broadcast,
+    the same plan with a plain equi-join shuffles on the shingle key."""
+    probes = probe_shingles.select("shingle").distinct()
+    return (
+        corpus_shingles.join(F.broadcast(probes), "shingle")
+        .groupBy("doc")
+        .agg(
+            F.countDistinct("shingle").cast("long").alias("n_probe_hits"),
+            F.min("shingle").alias("first_hit"),
+        )
+    )
+
+
+def boilerplate_shingles(
+    docs: DataFrame,
+    key: str,
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+    min_frac: float = 0.05,
+    limit: int = 50,
+) -> DataFrame:
+    """Boilerplate profile: shingles present in >= min_frac of documents,
+    with document frequency and fraction — template/navigation text shows up
+    here long before any individual pair looks like a duplicate (and these
+    are exactly the shingles the stop-shingle df cap drops before the
+    candidate joins above). One explode + one groupBy(shingle) with map-side
+    partial counts; the bounded top-`limit` report is all that reaches the
+    driver."""
+    n_docs = docs.count()
+    sh = shingles_df(docs, key, text_col, k)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") >= float(min_frac) * n_docs)
+        .withColumn(
+            "frac_micro",
+            F.round(F.col("df") / F.lit(float(n_docs)) * 1_000_000).cast("long"),
+        )
+        .orderBy(F.desc("df"), F.asc("shingle"))
+        .limit(limit)
+    )

@@ -578,9 +578,18 @@ def spelling_suggestions(
     vocab_frag = index.spelling_table().filter(F.col("frag").isin(qfrags))
     if min_df > 1:
         vocab_frag = vocab_frag.filter(F.col("df") >= min_df)
-    q_frag = spark.createDataFrame(
-        [(w, f) for w in words for f in spelling_query_fragments(w)],
-        "word string, frag string",
+    # literal relation (no per-keystroke driver RDD job — cf. _literal_qterms)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(w).alias("word"), F.lit(f).alias("frag"))
+            for w in words
+            for f in spelling_query_fragments(w)
+        ]
+    )
+    q_frag = (
+        spark.range(1)
+        .select(F.explode(pairs).alias("e"))
+        .select("e.word", "e.frag")
     )
     cand = (
         vocab_frag.join(F.broadcast(q_frag), "frag")

@@ -578,6 +578,82 @@ CURATE_QUALITY_MIN = 450_000
 CURATE_JACCARD_MIN = 500_000
 
 
+DECONTAM_PROBE_DOCS = 3  # doc_id < 3 stands in for "the eval set"
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (n-gram-overlap rule, GPT-3 appx C style):
+    the probe set is every 3-gram shingle of the 'eval' docs (modeled as
+    doc_id < 3); any corpus doc sharing one is flagged with its distinct-hit
+    count and first matching shingle. Probe side broadcasts (eval sets are
+    tiny next to the corpus); corpus side reuses the persisted shingle
+    index."""
+    docs = _docs(spark, sf_dir)
+    corpus_sh = _shingles(spark, sf_dir)
+    probe_sh = D.shingles_df(
+        docs.filter(F.col("doc_id") < DECONTAM_PROBE_DOCS), key="doc_id"
+    )
+    return (
+        D.contamination_hits(corpus_sh, probe_sh)
+        .select(F.col("doc").alias("doc_id"), "n_probe_hits", "first_hit")
+        .orderBy("doc_id")
+    )
+
+
+_SHINGLE_CTE = f"""{_TOK_CTE},
+toks AS (
+  SELECT doc_id, list(term ORDER BY pos) AS ts FROM tok GROUP BY doc_id
+),
+sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(ts) - 2, 1) + 1),
+           i -> array_to_string(list_slice(ts, i, i + 2), ' ')
+         )) AS shingle
+  FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle <> '')"""
+
+
+ORACLE_DECONTAM = f"""
+WITH {_SHINGLE_CTE},
+probes AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id < {DECONTAM_PROBE_DOCS}
+)
+SELECT s.doc_id,
+       count(DISTINCT s.shingle)::BIGINT AS n_probe_hits,
+       min(s.shingle) AS first_hit
+FROM sh s JOIN probes p USING (shingle)
+GROUP BY s.doc_id
+ORDER BY s.doc_id"""
+
+
+BOILERPLATE_MIN_FRAC = 0.05
+
+
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate profile: 3-gram shingles present in >= 5% of documents
+    (template text surfaces here before any pair looks duplicated; these are
+    the shingles the stop-shingle df cap prunes)."""
+    return D.boilerplate_shingles(
+        _docs(spark, sf_dir), key="doc_id", min_frac=BOILERPLATE_MIN_FRAC
+    ).select("shingle", "df", "frac_micro")
+
+
+ORACLE_BOILERPLATE = f"""
+WITH {_SHINGLE_CTE},
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+prof AS (
+  SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY shingle
+)
+SELECT shingle, df,
+       CAST(round(df / n.n_docs * 1000000) AS BIGINT) AS frac_micro
+FROM prof CROSS JOIN n
+WHERE df >= {BOILERPLATE_MIN_FRAC} * n.n_docs
+ORDER BY df DESC, shingle ASC
+LIMIT 50"""
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup CONNECTED COMPONENTS — the step after pair generation in a
     production dedup flow: minhash-LSH verified pairs (jaccard >= 0.5) form
@@ -892,6 +968,8 @@ DATA_QUERIES = {
     "dedup_minhash_signature": q_dedup_minhash_signature,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_components": q_dedup_components,
+    "decontaminate": q_decontaminate,
+    "boilerplate_ngrams": q_boilerplate_ngrams,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "text_simhash": q_text_simhash,
@@ -918,6 +996,8 @@ def data_oracle_sqls() -> dict[str, str]:
         "dedup_minhash_signature": ORACLE_MINHASH_SIG,
         "dedup_minhash_pairs": ORACLE_MINHASH_PAIRS,
         "dedup_components": _components_oracle(),
+        "decontaminate": ORACLE_DECONTAM,
+        "boilerplate_ngrams": ORACLE_BOILERPLATE,
         "dedup_ngram_pairs": ORACLE_NGRAM_PAIRS,
         "dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
         "text_simhash": ORACLE_SIMHASH,
