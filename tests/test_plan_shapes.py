@@ -234,6 +234,40 @@ class TestConnectedComponents:
         assert got == {i: 1 for i in range(1, n + 1)}
 
 
+class TestWrittenIndexPushdown:
+    def test_term_in_probe_reaches_parquet_scan(self, spark, tmp_path):
+        """Over a WRITTEN index the query-term probe must arrive at the
+        postings scan as a pushed In(term, ...) filter (row-group pruning on
+        the term-sorted files — the B-tree-seek analogue). The broadcast
+        join alone never pushes; regression here silently turns every query
+        into a full postings scan."""
+        from tika_xapian_spark.operators import search as S
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta w{i}") for i in range(30)],
+            "doc_id long, text string",
+        )
+        idx = InvertedIndex.build_from_body(docs, key="doc_id", stem=False)
+        try:
+            idx.write(str(tmp_path))
+        finally:
+            idx.unpersist()
+        reopened = InvertedIndex.read(spark, str(tmp_path))
+        plan = (
+            S.top_k(S.score_terms(reopened, ["alpha", "beta"]))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        pushed = [
+            seg.split("]")[0]
+            for seg in plan.split("PushedFilters: [")[1:]
+        ]
+        assert any("In(term, [alpha,beta" in p for p in pushed), pushed
+        # and the scan schema is pruned: positions never read for scoring
+        assert "positions" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
 class TestCorpusHygiene:
     def test_contamination_broadcasts_probes(self, spark):
         """Decontamination at 10^12 docs: the eval-set probe shingles are
