@@ -600,19 +600,25 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
-_SHINGLE_CTE = f"""{_TOK_CTE},
+def _shingle_cte(k: int = D.SHINGLE_K) -> str:
+    """(doc_id, shingle) CTE for k-word shingles — SQL mirror of
+    operators/dedup.py::shingles_df."""
+    return f"""{_TOK_CTE},
 toks AS (
   SELECT doc_id, list(term ORDER BY pos) AS ts FROM tok GROUP BY doc_id
 ),
 sh_raw AS (
   SELECT doc_id,
          unnest(list_transform(
-           range(1, greatest(len(ts) - 2, 1) + 1),
-           i -> array_to_string(list_slice(ts, i, i + 2), ' ')
+           range(1, greatest(len(ts) - {k - 1}, 1) + 1),
+           i -> array_to_string(list_slice(ts, i, i + {k - 1}), ' ')
          )) AS shingle
   FROM toks
 ),
 sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle <> '')"""
+
+
+_SHINGLE_CTE = _shingle_cte()
 
 
 ORACLE_DECONTAM = f"""
@@ -629,19 +635,25 @@ ORDER BY s.doc_id"""
 
 
 BOILERPLATE_MIN_FRAC = 0.05
+BOILERPLATE_K = 2  # bigrams: on this corpus 3-grams never reach 5% df, so a
+# 3-gram profile is an empty (vacuously green) result — the bigram profile
+# is a real top-50 at every sf
 
 
 def q_boilerplate_ngrams(spark, sf_dir):
-    """Boilerplate profile: 3-gram shingles present in >= 5% of documents
+    """Boilerplate profile: bigram shingles present in >= 5% of documents
     (template text surfaces here before any pair looks duplicated; these are
     the shingles the stop-shingle df cap prunes)."""
     return D.boilerplate_shingles(
-        _docs(spark, sf_dir), key="doc_id", min_frac=BOILERPLATE_MIN_FRAC
+        _docs(spark, sf_dir),
+        key="doc_id",
+        k=BOILERPLATE_K,
+        min_frac=BOILERPLATE_MIN_FRAC,
     ).select("shingle", "df", "frac_micro")
 
 
 ORACLE_BOILERPLATE = f"""
-WITH {_SHINGLE_CTE},
+WITH {_shingle_cte(BOILERPLATE_K)},
 n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
 prof AS (
   SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY shingle
