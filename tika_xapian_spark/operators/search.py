@@ -598,6 +598,14 @@ def spelling_suggestions(
         .withColumn("distance", _osa_udf("word", "term"))
         .filter(F.col("distance") <= max_distance)
         .filter(F.col("distance") > 0)
+        # barrier: ship the computed distance through one explicit shuffle.
+        # Without it the window's partial/final top-1 stages each re-derive
+        # the UDF column per task, and the per-task Arrow roundtrips (tiny
+        # batches x 2 evaluations x shuffle_partitions tasks) dominate the
+        # whole query 10-20x at serving scale. One partition: the candidate
+        # set is fragment-blocked and bounded (Xapian walks the same
+        # termlists single-threaded), and a request carries few words.
+        .repartition(1)
     )
     from pyspark.sql.window import Window
 

@@ -417,9 +417,17 @@ def q_search_metadata_filtered(spark, sf_dir):
 def q_spelling_suggest(spark, sf_dir):
     """Q19 implemented for real: suggestions for misspelled corpus words."""
     idx = get_index(spark, sf_dir)
-    return S.spelling_suggestions(
-        idx, ["sprak", "merg", "window", "qery"], max_distance=2
-    ).orderBy("word")
+    # total order via one partition, not orderBy: a global sort plans a
+    # range-partitioning SAMPLING job that re-executes the whole upstream
+    # (UDF stages included) just to pick bounds for a handful of rows —
+    # measured 20x the query itself
+    return (
+        S.spelling_suggestions(
+            idx, ["sprak", "merg", "window", "qery"], max_distance=2
+        )
+        .coalesce(1)
+        .sortWithinPartitions("word")
+    )
 
 
 QUERIES = {
