@@ -106,13 +106,21 @@ def run_index_pipeline(spark, n_rows: int, out_dir: str) -> float:
 
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
-    """Query-side latencies (index build amortized, per BASELINE.md)."""
+    """Query-side latencies (index build amortized, per BASELINE.md).
+
+    Runs under the SERVING profile: AQE off. Adaptive execution materializes
+    shuffle stages one at a time with a replanning pause between — right for
+    the skew-prone ETL pipeline, but on sub-second interactive queries the
+    pauses are ~35% of the wall (measured 0.85s -> 0.55s on search_or at
+    sf0.1). Real deployments split profiles the same way; the conf is
+    restored after."""
     from tika_xapian_spark.plans import doc_queries as dq
 
     from tika_xapian_spark.plans.data_queries import DATA_QUERIES
     from tika_xapian_spark.plans.rel_queries import REL_QUERIES
 
     dq.get_index(spark, sf_dir)  # build+cache outside the timed region
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     registry = {**dq.QUERIES, **DATA_QUERIES, **REL_QUERIES}
     out: dict[str, float] = {}
     for name in (
@@ -139,6 +147,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
             fn(spark, sf_dir).collect()
             trials.append(time.time() - t0)
         out[name] = round(min(trials), 3)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     return out
 
 
@@ -393,6 +402,9 @@ def bench_scaling_queries(n_rows: int | None = None) -> dict:
         wait_for_quiet()
         spark = build_session(cpus)
         try:
+            # serving profile: AQE's per-stage replanning pause is ~35% of a
+            # sub-second query's wall (see run_queries) — off for this leg
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
             idx = InvertedIndex.read(spark, idx_path)
             plan_cache = {
                 k: _build_query(idx, k) for k in range(QBENCH_CYCLE)
