@@ -402,9 +402,13 @@ def bench_scaling_queries(n_rows: int | None = None) -> dict:
         wait_for_quiet()
         spark = build_session(cpus)
         try:
-            # serving profile: AQE's per-stage replanning pause is ~35% of a
-            # sub-second query's wall (see run_queries) — off for this leg
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            # throughput batches keep AQE ON: its runtime partition
+            # coalescing collapses each query's 32-partition shuffle to a
+            # few tasks, which under 32-deep concurrency is what keeps the
+            # scheduler fed with work instead of task-dispatch overhead
+            # (measured 39.8 vs 31.3 qps at local[16]). The latency section
+            # below flips it off, where the per-stage replanning pause is
+            # the dominant cost instead.
             idx = InvertedIndex.read(spark, idx_path)
             plan_cache = {
                 k: _build_query(idx, k) for k in range(QBENCH_CYCLE)
@@ -431,7 +435,9 @@ def bench_scaling_queries(n_rows: int | None = None) -> dict:
                 wait_for_quiet(max_wait_sec=90)
             wall = min(walls)
             # single-query latency (min-of-2, cold plan each call) for the
-            # latency story; WAND exercises the imperative two-phase path
+            # latency story; WAND exercises the imperative two-phase path.
+            # AQE off here — the serving-latency profile (see run_queries).
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
             from tika_xapian_spark.operators import search as S
 
             def _wand():
