@@ -108,19 +108,18 @@ def run_index_pipeline(spark, n_rows: int, out_dir: str) -> float:
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     """Query-side latencies (index build amortized, per BASELINE.md).
 
-    Runs under the SERVING profile: AQE off. Adaptive execution materializes
-    shuffle stages one at a time with a replanning pause between — right for
-    the skew-prone ETL pipeline, but on sub-second interactive queries the
-    pauses are ~35% of the wall (measured 0.85s -> 0.55s on search_or at
-    sf0.1). Real deployments split profiles the same way; the conf is
-    restored after."""
+    AQE stays ON here: flipping it off was measured to shave ~0.2s off the
+    tiny top-k searches (replanning pause) but to cost 3x on the
+    shuffle-heavy analytics queries (text_simhash 0.5 -> 1.6s — they lean on
+    runtime partition coalescing), and this section mixes both. The
+    latency-profile trade-off lives in bench_scaling_queries' latency rows,
+    which time only the search family."""
     from tika_xapian_spark.plans import doc_queries as dq
 
     from tika_xapian_spark.plans.data_queries import DATA_QUERIES
     from tika_xapian_spark.plans.rel_queries import REL_QUERIES
 
     dq.get_index(spark, sf_dir)  # build+cache outside the timed region
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     registry = {**dq.QUERIES, **DATA_QUERIES, **REL_QUERIES}
     out: dict[str, float] = {}
     for name in (
@@ -147,7 +146,6 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
             fn(spark, sf_dir).collect()
             trials.append(time.time() - t0)
         out[name] = round(min(trials), 3)
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
     return out
 
 
