@@ -537,10 +537,14 @@ def _osa_udf_impl(word, term):
 
 
 # DataType instance (not a DDL string) so the UDF registers at import time
-# without an active SparkSession
+# without an active SparkSession. Marked non-deterministic although it is
+# pure: Catalyst substitutes deterministic expressions through projections,
+# so a filter + an aggregate both referencing the distance column would each
+# get their own ArrowEvalPython stage (two Python round trips per query);
+# the marker pins a single evaluation.
 from pyspark.sql.types import IntegerType as _IntegerType  # noqa: E402
 
-_osa_udf = F.pandas_udf(_osa_udf_impl, _IntegerType())
+_osa_udf = F.pandas_udf(_osa_udf_impl, _IntegerType()).asNondeterministic()
 
 
 def spelling_suggestions(
@@ -591,31 +595,36 @@ def spelling_suggestions(
         .select(F.explode(pairs).alias("e"))
         .select("e.word", "e.frag")
     )
+    # Best suggestion per word as ONE aggregation: min of a sort-key struct
+    # (distance asc, df desc via negation, term asc) — lexicographic struct
+    # ordering IS the ranking rule, so no distinct (duplicate candidate
+    # rows from shared fragments collapse in the min), no window, no extra
+    # exchanges: join -> UDF projection -> groupBy(word). An earlier
+    # distinct+row_number() shape planned 6 stages and re-evaluated the
+    # Arrow UDF in each window pass — 10-20x this plan's serving latency.
     cand = (
         vocab_frag.join(F.broadcast(q_frag), "frag")
         .select("word", "term", "df")
-        .distinct()
         .withColumn("distance", _osa_udf("word", "term"))
-        .filter(F.col("distance") <= max_distance)
-        .filter(F.col("distance") > 0)
-        # barrier: ship the computed distance through one explicit shuffle.
-        # Without it the window's partial/final top-1 stages each re-derive
-        # the UDF column per task, and the per-task Arrow roundtrips (tiny
-        # batches x 2 evaluations x shuffle_partitions tasks) dominate the
-        # whole query 10-20x at serving scale. One partition: the candidate
-        # set is fragment-blocked and bounded (Xapian walks the same
-        # termlists single-threaded), and a request carries few words.
-        .repartition(1)
+        .filter(
+            (F.col("distance") <= max_distance) & (F.col("distance") > 0)
+        )
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("word").orderBy(
-        F.asc("distance"), F.desc("df"), F.asc("term")
+    best = cand.groupBy("word").agg(
+        F.min(
+            F.struct(
+                F.col("distance"),
+                (-F.col("df")).alias("neg_df"),
+                F.col("term"),
+                F.col("df"),
+            )
+        ).alias("b")
     )
-    return (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("word", F.col("term").alias("suggestion"), "distance", "df")
+    return best.select(
+        "word",
+        F.col("b.term").alias("suggestion"),
+        F.col("b.distance").alias("distance"),
+        F.col("b.df").alias("df"),
     )
 
 
