@@ -196,3 +196,60 @@ class TestFastFrontmatterProperty:
                 ), text
             else:
                 assert fast[k] == slow[k], (text, k)
+
+
+class TestOsaDistanceProperty:
+    """operators/search.py::osa_distance = restricted Damerau-Levenshtein
+    (optimal string alignment), checked against a direct recursive
+    definition on short strings plus metric axioms."""
+
+    @staticmethod
+    def _osa_ref(a: str, b: str) -> int:
+        # memoized literal recursion over the OSA recurrence
+        from functools import lru_cache
+
+        @lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            best = min(
+                d(i - 1, j) + 1,
+                d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                best = min(best, d(i - 2, j - 2) + 1)
+            return best
+
+        return d(len(a), len(b))
+
+    @given(
+        st.text(alphabet="abcd", max_size=7),
+        st.text(alphabet="abcd", max_size=7),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_matches_reference_recursion(self, a, b):
+        from tika_xapian_spark.operators.search import osa_distance
+
+        assert osa_distance(a, b) == self._osa_ref(a, b)
+
+    @given(st.text(alphabet="abcdef", max_size=10))
+    @settings(max_examples=100, deadline=None)
+    def test_identity_and_symmetry(self, a):
+        from tika_xapian_spark.operators.search import osa_distance
+
+        assert osa_distance(a, a) == 0
+        assert osa_distance(a, a[::-1]) == osa_distance(a[::-1], a)
+
+    def test_transposition_vs_levenshtein(self):
+        from tika_xapian_spark.operators.search import osa_distance
+
+        assert osa_distance("teh", "the") == 1  # levenshtein would say 2
+        assert osa_distance("ca", "abc") == 3  # true DL would say 2

@@ -526,6 +526,30 @@ class TestSpellingTable:
         finally:
             idx.unpersist()
 
+    def test_single_udf_evaluation_in_plan(self, spark):
+        """The OSA distance UDF must appear as exactly ONE ArrowEvalPython
+        node: Catalyst substitutes deterministic expressions through
+        projections, so without the asNondeterministic() pin the filter and
+        the best-per-word aggregate each got their own Python round trip
+        (2x the query's serving latency)."""
+        docs = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        idx = InvertedIndex.build_from_body(docs, key="doc_id", stem=True)
+        try:
+            plan = (
+                S.spelling_suggestions(idx, ["merg", "qery"])
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            n = sum(
+                1
+                for line in plan.splitlines()
+                if "ArrowEvalPython [_osa" in line
+            )
+            assert n == 1, plan
+        finally:
+            idx.unpersist()
+
     def test_in_memory_table_built_once(self, spark):
         docs = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
         idx = InvertedIndex.build_from_body(docs, key="doc_id", stem=True)
