@@ -174,6 +174,42 @@ class TestUpsert:
         assert live[0] == pytest.approx(new[0])
         assert len(live) == 302
 
+    def test_compact_folds_tombstones(self, upserted, spark):
+        import os
+
+        idx, df, rows, new = upserted
+        before = {
+            r["vec_id"]: r[idx.vec_col] for r in idx.vectors().collect()
+        }
+        vec_dir = os.path.join(idx.base_dir, "vectors")
+        files_before = {
+            d: sorted(os.listdir(os.path.join(vec_dir, d, h)))
+            for d in os.listdir(vec_dir)
+            if d.startswith("cell=")
+            for h in os.listdir(os.path.join(vec_dir, d))
+            if h.startswith("hbucket=")
+        }
+        idx.compact()
+        # tombstones gone; live set identical
+        assert not os.path.isdir(os.path.join(idx.base_dir, "deletes"))
+        after = {
+            r["vec_id"]: r[idx.vec_col] for r in idx.vectors().collect()
+        }
+        assert after.keys() == before.keys()
+        assert after[0] == pytest.approx(new[0])
+        # base now serves the truth with NO merge side (fresh read, no
+        # deletes dir -> plain scan)
+        raw = {
+            r["vec_id"]
+            for r in spark.read.parquet(vec_dir).collect()
+        }
+        assert raw == set(before.keys())  # shadowed copy physically gone
+        # idempotent no-op afterwards
+        idx.compact()
+        assert {
+            r["vec_id"] for r in idx.vectors().collect()
+        } == set(before.keys())
+
     def test_second_upsert_shadows_first(self, upserted, spark):
         idx, df, rows, new = upserted
         final_vec = [1.0] + [0.0] * 63

@@ -155,6 +155,66 @@ class AnnIndex:
         )
         self._vectors = None  # new files + tombstones: re-list on next read
 
+    def compact(self) -> None:
+        """Fold tombstones into the base files: rewrite ONLY the leaf
+        partitions that still hold a shadowed row (Spark dynamic partition
+        overwrite — untouched cell=/hbucket= leaves keep their files), then
+        drop the delete set. Iceberg's rewrite_data_files + removal of the
+        equality-delete files, on the parquet-dir stand-in. Read volume is
+        bounded by the affected partitions, not the corpus."""
+        import shutil
+
+        deletes_dir = os.path.join(self.base_dir, "deletes")
+        if not os.path.isdir(deletes_dir):
+            return  # nothing to fold
+        base = self.spark.read.parquet(os.path.join(self.base_dir, "vectors"))
+        if "gen" not in base.columns:
+            base = base.withColumn("gen", F.lit(0))
+        dead = (
+            self.spark.read.parquet(deletes_dir)
+            .groupBy(self.id_col)
+            .agg(F.max("gen").alias("_del_gen"))
+        )
+        joined = base.join(F.broadcast(dead), self.id_col, "left")
+        affected = (
+            joined.filter(F.col("_del_gen") > F.col("gen"))
+            .select("cell", "hbucket")
+            .distinct()
+        )
+        survivors = (
+            joined.filter(
+                F.col("_del_gen").isNull()
+                | (F.col("_del_gen") <= F.col("gen"))
+            )
+            .drop("_del_gen")
+            .join(F.broadcast(affected), ["cell", "hbucket"], "left_semi")
+            # materialize before the overwrite: the write targets the same
+            # directory the plan reads (Iceberg would swap snapshots here;
+            # the parquet stand-in breaks the read-write cycle by
+            # checkpointing the bounded affected-partition rows)
+            .localCheckpoint()
+        )
+        prev_mode = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        self.spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            (
+                survivors.repartition("cell", "hbucket")
+                .sortWithinPartitions("sbucket", self.id_col)
+                .write.mode("overwrite")
+                .partitionBy("cell", "hbucket")
+                .parquet(os.path.join(self.base_dir, "vectors"))
+            )
+        finally:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+        shutil.rmtree(deletes_dir, ignore_errors=True)
+        self._vectors = None
+
     @classmethod
     def read(cls, spark: SparkSession, base_dir: str) -> "AnnIndex":
         with open(os.path.join(base_dir, _META)) as f:
