@@ -189,12 +189,51 @@ def ann_recall(spark, sf_dir: str) -> dict:
     }
 
 
+class _StealSampler:
+    """Samples /proc/stat steal% while the bench runs. Start load alone
+    cannot certify a clean window on this shared host — steal was measured
+    spiking to 14.6% mid-run after a 0.12-load start; the all-rounds-best
+    headline carried max steal 0.6%. Recording it makes every sample
+    self-certifying."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self.samples: list[float] = []
+        self._stop = False
+
+        def snap():
+            with open("/proc/stat") as f:
+                return [int(x) for x in f.readline().split()[1:]]
+
+        def run():
+            prev = snap()
+            while not self._stop:
+                time.sleep(2)
+                cur = snap()
+                d = [y - x for x, y in zip(prev, cur)]
+                prev = cur
+                tot = sum(d[:8]) or 1
+                self.samples.append(round(d[7] / tot * 100, 2))
+
+        try:
+            self._thread = threading.Thread(target=run, daemon=True)
+            self._thread.start()
+        except Exception:
+            self._thread = None
+
+    def max_steal(self) -> float | None:
+        self._stop = True
+        return max(self.samples) if self.samples else None
+
+
 def bench_once() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_name(sf_dir)
     n_rows = int(os.environ.get("BENCH_ROWS", SF_ROWS.get(sf, 60_000)))
 
+    steal = _StealSampler()
     load1 = wait_for_quiet()
     spark = build_session(cpus)
     tmp = tempfile.mkdtemp(prefix="bench_idx_")
@@ -234,6 +273,7 @@ def bench_once() -> dict:
             "aqe": True,
             "arrow": True,
             "load1_at_start": load1,
+            "max_steal_pct": steal.max_steal(),
         },
     }
 
