@@ -225,6 +225,63 @@ class TestUpsert:
         assert live[1000] == pytest.approx(final_vec)
 
 
+def test_compact_drops_fully_shadowed_leaf(corpus, tmp_path_factory, spark):
+    """When EVERY row of a cell=/hbucket= leaf is tombstone-shadowed (all
+    its ids were upserted with vectors that land elsewhere), the dynamic
+    partition overwrite writes zero survivor rows for that leaf and so never
+    touches its files. compact() must physically remove the leaf — otherwise
+    dropping the tombstones resurrects the stale vectors."""
+    import os
+
+    df, rows = corpus
+    base = str(tmp_path_factory.mktemp("ann_shadow") / "idx")
+    idx = AnnIndex.build(df, base)
+    vec_dir = os.path.join(base, "vectors")
+
+    # map every leaf to its resident ids (partition columns come back on a
+    # plain read of the partitioned layout)
+    raw = spark.read.parquet(vec_dir).select("vec_id", "cell", "hbucket").collect()
+    by_leaf = {}
+    for r in raw:
+        by_leaf.setdefault((r["cell"], r["hbucket"]), []).append(r["vec_id"])
+    victim_leaf, victim_ids = min(by_leaf.items(), key=lambda kv: (len(kv[1]), kv[0]))
+    # donor vector from a DIFFERENT leaf: re-stamping an identical vector
+    # reproduces the donor's cell/hbucket, so every replacement row lands
+    # outside the victim leaf and the victim ends up fully shadowed
+    donor_leaf = next(k for k in by_leaf if k != victim_leaf)
+    donor_vec = dict(rows)[by_leaf[donor_leaf][0]]
+    idx.upsert(
+        spark.createDataFrame(
+            [(i, donor_vec) for i in victim_ids],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    live_before = {r["vec_id"]: r["embedding"] for r in idx.vectors().collect()}
+    assert len(live_before) == 300  # replaced in place, no new ids
+
+    idx.compact()
+
+    assert not os.path.isdir(os.path.join(base, "deletes"))
+    # the victim leaf's files are gone from disk
+    victim_dir = os.path.join(
+        vec_dir, f"cell={victim_leaf[0]}", f"hbucket={victim_leaf[1]}"
+    )
+    assert not os.path.isdir(victim_dir)
+    # raw scan serves each id exactly once (no resurrected stale copies) and
+    # the moved ids carry the donor vector
+    raw_after = spark.read.parquet(vec_dir).collect()
+    ids_after = [r["vec_id"] for r in raw_after]
+    assert sorted(ids_after) == sorted(live_before.keys())
+    vec_after = {r["vec_id"]: r["embedding"] for r in raw_after}
+    for i in victim_ids:
+        assert vec_after[i] == pytest.approx(donor_vec)
+    # reopen parity
+    reopened = AnnIndex.read(spark, base)
+    assert {
+        r["vec_id"] for r in reopened.vectors().collect()
+    } == set(live_before.keys())
+
+
 def test_empty_corpus_build_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty corpus"):

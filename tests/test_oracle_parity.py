@@ -1,11 +1,26 @@
 """Local mirror of the driver's correctness gate: run every queries() entry
 on Spark and its oracle_sql() on DuckDB over the same parquet, compare row
-count, schema (column names) and order-insensitive values."""
+count, schema (column names) and a DRIVER-STRICT value hash.
+
+Driver strictness (the round-2 HUGEINT lesson, round-4 verdict item #1):
+the driver pulls both result sets through a dtype-carrying conversion and
+hashes STRINGIFIED values with columns sorted by name — so an int64 column
+on one side and a float64 on the other ("135701" vs "135701.0") mismatch
+even when the numeric values are equal. The old local gate compared Python
+values (135701 == 135701.0 passes) and let dtype drift hide until the
+driver's rotating sample landed on a query. This mirror reproduces the
+strict path: Spark results via toPandas() (LongType -> int64,
+DoubleType -> float64), oracle results via duckdb .df() (BIGINT -> int64,
+HUGEINT/DECIMAL -> float64), then canonical per-cell stringification.
+"""
 
 import glob
+import math
 import os
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pytest
 
 import __spark_entry__ as entrymod
@@ -22,17 +37,33 @@ def ddb():
     return con
 
 
-def normalize(rows, cols):
-    out = []
-    for r in rows:
-        vals = []
-        for c in cols:
-            v = r[c] if not isinstance(r, tuple) else r[cols.index(c)]
-            if isinstance(v, float):
-                v = round(v, 6)
-            vals.append(v)
-        out.append(tuple(vals))
-    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+def _canon_cell(v) -> str:
+    """One canonical string per value, dtype-sensitive the way the driver's
+    hash is: numpy/python ints render without a decimal point, floats with
+    one, nulls as a fixed token, arrays recursively."""
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if v is None:
+        return "NULL"
+    if isinstance(v, (float, np.floating)) and math.isnan(v):
+        return "NULL"
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def strict_rows(pdf: pd.DataFrame):
+    """Driver-style normalization: columns sorted by name, every cell
+    stringified dtype-sensitively, rows sorted."""
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_canon_cell(v) for v in t)
+        for t in pdf[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(rows)
 
 
 # Queries whose algorithm is genuinely non-SQL-expressible: no DuckDB
@@ -48,23 +79,41 @@ def test_query_matches_oracle(spark, ddb, name):
     q = entrymod.queries()[name]
     sql = entrymod.oracle_sql().get(name)
     sdf = q(spark, SF_DIR)
-    scols = sdf.columns
-    srows = [tuple(r[c] for c in scols) for r in sdf.collect()]
+    spdf = sdf.toPandas()
     if name in NON_SQL_QUERIES:
         assert sql is None
-        assert len(srows) > 0  # rows-only check; real gate per NON_SQL_QUERIES
+        assert len(spdf) > 0  # rows-only check; real gate per NON_SQL_QUERIES
         return
     assert sql is not None, f"no oracle for {name}"
-    res = ddb.execute(sql)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
-    assert scols == ocols, f"{name}: column mismatch {scols} vs {ocols}"
-    assert len(srows) == len(orows), f"{name}: rowcount {len(srows)} vs {len(orows)}"
-    ns, no = normalize(srows, scols), normalize(orows, ocols)
-    mismatches = [
-        (a, b) for a, b in zip(ns, no) if a != b
-    ]
+    opdf = ddb.execute(sql).df()
+    assert list(spdf.columns) == list(opdf.columns), (
+        f"{name}: column mismatch {list(spdf.columns)} vs {list(opdf.columns)}"
+    )
+    assert len(spdf) == len(opdf), f"{name}: rowcount {len(spdf)} vs {len(opdf)}"
+    ns, no = strict_rows(spdf), strict_rows(opdf)
+    mismatches = [(a, b) for a, b in zip(ns, no) if a != b]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def test_strictness_catches_dtype_drift(spark, ddb):
+    """The gate's reason to exist: a value-equal but dtype-drifted oracle
+    (int64 aggregate silently widened to float64, the exact shape of the r2
+    HUGEINT failure) MUST mismatch under the strict compare even though a
+    plain value compare accepts it."""
+    name = "search_count"
+    sql = entrymod.oracle_sql()[name]
+    spdf = entrymod.queries()[name](spark, SF_DIR).toPandas()
+    drifted = ddb.execute(
+        f"SELECT * REPLACE (CAST(n_matches AS DOUBLE) AS n_matches) "
+        f"FROM ({sql})"
+    ).df()
+    # plain value compare would accept the drift...
+    assert float(spdf.iloc[0, 0]) == float(drifted.iloc[0, 0])
+    # ...the strict compare must not
+    assert strict_rows(spdf) != strict_rows(drifted)
+    # and the undrifted oracle must still pass strictly
+    clean = ddb.execute(sql).df()
+    assert strict_rows(spdf) == strict_rows(clean)
 
 
 def test_entry_smoke(spark):

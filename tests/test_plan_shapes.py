@@ -45,6 +45,18 @@ class TestDedupPlans:
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
         assert "MapInPandas" not in plan
 
+    def test_simhash_single_shuffle_no_bit_explode(self, docs):
+        """The 100 TB property (r4 verdict #2): the fingerprint is ONE
+        groupBy(doc) of 60 literal-shift conditional sums. The token explode
+        is the only Generate (no ×60 bit-sequence explode amplifying the
+        corpus token stream) and there is exactly one Exchange."""
+        plan = plan_of(D.simhash(docs, "doc_id"))
+        assert plan.count("Generate") == 1  # token explode only
+        assert "sequence(" not in plan  # the old per-bit explode source
+        assert plan.count("Exchange") == 1  # single groupBy(doc) shuffle
+        # map-side combine present: partial aggregation before the Exchange
+        assert "partial_sum" in plan or "HashAggregate" in plan
+
     def test_exact_dedup_single_shuffle(self, docs):
         plan = plan_of(D.exact_duplicates(docs, "doc_id"))
         # the md5 group + join should resolve to broadcast (small groups side)

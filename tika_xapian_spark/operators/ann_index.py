@@ -161,13 +161,23 @@ class AnnIndex:
         overwrite — untouched cell=/hbucket= leaves keep their files), then
         drop the delete set. Iceberg's rewrite_data_files + removal of the
         equality-delete files, on the parquet-dir stand-in. Read volume is
-        bounded by the affected partitions, not the corpus."""
+        bounded by the affected partitions, not the corpus.
+
+        A leaf whose rows are ALL shadowed yields zero survivor rows, so the
+        dynamic overwrite never touches its files — dropping the tombstones
+        alone would resurrect those stale vectors. We therefore collect the
+        (bounded, <= leaf count) affected partition list up front and, after
+        the overwrite, physically remove every affected leaf the write left
+        unrewritten. The live set can never go empty here: ``upsert`` appends
+        a same-generation replacement row for every tombstone it records, so
+        at least one leaf always survives."""
         import shutil
 
         deletes_dir = os.path.join(self.base_dir, "deletes")
         if not os.path.isdir(deletes_dir):
             return  # nothing to fold
-        base = self.spark.read.parquet(os.path.join(self.base_dir, "vectors"))
+        vec_dir = os.path.join(self.base_dir, "vectors")
+        base = self.spark.read.parquet(vec_dir)
         if "gen" not in base.columns:
             base = base.withColumn("gen", F.lit(0))
         dead = (
@@ -176,24 +186,41 @@ class AnnIndex:
             .agg(F.max("gen").alias("_del_gen"))
         )
         joined = base.join(F.broadcast(dead), self.id_col, "left")
-        affected = (
-            joined.filter(F.col("_del_gen") > F.col("gen"))
+        # collected BEFORE the overwrite (the plan reads the files the write
+        # replaces); bounded by the number of leaf partitions, not rows
+        affected = {
+            (r["cell"], r["hbucket"])
+            for r in joined.filter(F.col("_del_gen") > F.col("gen"))
             .select("cell", "hbucket")
             .distinct()
-        )
+            .collect()
+        }
+        if not affected:
+            # tombstones shadow nothing (e.g. compact after compact): just
+            # drop them — no rewrite needed
+            shutil.rmtree(deletes_dir, ignore_errors=True)
+            self._vectors = None
+            return
+        leaf_key = F.concat_ws("|", F.col("cell"), F.col("hbucket"))
         survivors = (
             joined.filter(
                 F.col("_del_gen").isNull()
                 | (F.col("_del_gen") <= F.col("gen"))
             )
             .drop("_del_gen")
-            .join(F.broadcast(affected), ["cell", "hbucket"], "left_semi")
+            .filter(leaf_key.isin([f"{c}|{h}" for c, h in affected]))
             # materialize before the overwrite: the write targets the same
             # directory the plan reads (Iceberg would swap snapshots here;
             # the parquet stand-in breaks the read-write cycle by
             # checkpointing the bounded affected-partition rows)
             .localCheckpoint()
         )
+        # leaves the dynamic overwrite WILL rewrite; cheap — survivors is
+        # already checkpointed
+        rewritten = {
+            (r["cell"], r["hbucket"])
+            for r in survivors.select("cell", "hbucket").distinct().collect()
+        }
         prev_mode = self.spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
         )
@@ -206,12 +233,25 @@ class AnnIndex:
                 .sortWithinPartitions("sbucket", self.id_col)
                 .write.mode("overwrite")
                 .partitionBy("cell", "hbucket")
-                .parquet(os.path.join(self.base_dir, "vectors"))
+                .parquet(vec_dir)
             )
         finally:
             self.spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev_mode
             )
+        # fully-shadowed leaves produced no survivor rows, so the overwrite
+        # left their old files in place — remove them, or dropping the
+        # tombstones below would bring the dead vectors back to life
+        for cell, hb in affected - rewritten:
+            shutil.rmtree(
+                os.path.join(vec_dir, f"cell={cell}", f"hbucket={hb}"),
+                ignore_errors=True,
+            )
+            cell_dir = os.path.join(vec_dir, f"cell={cell}")
+            if os.path.isdir(cell_dir) and not any(
+                e.startswith("hbucket=") for e in os.listdir(cell_dir)
+            ):
+                shutil.rmtree(cell_dir, ignore_errors=True)
         shutil.rmtree(deletes_dir, ignore_errors=True)
         self._vectors = None
 

@@ -16,8 +16,9 @@ Scale notes (10^12 docs):
     (map-side partial min); band join is an equi-join on (band, band_key),
     AQE handles bucket skew; hot shingles are dropped by a df cap before the
     candidate join (standard "stop-shingle" pruning).
-  - simhash's bit explode (x60) can be swapped for a pandas-UDF per-doc
-    variant at extreme scale; the relational form keeps it inside codegen and
+  - simhash is ONE groupBy(doc) with 60 literal-shift conditional sums (no
+    per-bit row explode, no tf pre-shuffle): the single Exchange carries one
+    60-column partial row per (partition, doc), all inside codegen and
     oracle-checkable.
 
 Tokenization here uses the SQL-expressible split (lowercase + non-alnum
@@ -26,6 +27,8 @@ operators.index's tokenizer UDF for full Unicode corpora.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -189,36 +192,40 @@ def ngram_jaccard_top_pairs(
 
 def simhash(docs: DataFrame, key: str, text_col: str = "text", bits: int = 60) -> DataFrame:
     """(doc, simhash): 60-bit simhash. Token hash = first 15 md5 hex chars as
-    int; each bit accumulates +tf/-tf; positive sums set the bit."""
-    tf = (
-        docs.select(F.col(key).alias("doc"), F.explode(tokens_col(text_col)).alias("token"))
-        .groupBy("doc", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn(
-            "h", F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
-        )
+    int; each bit accumulates +tf/-tf; positive sums set the bit.
+
+    Shuffle shape (the 100 TB concern): ONE groupBy(doc) whose aggregate is
+    ``bits`` literal-shift conditional sums — per bit,
+    ``sum(if((h >> b) & 1, 1, -1))`` over raw token occurrences. Summing ±1
+    per occurrence equals summing ±tf per distinct token, so the historical
+    ``groupBy(doc, token)`` tf pre-pass AND the per-bit row explode (×bits
+    amplification of the corpus's full token stream before its shuffle) are
+    both gone: map-side partial aggregation reduces each partition to one
+    ``bits``-column row per doc before the single Exchange. All shifts are
+    literals, so the whole aggregate stays in whole-stage codegen."""
+    occ = docs.select(
+        F.col(key).alias("doc"),
+        F.explode(tokens_col(text_col)).alias("token"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
     )
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    contrib = tf.select(
-        "doc",
-        "tf",
-        "h",
-        bit,
-    ).select(
-        "doc",
-        "b",
-        # shiftright/shiftleft builtins take only literal shift amounts;
-        # the SQL operators accept a column
-        F.when(F.expr("(h >> b) & 1") == 1, F.col("tf"))
-        .otherwise(-F.col("tf"))
-        .alias("c"),
-    )
-    per_bit = contrib.groupBy("doc", "b").agg(F.sum("c").alias("s"))
-    return per_bit.groupBy("doc").agg(
+    bit_sums = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(F.lit(0))
-        ).alias("simhash")
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    per_doc = occ.groupBy("doc").agg(*bit_sums)
+    fingerprint = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b in range(bits)
+        ],
     )
+    return per_doc.select("doc", fingerprint.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -283,6 +290,8 @@ def connected_components(
     the convergence test (count of changed labels) reuses the checkpointed
     frame. ``edges``: (doc_a, doc_b) pairs; ``vertices``: one column of ids.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     vcol = vertices.columns[0]
     sym = (
         edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))

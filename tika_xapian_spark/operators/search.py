@@ -242,9 +242,10 @@ def op_max(left: DataFrame, right: DataFrame) -> DataFrame:
 
 def op_max_terms(index: InvertedIndex, terms: list[str]) -> DataFrame:
     """Multi-way OP_MAX over term leaves in ONE postings scan: union of the
-    per-term match sets, weight = MAX single-term BM25 score — modern
-    Xapian's default wildcard combiner (queryparser expands WILDCARD to
-    OP_MAX over matching terms so a doc hitting many expansions isn't
+    per-term match sets, weight = MAX single-term BM25 score — an
+    alternative combiner Xapian supports for wildcard expansion (the
+    queryparser's default for OP_WILDCARD is OP_SYNONYM; OP_MAX is the
+    opt-in variant that stops a doc hitting many expansions being
     over-rewarded; XC matcher/maxpostlist.cc). The per-posting BM25 part IS
     the single-term score, so groupBy(doc).max(part) beats folding op_max
     over |expansion| separate scans — scan volume constant in expansion

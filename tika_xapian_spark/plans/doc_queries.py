@@ -206,10 +206,10 @@ def q_search_wildcard(spark, sf_dir):
 
 
 def q_search_wildcard_max(spark, sf_dir):
-    """Q15 + OP_MAX: wildcard expansion combined with modern Xapian's
-    default wildcard combiner (OP_MAX over the expansions, weight = best
-    single-expansion score) instead of the reference parser's
-    WILDCARD-SYNONYM fold — opt-in parity with current Xapian defaults."""
+    """Q15 + OP_MAX: wildcard expansion combined with OP_MAX (an
+    alternative combiner Xapian supports for wildcard expansion; the
+    queryparser default is OP_SYNONYM) — weight = best single-expansion
+    score instead of the reference parser's WILDCARD-SYNONYM fold."""
     idx = get_index(spark, sf_dir)
     expanded = [
         t for t in S.expand_wildcard(idx, "sp") if not t.startswith("Z")

@@ -363,8 +363,9 @@ matches AS (
 
 def wildcard_max(prefix: str, k: int = 100) -> str:
     """Q15 + OP_MAX: expand unstemmed vocabulary by prefix; weight = MAX
-    single-expansion BM25 score per doc (modern Xapian's default wildcard
-    combiner; mirror of operators/search.py::op_max_terms)."""
+    single-expansion BM25 score per doc (an alternative wildcard combiner
+    Xapian supports — its queryparser default is OP_SYNONYM; mirror of
+    operators/search.py::op_max_terms)."""
     return f"""WITH {base_ctes()},
 expanded AS (
   SELECT term FROM posting GROUP BY term HAVING term LIKE '{prefix}%'

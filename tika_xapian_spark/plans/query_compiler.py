@@ -559,10 +559,11 @@ class Executor:
         self.range_cols = range_cols or {}
         self.wildcard_limit = wildcard_limit
         self.doc_key = doc_key
-        # opt-in: combine wildcard expansions with OP_MAX (modern Xapian's
-        # default wildcard combiner — best single expansion per doc) instead
-        # of the reference parser's WILDCARD-SYNONYM fold. Off by default:
-        # the goldens pin the reference's synonym semantics.
+        # opt-in: combine wildcard expansions with OP_MAX (an alternative
+        # combiner Xapian supports — best single expansion per doc; the
+        # queryparser default is OP_SYNONYM) instead of the reference
+        # parser's WILDCARD-SYNONYM fold. Off by default: the goldens pin
+        # the reference's synonym semantics.
         self.wildcard_max = wildcard_max
 
     def run(self, node: Node) -> DataFrame:
