@@ -64,6 +64,24 @@ class TestDedupPlans:
 
 
 class TestSimilarityPlans:
+    def test_pairwise_dedup_banded_equijoin(self, emb):
+        """r4 verdict #3: the near-dup candidate generator must be an
+        equi-join on (band, bval) — never a cartesian or single-bucket
+        block — and the duplicate-candidate fold must shuffle scalars only
+        (no vector columns through the groupBy(id_a, id_b) Exchange)."""
+        df = SIM.pairwise_cosine_dedup(emb, threshold_micro=0)
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the candidate join keys on band + bval
+        assert "band" in plan and "bval" in plan
+        # the post-cosine dedup aggregate exchanges (id_a, id_b) scalars:
+        # no exchange whose partitioning mentions the vector columns
+        for frag in plan.split("Exchange")[1:]:
+            key = frag.split("\n")[0]
+            assert "va#" not in key and "vb#" not in key
+
+
     def test_brute_force_single_stage_topk(self, emb):
         df = SIM.cosine_topk(emb, [0.1] * 64, k=5)
         plan = plan_of(df)

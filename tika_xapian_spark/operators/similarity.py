@@ -304,33 +304,78 @@ def ivf_cosine_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+# Banded sign-LSH layout for pairwise near-dup candidates over 64-dim
+# embeddings: 4 disjoint bands of 8 deterministic probe dimensions each
+# (band b reads dims 16b, 16b+2, ..., 16b+14). A pair is a candidate iff it
+# agrees on EVERY sign bit of at least one band — the simhash_near_pairs
+# banding scheme (operators/dedup.py) applied to embeddings.
+EMB_PAIR_BANDS: tuple[tuple[int, ...], ...] = tuple(
+    tuple(16 * b + 2 * j for j in range(8)) for b in range(4)
+)
+
+
 def pairwise_cosine_dedup(
     embeddings: DataFrame,
     threshold_micro: int = 990_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dims: tuple[int, ...] = LSH_DIMS,
+    bands: tuple[tuple[int, ...], ...] = EMB_PAIR_BANDS,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: candidate pairs share a sign-LSH
-    bucket (prunes the O(n^2) cross join to per-bucket blocks), verified by
-    exact cosine >= threshold. Returns (id_a, id_b, cos_micro)."""
-    with_bucket = embeddings.select(
+    """Embedding-cosine near-duplicate pairs via BANDED sign-LSH: candidates
+    are the union over bands of equi-joins on (band, band_bucket), verified
+    by exact cosine >= threshold. Returns (id_a, id_b, cos_micro).
+
+    Scale shape (r4 verdict #3): a single w-bit bucket self-join blocks at
+    O(n^2 / 2^w) pairs — with the old 6-bit bucket, a 10^9-vector corpus
+    yields ~10^16 candidate pairs. Banding decouples block size from recall:
+    each of the 4 bands uses 8 bits, so per-band blocks are n^2/256 (4x
+    fewer candidates than the 6-bit scheme in total) while recall RISES —
+    a pair is missed only if every band has at least one sign flip. For
+    cosine >= 0.99 the per-dim flip probability is acos(cos)/pi ~= 0.045,
+    so P(one band clean) ~= 0.955^8 ~= 0.69 and P(missed all 4) ~= 0.31^4
+    ~= 0.9% — ~99% recall at the dedup threshold, and block size keeps
+    shrinking geometrically if more/wider bands are configured for larger
+    corpora. Duplicate candidates (pairs agreeing on several bands) are
+    folded by a scalar groupBy(id_a, id_b) AFTER the cosine is computed, so
+    the dedup shuffle carries (id, id, long) triples, never vectors."""
+    with_bands = embeddings.select(
         F.col(id_col).alias("id"),
         _as_double(vec_col).alias("v"),
-        sign_bucket(vec_col, dims).alias("bucket"),
+        *[
+            sign_bucket(vec_col, dims).alias(f"bb{i}")
+            for i, dims in enumerate(bands)
+        ],
     )
-    a = with_bucket.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket"
+    banded = with_bands.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.col(f"bb{i}").alias("bval")
+                    )
+                    for i in range(len(bands))
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "v", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "band", "bval"
     )
-    b = with_bucket.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "band", "bval"
     )
-    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    pairs = a.join(b, ["band", "bval"]).filter(F.col("id_a") < F.col("id_b"))
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (
         pairs.select(
             "id_a", "id_b", F.round(cos * 1_000_000).cast("long").alias("cos_micro")
         )
+        # fold multi-band duplicates: cosine is identical across a pair's
+        # candidate rows, so max == the value; scalar-only shuffle
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cos_micro").alias("cos_micro"))
         .filter(F.col("cos_micro") >= threshold_micro)
         .orderBy("id_a", "id_b")
     )

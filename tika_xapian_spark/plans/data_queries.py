@@ -470,19 +470,34 @@ def q_embedding_top_pairs(spark, sf_dir):
     return pairs.orderBy(F.desc("cos_micro"), "id_a", "id_b").limit(20)
 
 
+# banded mirror of SIM.pairwise_cosine_dedup: one bucket expression per
+# band (SIM.EMB_PAIR_BANDS dims), candidates = union over bands of per-band
+# equi-joins, multi-band duplicates folded by GROUP BY before the top-k
+_EMB_BAND_SELECTS = "\n  UNION ALL ".join(
+    f"SELECT vec_id, embedding, {i} AS band, "
+    f"({_bucket_sql('embedding', dims)}) AS bval FROM embeddings"
+    for i, dims in enumerate(SIM.EMB_PAIR_BANDS)
+)
+
 ORACLE_EMB_PAIRS = f"""
-WITH wb AS (
-  SELECT vec_id, embedding, ({_bucket_sql('embedding')}) AS bucket FROM embeddings
+WITH banded AS (
+  {_EMB_BAND_SELECTS}
 ),
-pairs AS (
+cand AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_sum(list_transform(range(1, len(a.embedding) + 1),
              i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS dot,
          sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) AS na,
          sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))) AS nb
-  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT id_a, id_b,
+         max(CAST(round(dot / (na * nb) * 1000000) AS BIGINT)) AS cos_micro
+  FROM cand GROUP BY id_a, id_b
 )
-SELECT id_a, id_b, CAST(round(dot / (na * nb) * 1000000) AS BIGINT) AS cos_micro
+SELECT id_a, id_b, cos_micro
 FROM pairs
 ORDER BY cos_micro DESC, id_a, id_b
 LIMIT 20"""
