@@ -143,7 +143,20 @@ class TestWandPlan:
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         idx = InvertedIndex.build_from_body(docs, key="doc_id", stem=False)
         try:
+            # r4 verdict #8: construction's only driver round-trip is the
+            # bounded term-stats dictionary read — tau is a broadcast scalar
+            # subquery, not a collected page, so top_k_wand adds ZERO jobs
+            # beyond what _term_upper_bounds itself costs
+            tracker = spark.sparkContext.statusTracker()
+            # warm once (first read pays AQE shuffle materialization), then
+            # measure the steady-state dictionary-read job cost
+            S._term_upper_bounds(idx, {"rare": 1, "common": 1})
+            before = len(tracker.getJobIdsForGroup(None))
+            S._term_upper_bounds(idx, {"rare": 1, "common": 1})
+            dict_jobs = len(tracker.getJobIdsForGroup(None)) - before
+            before = len(tracker.getJobIdsForGroup(None))
             df = S.top_k_wand(idx, ["rare", "common"], k=10)
+            assert len(tracker.getJobIdsForGroup(None)) - before == dict_jobs
             plan = plan_of(df)
             # candidate restriction compiles to a semi join feeding the scan
             assert "LeftSemi" in plan or "left_semi" in plan.lower()
@@ -324,9 +337,13 @@ class TestCorpusHygiene:
         rows = [(i, "nav home about " + f"unique{i} body text") for i in range(10)]
         rows += [(100 + i, f"solo{i} words only here") for i in range(10)]
         docs = spark.createDataFrame(rows, "doc_id long, text string")
-        out = D.boilerplate_shingles(
-            docs, key="doc_id", min_frac=0.3, limit=10
-        ).collect()
+        # the corpus size is a broadcast scalar in the plan, not an eager
+        # docs.count(): constructing the profile runs ZERO driver jobs
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None))
+        df = D.boilerplate_shingles(docs, key="doc_id", min_frac=0.3, limit=10)
+        assert len(tracker.getJobIdsForGroup(None)) == before
+        out = df.collect()
         top = {r["shingle"]: r["df"] for r in out}
         assert top.get("nav home about") == 10
         assert all(df >= 6 for df in top.values())  # 0.3 * 20 docs

@@ -385,17 +385,23 @@ def boilerplate_shingles(
     are exactly the shingles the stop-shingle df cap drops before the
     candidate joins above). One explode + one groupBy(shingle) with map-side
     partial counts; the bounded top-`limit` report is all that reaches the
-    driver."""
-    n_docs = docs.count()
+    driver. The corpus size rides the plan as a broadcast 1-row aggregate
+    (the op_synonym scalar-fold pattern) instead of an eager docs.count(),
+    so the whole profile is a single job."""
+    n_docs = F.broadcast(
+        docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    )
     sh = shingles_df(docs, key, text_col, k)
     return (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
-        .filter(F.col("df") >= float(min_frac) * n_docs)
+        .crossJoin(n_docs)
+        .filter(F.col("df") >= F.lit(float(min_frac)) * F.col("_n_docs"))
         .withColumn(
             "frac_micro",
-            F.round(F.col("df") / F.lit(float(n_docs)) * 1_000_000).cast("long"),
+            F.round(F.col("df") / F.col("_n_docs") * 1_000_000).cast("long"),
         )
+        .drop("_n_docs")
         .orderBy(F.desc("df"), F.asc("shingle"))
         .limit(limit)
     )
