@@ -265,10 +265,51 @@ def simhash_near_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond"): for every node u, connect each strictly-larger
+    neighbor v > u to m = min(N(u) ∪ {u}). Output edges are canonical
+    (u > v) since the new source v exceeds u >= m."""
+    adj = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        adj.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+    )
+    return (
+        adj.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: direct every edge large -> small; for each node
+    u, connect u and all its not-larger neighbors to m = min(N<=(u) ∪ {u})."""
+    dd = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = dd.groupBy("u").agg(F.min("v").alias("m"))  # m < u by direction
+    neighbor_edges = (
+        dd.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edges = mins.select("u", F.col("m").alias("v"))
+    return (
+        neighbor_edges.unionByName(self_edges)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame,
     max_iter: int = 25,
+    mode: str = "propagate",
 ) -> DataFrame:
     """Near-duplicate components: (v, component) for every vertex, where
     component = the MINIMUM vertex id reachable through the undirected edge
@@ -276,23 +317,36 @@ def connected_components(
     (pairs alone don't dedup; transitive clusters with one canonical doc per
     cluster do).
 
-    Iterative min-label propagation: each round every vertex takes the min
-    of its own label and its neighbors' labels — one equi-join + one
-    map-side-combining groupBy(min) per round, converging in graph-diameter
-    rounds (near-dup clusters are shallow: diameter is small even when
-    clusters are large, since near-dups of near-dups share shingles). This
-    is the doubling-free variant of Kiveris et al.'s star contractions —
-    the right trade at near-dup graph shapes, where diameter ~ O(1); swap in
-    large-star/small-star if a corpus exhibits chain-shaped components.
+    ``mode="propagate"`` (default): iterative min-label propagation — each
+    round every vertex takes the min of its own label and its neighbors'
+    labels — one equi-join + one map-side-combining groupBy(min) per round,
+    converging in graph-diameter rounds (near-dup clusters are shallow:
+    diameter is small even when clusters are large, since near-dups of
+    near-dups share shingles). This is the doubling-free variant of Kiveris
+    et al.'s star contractions — the right trade at near-dup graph shapes,
+    where diameter ~ O(1).
 
-    Scale hygiene: labels are localCheckpoint()ed each round, so the plan
-    stays one round deep instead of growing with the iteration count, and
-    the convergence test (count of changed labels) reuses the checkpointed
-    frame. ``edges``: (doc_a, doc_b) pairs; ``vertices``: one column of ids.
+    ``mode="star"``: alternating large-star/small-star contraction (Kiveris
+    et al. 2014) — the documented escape hatch for chain-shaped components:
+    each round halves star depth, so an L-deep chain converges in O(log L)
+    rounds instead of L. Two equi-join+groupBy rounds per iteration (~2x
+    propagate's per-round cost), worth it exactly when diameter is deep; at
+    the fixpoint the edge set is a forest of depth-1 stars rooted at each
+    component's minimum, from which labels read off directly (a belt-and-
+    braces groupBy(min) guards the read).
+
+    Scale hygiene (both modes): state is localCheckpoint()ed each round, so
+    the plan stays one round deep instead of growing with the iteration
+    count, and the convergence probe reuses the checkpointed frame.
+    ``edges``: (doc_a, doc_b) pairs; ``vertices``: one column of ids.
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    if mode not in ("propagate", "star"):
+        raise ValueError(f"mode must be 'propagate' or 'star', got {mode!r}")
     vcol = vertices.columns[0]
+    if mode == "star":
+        return _connected_components_star(edges, vertices, vcol, max_iter)
     sym = (
         edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(
@@ -329,13 +383,56 @@ def connected_components(
         # return partially-propagated labels. Near-dup graphs converge in
         # diameter rounds (O(1) in practice), so hitting the cap means the
         # graph is chain-shaped — the caller should raise max_iter or swap
-        # in large-star/small-star contraction.
+        # in large-star/small-star contraction (mode="star").
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing); raise max_iter or use "
-            "star-contraction for chain-shaped components"
+            'mode="star" (large-star/small-star contraction, O(log diameter) '
+            "rounds) for chain-shaped components"
         )
     return labels
+
+
+def _connected_components_star(
+    edges: DataFrame, vertices: DataFrame, vcol: str, max_iter: int
+) -> DataFrame:
+    """Alternating large-star/small-star contraction (see
+    connected_components mode="star"). Converged when one full LS+SS round
+    leaves the canonical edge set unchanged; at that fixpoint every edge
+    points a node at its component's minimum id."""
+    cur = (
+        edges.select(
+            F.greatest(F.col("doc_a"), F.col("doc_b")).alias("u"),
+            F.least(F.col("doc_a"), F.col("doc_b")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        new = _small_star(_large_star(cur)).localCheckpoint()
+        changed = (
+            new.exceptAll(cur).unionByName(cur.exceptAll(new)).limit(1).count()
+        )
+        if changed == 0:
+            cur = new
+            break
+        cur = new
+    else:
+        raise RuntimeError(
+            f"connected_components(mode='star') did not converge in "
+            f"{max_iter} alternating rounds; raise max_iter"
+        )
+    roots = (
+        cur.select(F.col("u").alias("v"), F.col("v").alias("component"))
+        .groupBy("v")
+        .agg(F.min("component").alias("component"))
+    )
+    return (
+        vertices.select(F.col(vcol).alias("v"))
+        .join(roots, "v", "left")
+        .select("v", F.coalesce("component", "v").alias("component"))
+    )
 
 
 # ----------------------------------------------------- corpus-hygiene ops
