@@ -430,3 +430,82 @@ class TestDigitInitialTerms:
             for r in search(dindex, "report 2024 ELITE 2", partial=False).collect()
         }
         assert got  # lowering must not produce a nonexistent Z2024
+
+
+class TestGroupingAndAdj:
+    """Round-5 grammar extensions (r4 verdict #4): parenthesized grouping,
+    NEAR/n width, ADJ / ADJ/n — the lemony sub-grammar the reference
+    reaches via parse_query (XC queryparser/queryparser.lemony:1183-1219,
+    as_near_query/as_adj_query :1722-1740)."""
+
+    def test_near_width_description(self):
+        # width n -> window (n - 1) + n_terms (as_opwindow_query)
+        n = compile_query("a NEAR/3 b", partial=False)
+        assert isinstance(n, NearOp) and n.width == 3
+        assert get_description(n) == "Query((Za@1 NEAR 4 Zb@1))"
+
+    def test_adj_default_description(self):
+        # ADJ lowers to OP_PHRASE with NEAR's default sizing: (10-1)+2 = 11
+        n = compile_query("a ADJ b", partial=False)
+        assert get_description(n) == "Query((Za@1 PHRASE 11 Zb@1))"
+
+    def test_adj_width_description(self):
+        n = compile_query("a ADJ/2 b", partial=False)
+        assert get_description(n) == "Query((Za@1 PHRASE 3 Zb@1))"
+
+    def test_paren_grouping_description(self):
+        n = compile_query("(a OR b) AND c", partial=False)
+        assert get_description(n) == "Query(((Za@1 OR Zb@1) AND Zc@1))"
+
+    def test_nested_groups(self):
+        n = compile_query("((a OR b) XOR c) AND NOT d", partial=False)
+        assert (
+            get_description(n)
+            == "Query((((Za@1 OR Zb@1) XOR Zc@1) AND_NOT Zd@1))"
+        )
+
+    def test_group_both_sides(self):
+        n = compile_query("(a OR b) AND (c OR d)", partial=False)
+        assert (
+            get_description(n)
+            == "Query(((Za@1 OR Zb@1) AND (Zc@1 OR Zd@1)))"
+        )
+
+    def test_group_scaled(self):
+        n = compile_query("(a OR b) SCALED 2", partial=False)
+        assert get_description(n) == "Query(2.0 * (Za@1 OR Zb@1))"
+
+    def test_group_juxtaposition_or_folds(self):
+        # Q20 convention: adjacent operands with no operator OR-fold
+        n = compile_query("(a AND b) c", partial=False)
+        assert get_description(n) == "Query(((Za@1 AND Zb@1) OR Zc@1))"
+
+    def test_unbalanced_parens_keep_legacy_behavior(self):
+        # the streaming lexer treats '(' as a dead char in the final chunk;
+        # a non-final chunk strips it in scan_terms — pre-grouping behavior
+        n = compile_query("(a OR b", partial=False)
+        assert get_description(n) == "Query((Za@1 OR Zb@1))"
+        n2 = compile_query("(", partial=False)
+        assert isinstance(n2, Empty)
+
+    def test_adj_requires_order_e2e(self, sindex):
+        # corpus doc 1 "spark join fast": spark before join -> ADJ matches;
+        # doc 3 "join slow" has no spark; "join ADJ spark" (wrong order for
+        # doc 1) matches doc 4 "merge join spark ..." only
+        got = {r["doc"] for r in search(sindex, "spark ADJ join", partial=False).collect()}
+        assert got == {1}
+        got_rev = {r["doc"] for r in search(sindex, "join ADJ spark", partial=False).collect()}
+        assert got_rev == {4}
+
+    def test_adj_width_limits_span_e2e(self, sindex):
+        # doc 4 "merge join spark fast fast": merge..fast span 3; ADJ/1
+        # needs adjacency (window 3 over 2 terms -> span <= 2)
+        got = {r["doc"] for r in search(sindex, "merge ADJ/3 fast", partial=False).collect()}
+        assert got == {4}
+        got_tight = {r["doc"] for r in search(sindex, "merge ADJ/1 fast", partial=False).collect()}
+        assert got_tight == set()
+
+    def test_group_e2e(self, sindex):
+        # (merge OR slow) AND join: docs with join and either merge/slow
+        got = {r["doc"] for r in search(sindex, "(merge OR slow) AND join", partial=False).collect()}
+        assert got == {3, 4}

@@ -564,3 +564,51 @@ class TestSpellingTable:
             assert got == {"qery": "query"}
         finally:
             idx.unpersist()
+
+
+class TestMatchAdj:
+    """Ordered-NEAR (ADJ) matcher semantics: XC matcher/phrasepostlist.cc
+    test_doc — strictly-increasing in-order positions, span < window."""
+
+    @pytest.fixture(scope="class")
+    def adj_index(self, spark):
+        rows = [
+            (1, "alpha beta"),
+            (2, "beta alpha"),
+            (3, "alpha x x x x x x x x x x x beta"),  # span 12
+            (4, "beta x alpha x beta"),
+            (5, "gamma"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        idx = InvertedIndex.build_from_body(docs, key="doc_id", stem=False)
+        yield idx
+        idx.unpersist()
+
+    def docs_of(self, df):
+        return sorted(r["doc"] for r in df.collect())
+
+    def test_order_and_window(self, adj_index):
+        got = self.docs_of(
+            S.match_adj(adj_index, ["alpha", "beta"], score=False)
+        )
+        # default window 11: doc 3's span-12 pair is out; doc 2 wrong order;
+        # doc 4 has alpha@2 -> beta@4 in order
+        assert got == [1, 4]
+
+    def test_tight_window(self, adj_index):
+        got = self.docs_of(
+            S.match_adj(adj_index, ["alpha", "beta"], window=2, score=False)
+        )
+        assert got == [1]  # adjacency only
+
+    def test_single_occurrence_cannot_self_chain(self, adj_index):
+        # "gamma ADJ gamma" must not match a doc with ONE gamma: the
+        # position-tie ordering processes the higher term index first
+        got = self.docs_of(
+            S.match_adj(adj_index, ["gamma", "gamma"], window=11, score=False)
+        )
+        assert got == []
+
+    def test_needs_two_terms(self, adj_index):
+        with pytest.raises(ValueError, match="ADJ"):
+            S.match_adj(adj_index, ["alpha"])

@@ -420,6 +420,74 @@ def match_near(
     return scored.join(matched, "doc", "left_semi")
 
 
+def match_adj(
+    index: InvertedIndex, terms: list[str], window: int | None = None,
+    score: bool = True,
+) -> DataFrame:
+    """ADJ: all terms IN ORDER within a ``window``-wide span — Xapian lowers
+    ADJ to OP_PHRASE with a widened window (queryparser.lemony:1732-1740
+    as_adj_query), whose matcher semantics (XC matcher/phrasepostlist.cc
+    test_doc) are: there exist strictly-increasing positions q0 < q1 < ... <
+    q_{k-1}, one per term in query order, with q_{k-1} - q0 < window.
+    Default window mirrors NEAR's sizing: "a ADJ b" = "a at most 10 terms
+    before b" = (10 - 1) + n_terms.
+
+    Same fused single-postings-scan shape as NEAR/PHRASE (_positions_for),
+    with one linear aggregate() pass over the doc's merged sorted positions:
+    for each prefix of the term sequence we track the MAXIMUM chain start
+    q0 among in-order chains ending before the current position (the only
+    cross-position state the span check needs — intermediate gaps are
+    unconstrained), and test the span when the final term extends a chain.
+    Ties in position (a term ADJ itself) sort the HIGHER term index first,
+    so a single occurrence can never chain with itself."""
+    if window is None:
+        window = 9 + len(terms)
+    if len(terms) < 2:
+        raise ValueError("ADJ needs >= 2 terms")
+    j = _positions_for(index, terms)
+    k = len(terms)
+
+    def tag_with(i: int):
+        # rt = k-1-i: descending term index within a position tie, so the
+        # fold consumes m_{i-1} from strictly-earlier positions only
+        return lambda x: F.struct(
+            x.cast("long").alias("pos"), F.lit(k - 1 - i).cast("int").alias("rt")
+        )
+
+    tagged = [F.transform(F.col(f"p{i}"), tag_with(i)) for i in range(k)]
+    merged = F.sort_array(F.concat(*tagged))
+    init = F.struct(
+        F.lit(False).alias("found"),
+        *[F.lit(None).cast("long").alias(f"m{i}") for i in range(k)],
+    )
+
+    def step(acc: Column, e: Column) -> Column:
+        t = F.lit(k - 1) - e["rt"]
+        # m_i = max start q0 over in-order chains of terms 0..i seen so far
+        new_m = [F.when(t == 0, F.greatest(F.coalesce(acc["m0"], e["pos"]), e["pos"])).otherwise(acc["m0"])]
+        for i in range(1, k):
+            ext = F.when(
+                (t == i) & acc[f"m{i - 1}"].isNotNull(),
+                F.greatest(F.coalesce(acc[f"m{i}"], acc[f"m{i - 1}"]), acc[f"m{i - 1}"]),
+            ).otherwise(acc[f"m{i}"])
+            new_m.append(ext)
+        hit = (
+            (t == k - 1)
+            & acc[f"m{k - 2}"].isNotNull()
+            & ((e["pos"] - acc[f"m{k - 2}"]) <= F.lit(window - 1))
+        )
+        return F.struct(
+            (acc["found"] | hit).alias("found"),
+            *[m.alias(f"m{i}") for i, m in enumerate(new_m)],
+        )
+
+    matched = j.filter(F.aggregate(merged, init, step)["found"]).select("doc")
+    if not score:
+        return matched.select("doc", F.lit(0.0).alias("score"))
+    scored = score_terms(index, list(dict.fromkeys(terms)))
+    return scored.join(matched, "doc", "left_semi")
+
+
 # ------------------------------------------------------------- synonym/elite
 
 

@@ -192,6 +192,17 @@ def q_search_near(spark, sf_dir):
     return _finalize(S.match_near(idx, ["hash", "join"], window=10))
 
 
+def q_search_adj(spark, sf_dir):
+    """ADJ surface syntax ("hash ADJ/9 join"): ordered NEAR — Xapian lowers
+    ADJ to OP_PHRASE with a widened window (queryparser.lemony
+    as_adj_query), matched with phrasepostlist's in-order-within-window
+    chain. Window = width - 1 + n_terms = 9 - 1 + 2 = 10, the same span as
+    search_near's — the result differs from NEAR exactly on docs where the
+    pair only occurs in the wrong order."""
+    idx = get_index(spark, sf_dir)
+    return _finalize(S.match_adj(idx, ["hash", "join"], window=10))
+
+
 def q_search_synonym(spark, sf_dir):
     idx = get_index(spark, sf_dir)
     return _finalize(S.op_synonym(idx, _zt(["merge", "slow"])))
@@ -450,6 +461,7 @@ QUERIES = {
     "search_filter": q_search_filter,
     "search_phrase": q_search_phrase,
     "search_near": q_search_near,
+    "search_adj": q_search_adj,
     "search_synonym": q_search_synonym,
     "search_wildcard": q_search_wildcard,
     "search_wildcard_max": q_search_wildcard_max,
@@ -634,6 +646,7 @@ ORDER BY doc_id"""
         "search_filter": oracles.bool_op("filter", ["join"], ["spark"]),
         "search_phrase": oracles.phrase(["group", "order"]),
         "search_near": oracles.near(["hash", "join"], window=10),
+        "search_adj": oracles.adj(["hash", "join"], window=10),
         "search_synonym": oracles.synonym(zt(["merge", "slow"])),
         "search_wildcard": oracles.wildcard("sp"),
         "search_wildcard_max": oracles.wildcard_max("sp"),

@@ -338,6 +338,24 @@ near_docs AS (
 {_scored_in('near_docs')}""" + TOPK_TAIL.format(k=k)
 
 
+def adj(words: list[str], window: int = 10, k: int = 100) -> str:
+    """ADJ (two-term form): IN-ORDER within window — phrasepostlist's
+    windowed chain semantics (b strictly after a, span < window), scored
+    over the member terms like phrase/near."""
+    assert len(words) == 2
+    w1, w2 = words
+    uniq = list(dict.fromkeys(words))
+    return f"""WITH {base_ctes()},
+{_tweight_sql(qvalues(uniq)).lstrip()},
+adj_docs AS (
+  SELECT DISTINCT a.doc_id
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+  WHERE a.term = '{w1}' AND b.term = '{w2}'
+    AND b.pos > a.pos AND b.pos - a.pos < {window}
+),
+{_scored_in('adj_docs')}""" + TOPK_TAIL.format(k=k)
+
+
 def synonym(members: list[str], k: int = 100) -> str:
     """Q12: merged postings scored as one pseudo-term (df = matching docs)."""
     in_list = ", ".join(f"'{m}'" for m in members)

@@ -47,10 +47,15 @@ FIELD_PREFIXES = {
     "tag": "K",
 }
 
-# longest-first, case-insensitive, word-boundary (matchop order :109-126)
+# longest-first, case-insensitive, word-boundary (matchop order :109-126).
+# NEAR/ADJ carry an optional /n window width — the Xapian queryparser's
+# surface syntax (XC queryparser/queryparser.lemony:1183-1219), which the
+# reference reaches through parse_query (src/xapian_utils.rs:451): width n
+# means "within n terms", lowered to window (n or 10) - 1 + n_terms
+# (as_near_query/as_adj_query :1722-1740).
 _OP_PATTERN = re.compile(
     r"\b(AND\s+MAYBE|AND\s+NOT|SYNONYM|FILTER|PHRASE|SCALED|RANGE|ELITE"
-    r"|NEAR|AND|XOR|OR)\b",
+    r"|NEAR(?:/\d+)?|ADJ(?:/\d+)?|AND|XOR|OR)\b",
     re.IGNORECASE,
 )
 
@@ -158,6 +163,18 @@ class NearOp(Node):
     left: Node = None
     right: Node = None
     window: int | None = None  # None -> QueryParser default (9 + n_terms)
+    width: int | None = None  # user NEAR/n width; window = width-1+n_terms
+
+
+@dataclass
+class AdjOp(Node):
+    """ADJ: ordered NEAR — Xapian lowers it to OP_PHRASE with a widened
+    window (queryparser.lemony as_adj_query :1732-1740); matcher semantics
+    are phrasepostlist's in-order-within-window chain."""
+
+    left: Node = None
+    right: Node = None
+    width: int | None = None  # user ADJ/n width; window = width-1+n_terms
 
 
 @dataclass
@@ -276,9 +293,85 @@ def _chunk_to_node(chunk: str, partial: bool, final_chunk: bool = False) -> Node
 _NUMBER = re.compile(r"^\s*([0-9]+(?:\.[0-9]+)?)\s*$")
 
 
+def _apply_op(op: str, node: Node, rhs: Node, rhs_text: str) -> Node:
+    """Fold one (normalized, upper-case) operator application — the shared
+    body of the flat and the parenthesized compile paths."""
+    wm = re.fullmatch(r"(NEAR|ADJ)(?:/(\d+))?", op)
+    if wm:
+        width = int(wm.group(2)) if wm.group(2) else None
+        if wm.group(1) == "NEAR":
+            return NearOp(node, rhs, width=width)
+        return AdjOp(node, rhs, width=width)
+    if op == "AND MAYBE":
+        return Bool("AND_MAYBE", node, rhs)
+    if op == "AND NOT":
+        return Bool("AND_NOT", node, rhs)
+    if op == "AND":
+        return Bool("AND", node, rhs)
+    if op == "OR":
+        return Bool("OR", node, rhs)
+    if op == "XOR":
+        return Bool("XOR", node, rhs)
+    if op == "FILTER":
+        return Bool("FILTER", node, rhs)
+    if op == "PHRASE":
+        return PhraseOp(node, rhs)
+    if op == "SYNONYM":
+        return Synonym(node, rhs)
+    if op == "RANGE":
+        return _parse_range(node, rhs_text) or Bool("OR", node, rhs)
+    return Bool("OR", node, rhs)  # pragma: no cover
+
+
+def _parens_balanced(s: str) -> bool:
+    depth = 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
+
+
+def _split_grouped(s: str) -> list[tuple[str, str]]:
+    """Depth-0 segmentation of a balanced-paren query: ("text", t) runs and
+    ("group", inner) parenthesized subexpressions (lemony's ``( expr )``
+    grouping rule)."""
+    items: list[tuple[str, str]] = []
+    depth = 0
+    start = 0
+    gstart = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            if depth == 0:
+                if i > start:
+                    items.append(("text", s[start:i]))
+                gstart = i + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                items.append(("group", s[gstart:i]))
+                start = i + 1
+    if start < len(s):
+        items.append(("text", s[start:]))
+    return items
+
+
 def compile_query(qstr: str, partial: bool = True) -> Node:
     """Split on operator keywords, parse chunks, fold left-associatively
-    (parse_user_query :598-643)."""
+    (parse_user_query :598-643). Parenthesized grouping is supported when
+    the parens balance: a depth-0 ``(...)`` compiles recursively as one
+    operand (the lemony grammar's grouping rule, which the reference
+    reaches via parse_query); adjacent operands with no explicit operator
+    OR-fold, consistent with the Q20 in-chunk fold. Unbalanced parens keep
+    the legacy behavior (the streaming lexer treats ``(`` as a dead
+    character in the final chunk)."""
+    if "(" in qstr or ")" in qstr:
+        if _parens_balanced(qstr):
+            return _compile_grouped(qstr, partial)
     parts = _OP_PATTERN.split(qstr)
     # parts = [chunk, op, chunk, op, ...]; the LAST chunk goes through
     # expression_into_query in the reference, hence the lexer semantics
@@ -300,29 +393,62 @@ def compile_query(qstr: str, partial: bool = True) -> Node:
                 node = Elite(node, int(float(m.group(1))))
                 continue
         rhs = _chunk_to_node(rhs_text, partial, final_chunk=is_final)
-        if op == "AND MAYBE":
-            node = Bool("AND_MAYBE", node, rhs)
-        elif op == "AND NOT":
-            node = Bool("AND_NOT", node, rhs)
-        elif op == "AND":
-            node = Bool("AND", node, rhs)
-        elif op == "OR":
-            node = Bool("OR", node, rhs)
-        elif op == "XOR":
-            node = Bool("XOR", node, rhs)
-        elif op == "FILTER":
-            node = Bool("FILTER", node, rhs)
-        elif op == "NEAR":
-            node = NearOp(node, rhs)
-        elif op == "PHRASE":
-            node = PhraseOp(node, rhs)
-        elif op == "SYNONYM":
-            node = Synonym(node, rhs)
-        elif op == "RANGE":
-            node = _parse_range(node, rhs_text) or Bool("OR", node, rhs)
-        else:  # pragma: no cover
-            node = Bool("OR", node, rhs)
+        node = _apply_op(op, node, rhs, rhs_text)
     return node
+
+
+def _compile_grouped(qstr: str, partial: bool) -> Node:
+    """Left-associative fold over depth-0 operands (text chunks and
+    recursively-compiled groups)."""
+    stream: list[tuple[str, str | Node]] = []
+    for kind, payload in _split_grouped(qstr):
+        if kind == "group":
+            sub = compile_query(payload, partial)
+            if not isinstance(sub, Empty):
+                stream.append(("node", sub))
+            continue
+        parts = _OP_PATTERN.split(payload)
+        for j, p in enumerate(parts):
+            if j % 2 == 1:
+                stream.append(("op", re.sub(r"\s+", " ", p.upper())))
+            elif p.strip():
+                stream.append(("chunk", p))
+    node: Node | None = None
+    pending: str | None = None
+    for kind, payload in stream:
+        if kind == "op":
+            # consecutive operators: the later one wins (mirrors the flat
+            # path, where the splitter never produces two ops in a row with
+            # a non-empty chunk between)
+            pending = payload
+            continue
+        rhs_text = payload if kind == "chunk" else ""
+        if pending in ("SCALED", "ELITE") and kind == "chunk":
+            m = _NUMBER.match(rhs_text)
+            if m and node is not None:
+                node = (
+                    Scale(float(m.group(1)), node)
+                    if pending == "SCALED"
+                    else Elite(node, int(float(m.group(1))))
+                )
+                pending = None
+                continue
+        operand = (
+            payload
+            if kind == "node"
+            else _chunk_to_node(payload, partial)
+        )
+        if isinstance(operand, Empty):
+            pending = None
+            continue
+        if node is None:
+            node = operand
+        elif pending is None:
+            node = Bool("OR", node, operand)  # juxtaposition: Q20 OR-fold
+        else:
+            node = _apply_op(pending, node, operand, rhs_text)
+        pending = None
+    return node if node is not None else Empty()
 
 
 def _parse_range(left: Node, rhs_text: str) -> Node | None:
@@ -356,8 +482,11 @@ def explain(node: Node) -> str:
     if isinstance(node, Bool):
         return f"({explain(node.left)} {node.op} {explain(node.right)})"
     if isinstance(node, NearOp):
-        w = node.window if node.window is not None else "def"
+        w = node.window if node.window is not None else (node.width or "def")
         return f"({explain(node.left)} NEAR/{w} {explain(node.right)})"
+    if isinstance(node, AdjOp):
+        w = node.width if node.width is not None else "def"
+        return f"({explain(node.left)} ADJ/{w} {explain(node.right)})"
     if isinstance(node, PhraseOp):
         return f"({explain(node.left)} PHRASEOP {explain(node.right)})"
     if isinstance(node, Scale):
@@ -419,8 +548,15 @@ def _describe(node: Node) -> str:
     if isinstance(node, NearOp):
         w = node.window
         if w is None:
-            w = 9 + len(_collect_terms(node.left) + _collect_terms(node.right))
+            n = len(_collect_terms(node.left) + _collect_terms(node.right))
+            w = (node.width or 10) - 1 + n  # as_near_query :1722-1730
         return f"({_describe(node.left)} NEAR {w} {_describe(node.right)})"
+    if isinstance(node, AdjOp):
+        # ADJ renders as OP_PHRASE with the widened window (as_adj_query
+        # :1732-1740 — same sizing formula as NEAR)
+        n = len(_collect_terms(node.left) + _collect_terms(node.right))
+        w = (node.width or 10) - 1 + n
+        return f"({_describe(node.left)} PHRASE {w} {_describe(node.right)})"
     if isinstance(node, PhraseOp):
         n = len(_collect_terms(node.left) + _collect_terms(node.right))
         return f"({_describe(node.left)} PHRASE {n} {_describe(node.right)})"
@@ -447,7 +583,7 @@ def _collect_terms(node: Node) -> list[str]:
         return [node.prefix + w for w in node.words]
     if isinstance(node, (Bool, Synonym)):
         return _collect_terms(node.left) + _collect_terms(node.right)
-    if isinstance(node, (NearOp, PhraseOp)):
+    if isinstance(node, (NearOp, AdjOp, PhraseOp)):
         return _collect_terms(node.left) + _collect_terms(node.right)
     if isinstance(node, (Scale, Elite)):
         return _collect_terms(node.child)
@@ -464,7 +600,7 @@ def _collect_term_pairs(node: Node) -> list[tuple[str, str]]:
         return [(node.prefix, node.word)]
     if isinstance(node, PhraseTerms):
         return [(node.prefix, w) for w in node.words]
-    if isinstance(node, (Bool, Synonym, NearOp, PhraseOp)):
+    if isinstance(node, (Bool, Synonym, NearOp, AdjOp, PhraseOp)):
         return _collect_term_pairs(node.left) + _collect_term_pairs(node.right)
     if isinstance(node, (Scale, Elite)):
         return _collect_term_pairs(node.child)
@@ -527,7 +663,7 @@ def snippet_shapes(node: Node) -> tuple[list[str], list[tuple[str, ...]], list[s
                 loose.append(terms[0])
             else:
                 phrases.append(terms)
-        elif isinstance(n, (Bool, Synonym, NearOp, PhraseOp)):
+        elif isinstance(n, (Bool, Synonym, NearOp, AdjOp, PhraseOp)):
             walk(n.left)
             walk(n.right)
         elif isinstance(n, (Scale, Elite)):
@@ -624,7 +760,14 @@ class Executor:
             }[node.op](l, r)
         if isinstance(node, NearOp):
             terms = _collect_terms(node.left) + _collect_terms(node.right)
-            return S.match_near(idx, terms, window=node.window)
+            window = node.window
+            if window is None and node.width is not None:
+                window = node.width - 1 + len(terms)
+            return S.match_near(idx, terms, window=window)
+        if isinstance(node, AdjOp):
+            terms = _collect_terms(node.left) + _collect_terms(node.right)
+            window = (node.width or 10) - 1 + len(terms)
+            return S.match_adj(idx, terms, window=window)
         if isinstance(node, PhraseOp):
             terms = _collect_terms(node.left) + _collect_terms(node.right)
             return S.match_phrase(idx, terms)
