@@ -116,6 +116,39 @@ def test_strictness_catches_dtype_drift(spark, ddb):
     assert strict_rows(spdf) == strict_rows(clean)
 
 
+def test_spelling_metrics_agree_where_it_matters(ddb):
+    """The spelling oracle ranks with DuckDB's UNRESTRICTED
+    damerau_levenshtein while the engine computes restricted OSA; the two
+    can disagree from distance 3 up ('ca'->'abc' is 2 vs 3), which the
+    BETWEEN 1 AND 2 cutoff could turn into a parity flake if the corpus or
+    probe words drift. Pin the equivalence: over every (probe word, vocab
+    term) pair — a superset of the fragment-blocked candidate set — the two
+    metrics agree whenever either is <= 2, so the oracle's cutoff and
+    tie-break can never diverge from the engine's."""
+    from tika_xapian_spark.operators.search import osa_distance
+
+    probes = ["sprak", "merg", "window", "qery", "teh"]
+    vocab = [
+        r[0]
+        for r in ddb.execute(
+            "SELECT DISTINCT lower(regexp_replace(w, '[^a-z]', '', 'g')) "
+            "FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) "
+            "WHERE length(regexp_replace(w, '[^a-z]', '', 'g')) >= 2"
+        ).fetchall()
+    ]
+    assert len(vocab) >= 20
+    disagreements = []
+    for w in probes:
+        for t in vocab:
+            dl = ddb.execute(
+                "SELECT damerau_levenshtein(?, ?)", [w, t]
+            ).fetchone()[0]
+            osa = osa_distance(w, t)
+            if min(dl, osa) <= 2 and dl != osa:
+                disagreements.append((w, t, dl, osa))
+    assert not disagreements, disagreements[:10]
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()

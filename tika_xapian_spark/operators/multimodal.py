@@ -2,11 +2,14 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with typed
 metadata columns beside them. The Spark-side plumbing — schema, partitioning,
-Arrow batch shape, UDF signatures — is real and tested; the actual media
-decode is STUBBED (this environment ships no image/audio libraries): decode
-entry points raise ``NotImplementedError`` unless the deterministic-fake mode
-is used, which derives features from the payload's md5 so tests and oracles
-are exact.
+Arrow batch shape, UDF signatures — is real and tested. Image decode is
+PIL-OPTIONAL, probed lazily at call time (``_pil_image``): on a cluster
+whose Python env ships Pillow, ``use_fake=False`` runs the real decode /
+histogram-features / resize with identical schemas; in this environment
+(no image libraries) the real path raises ``NotImplementedError`` loudly
+and the deterministic-fake mode — features from the payload's md5, exactly
+reproducible in SQL — remains the oracle-gated default. Video decode stays
+a documented stub (no av/cv2 anywhere).
 
 At scale: binary payloads dominate bytes — the metadata pass reads only the
 bytes it needs (mapInPandas streams Arrow batches; no payload ever reaches
@@ -66,13 +69,35 @@ def sniff_magic(payload: bytes) -> str:
     return "bin"
 
 
+def _pil_image():
+    """PIL detection, resolved lazily AT CALL TIME (inside the executor's
+    Arrow batch, not at module import): the same code runs real decode on a
+    cluster whose Python env ships Pillow and stays a loud stub here."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency probe
+
+        return Image
+    except ImportError:
+        return None
+
+
+def has_pil() -> bool:
+    return _pil_image() is not None
+
+
 def decode_image(payload: bytes):
-    """Real image decode — unavailable in this environment (no PIL/cv2).
-    The Spark plumbing around it is real; swap this body for PIL on a
-    cluster that has it."""
-    raise NotImplementedError(
-        "image decode requires an image library not present in this environment"
-    )
+    """Real image decode via PIL when available (returns a PIL.Image);
+    raises NotImplementedError otherwise. The Spark plumbing around it is
+    identical in both modes — only the per-batch body changes."""
+    Image = _pil_image()
+    if Image is None:
+        raise NotImplementedError(
+            "image decode requires an image library not present in this "
+            "environment (pip install Pillow enables the real path)"
+        )
+    import io
+
+    return Image.open(io.BytesIO(payload))
 
 
 def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -80,6 +105,17 @@ def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     scaled to [0, 1]. Exactly reproducible in SQL for the oracle."""
     h = hashlib.md5(payload).digest()
     return [h[i] / 255.0 for i in range(dim)]
+
+
+def real_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real feature extractor (PIL path): normalized ``dim``-bin grayscale
+    histogram — deterministic given the decoder, same schema as the fake."""
+    img = decode_image(payload).convert("L")
+    counts = [0] * dim
+    for px in img.tobytes():
+        counts[min(px * dim // 256, dim - 1)] += 1
+    total = sum(counts) or 1
+    return [c / total for c in counts]
 
 
 def binary_metadata(df: DataFrame, key: str, payload_col: str) -> DataFrame:
@@ -107,15 +143,20 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for b in pdf[payload_col]:
-                if use_fake:
-                    feats.append(fake_features(bytes(b)))
-                else:
-                    feats.append(decode_image(bytes(b)))
-            yield pd.DataFrame({"doc": pdf[key], "features": feats})
+            yield features_batch(pdf, key, payload_col, use_fake)
 
     return df.select(F.col(key), F.col(payload_col)).mapInPandas(run, FEATURE_SCHEMA)
+
+
+def features_batch(
+    pdf: pd.DataFrame, key: str, payload_col: str, use_fake: bool
+) -> pd.DataFrame:
+    """One Arrow batch of the feature pass — factored out so the real-PIL
+    body is testable at the pandas level (the env ships no Pillow; tests
+    inject a fake PIL module and drive this directly)."""
+    fn = fake_features if use_fake else real_features
+    feats = [fn(bytes(b)) for b in pdf[payload_col]]
+    return pd.DataFrame({"doc": pdf[key], "features": feats})
 
 
 def decode_video_frame(payload: bytes, frame_idx: int):
@@ -194,26 +235,46 @@ def resize_image(
 ) -> DataFrame:
     """(doc, width, height, resized_md5, n_bytes) via mapInPandas. The fake
     'resize' fingerprints payload+target-size deterministically (md5 of
-    payload || ':WxH'); ``use_fake=False`` routes through the stubbed real
-    decoder. n_bytes models a w*h single-channel output."""
-
-    suffix = f":{width}x{height}".encode()
+    payload || ':WxH'); ``use_fake=False`` decodes with PIL (when present),
+    resizes to WxH single-channel and fingerprints the real pixel bytes —
+    same schema, n_bytes = w*h in both modes."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            md5s = []
-            for b in pdf[payload_col]:
-                if not use_fake:
-                    decode_image(bytes(b))
-                md5s.append(hashlib.md5(bytes(b) + suffix).hexdigest())
-            yield pd.DataFrame(
-                {
-                    "doc": pdf[key],
-                    "width": width,
-                    "height": height,
-                    "resized_md5": md5s,
-                    "n_bytes": width * height,
-                }
-            )
+            yield resize_batch(pdf, key, payload_col, width, height, use_fake)
 
     return df.select(F.col(key), F.col(payload_col)).mapInPandas(run, RESIZE_SCHEMA)
+
+
+def resize_batch(
+    pdf: pd.DataFrame,
+    key: str,
+    payload_col: str,
+    width: int,
+    height: int,
+    use_fake: bool,
+) -> pd.DataFrame:
+    """One Arrow batch of the resize pass (pandas-testable, like
+    features_batch)."""
+    suffix = f":{width}x{height}".encode()
+    md5s = []
+    for b in pdf[payload_col]:
+        if use_fake:
+            md5s.append(hashlib.md5(bytes(b) + suffix).hexdigest())
+        else:
+            rb = (
+                decode_image(bytes(b))
+                .convert("L")
+                .resize((width, height))
+                .tobytes()
+            )
+            md5s.append(hashlib.md5(rb).hexdigest())
+    return pd.DataFrame(
+        {
+            "doc": pdf[key],
+            "width": width,
+            "height": height,
+            "resized_md5": md5s,
+            "n_bytes": width * height,
+        }
+    )

@@ -554,7 +554,10 @@ LIMIT {K}"""
     # fragment scheme); word side is the open_termlist probe set, inlined
     # from the same Python helper the Spark path uses. Distance is DuckDB's
     # damerau_levenshtein (its unrestricted variant agrees with the engine's
-    # restricted OSA on every fragment-blocked pair at distance <= 2).
+    # restricted OSA on every fragment-blocked pair at distance <= 2 — an
+    # equivalence PINNED, not assumed, by tests/test_oracle_parity.py::
+    # test_spelling_metrics_agree_where_it_matters over the full probe ×
+    # vocab cross product, so corpus/probe drift fails loudly there first).
     spelling_sql = f"""
 WITH {oracles.base_ctes()},
 vocab AS (
