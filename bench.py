@@ -127,6 +127,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "search_and",
         "search_phrase",
         "search_near",
+        "search_adj",  # ordered NEAR (round 5): same fused-scan shape
         "search_wildcard",
         "collapse_best_per_source",
         "dedup_minhash_pairs",
