@@ -509,3 +509,34 @@ class TestGroupingAndAdj:
         # (merge OR slow) AND join: docs with join and either merge/slow
         got = {r["doc"] for r in search(sindex, "(merge OR slow) AND join", partial=False).collect()}
         assert got == {3, 4}
+
+
+class TestPrefixedGroup:
+    """Prefixed subexpressions — lemony's ``title:(fast NEAR food)`` rule
+    (queryparser.lemony:1120): the field prefix distributes over every
+    unprefixed term leaf of the group."""
+
+    def test_prefix_distributes_over_or(self):
+        n = compile_query("title:(spark OR merge)", partial=False)
+        assert get_description(n) == "Query((ZSspark@1 OR ZSmerg@1))"
+
+    def test_prefix_distributes_over_near(self):
+        n = compile_query("title:(fast NEAR food)", partial=False)
+        assert get_description(n) == "Query((ZSfast@1 NEAR 11 ZSfood@1))"
+
+    def test_inner_explicit_prefix_wins(self):
+        n = compile_query("title:(spark OR author:smith)", partial=False)
+        assert get_description(n) == "Query((ZSspark@1 OR ZAsmith@1))"
+
+    def test_unknown_field_group_stays_plain(self):
+        # not a registered prefix: the group compiles unprefixed and the
+        # dangling 'nosuch:' text is handled by the normal token path
+        n = compile_query("nosuch:(a OR b)", partial=False)
+        assert "Za@1 OR Zb@1" in get_description(n)
+
+    def test_prefixed_group_composes(self):
+        n = compile_query("title:(spark OR merge) AND join", partial=False)
+        assert (
+            get_description(n)
+            == "Query(((ZSspark@1 OR ZSmerg@1) AND Zjoin@1))"
+        )

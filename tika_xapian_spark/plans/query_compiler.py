@@ -335,32 +335,68 @@ def _parens_balanced(s: str) -> bool:
     return depth == 0
 
 
-def _split_grouped(s: str) -> list[tuple[str, str]]:
-    """Depth-0 segmentation of a balanced-paren query: ("text", t) runs and
+_PREFIXED_GROUP = re.compile(r"(\w+):$")
+
+
+def _split_grouped(s: str) -> list[tuple[str, object]]:
+    """Depth-0 segmentation of a balanced-paren query: ("text", t) runs,
     ("group", inner) parenthesized subexpressions (lemony's ``( expr )``
-    grouping rule)."""
-    items: list[tuple[str, str]] = []
+    grouping rule), and ("pgroup", (prefix, inner)) for prefixed
+    subexpressions like ``title:(fast NEAR food)`` (queryparser.lemony:1120
+    — the field prefix distributes over every term of the group)."""
+    items: list[tuple[str, object]] = []
     depth = 0
     start = 0
     gstart = 0
+    gprefix: str | None = None
     for i, ch in enumerate(s):
         if ch == "(":
             if depth == 0:
-                if i > start:
-                    items.append(("text", s[start:i]))
+                text = s[start:i]
+                m = _PREFIXED_GROUP.search(text)
+                gprefix = None
+                if m and m.group(1).lower() in FIELD_PREFIXES:
+                    gprefix = FIELD_PREFIXES[m.group(1).lower()]
+                    text = text[: m.start()]
+                if text:
+                    items.append(("text", text))
                 gstart = i + 1
             depth += 1
         elif ch == ")":
             depth -= 1
             if depth == 0:
-                items.append(("group", s[gstart:i]))
+                inner = s[gstart:i]
+                if gprefix is not None:
+                    items.append(("pgroup", (gprefix, inner)))
+                else:
+                    items.append(("group", inner))
                 start = i + 1
     if start < len(s):
         items.append(("text", s[start:]))
     return items
 
 
-def compile_query(qstr: str, partial: bool = True) -> Node:
+def _apply_prefix(node: Node, prefix: str) -> Node:
+    """Distribute a field prefix over every unprefixed term leaf of a
+    subtree (the lemony prefixed-subexpression rule): leaves that already
+    carry a prefix keep it."""
+    if isinstance(node, (PartialTerm, StemTerm, WildcardTerm, PhraseTerms)):
+        if not node.prefix:
+            node.prefix = prefix
+        return node
+    if isinstance(node, (Bool, Synonym, NearOp, AdjOp, PhraseOp)):
+        _apply_prefix(node.left, prefix)
+        _apply_prefix(node.right, prefix)
+        return node
+    if isinstance(node, (Scale, Elite)):
+        _apply_prefix(node.child, prefix)
+        return node
+    return node
+
+
+def compile_query(
+    qstr: str, partial: bool = True, _streaming_tail: bool = True
+) -> Node:
     """Split on operator keywords, parse chunks, fold left-associatively
     (parse_user_query :598-643). Parenthesized grouping is supported when
     the parens balance: a depth-0 ``(...)`` compiles recursively as one
@@ -368,19 +404,26 @@ def compile_query(qstr: str, partial: bool = True) -> Node:
     reaches via parse_query); adjacent operands with no explicit operator
     OR-fold, consistent with the Q20 in-chunk fold. Unbalanced parens keep
     the legacy behavior (the streaming lexer treats ``(`` as a dead
-    character in the final chunk)."""
+    character in the final chunk).
+
+    ``_streaming_tail`` (internal): the streaming-lexer degrade applies to
+    the LAST chunk because nom hits end-of-input there; inside a
+    parenthesized group the closing ``)`` always follows the token, so
+    group recursion disables it."""
     if "(" in qstr or ")" in qstr:
         if _parens_balanced(qstr):
             return _compile_grouped(qstr, partial)
     parts = _OP_PATTERN.split(qstr)
     # parts = [chunk, op, chunk, op, ...]; the LAST chunk goes through
     # expression_into_query in the reference, hence the lexer semantics
-    node = _chunk_to_node(parts[0], partial, final_chunk=len(parts) == 1)
+    node = _chunk_to_node(
+        parts[0], partial, final_chunk=len(parts) == 1 and _streaming_tail
+    )
     i = 1
     while i + 1 < len(parts):
         op = re.sub(r"\s+", " ", parts[i].upper())
         rhs_text = parts[i + 1]
-        is_final = i + 1 == len(parts) - 1
+        is_final = (i + 1 == len(parts) - 1) and _streaming_tail
         i += 2
         if op == "SCALED":
             m = _NUMBER.match(rhs_text)
@@ -402,8 +445,15 @@ def _compile_grouped(qstr: str, partial: bool) -> Node:
     recursively-compiled groups)."""
     stream: list[tuple[str, str | Node]] = []
     for kind, payload in _split_grouped(qstr):
-        if kind == "group":
-            sub = compile_query(payload, partial)
+        if kind in ("group", "pgroup"):
+            if kind == "pgroup":
+                prefix, inner = payload
+                sub = _apply_prefix(
+                    compile_query(inner, partial, _streaming_tail=False),
+                    prefix,
+                )
+            else:
+                sub = compile_query(payload, partial, _streaming_tail=False)
             if not isinstance(sub, Empty):
                 stream.append(("node", sub))
             continue
