@@ -1,0 +1,104 @@
+"""Gopher repetition/quality rules on crafted docs that exercise the
+shapes the synthetic corpus never produces (multi-line texts, duplicate
+lines, bullets, ellipses, repeated n-grams) — pins the sorted-adjacent
+fold logic against hand-computed truths."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tika_xapian_spark.operators import textstats as T
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    rows = [
+        # 4 lines, "dup line" twice: extra_count 1 of 4 lines; chars:
+        # lines = [dup line(8), dup line(8), solo one(8), solo two(8)]
+        (1, "dup line\ndup line\nsolo one\nsolo two"),
+        # heavy 2-gram repetition: "ab cd" x4
+        (2, "ab cd ab cd ab cd ab cd"),
+        # 5-gram repeated twice: 10 tokens = the same 5 twice
+        (3, "v w x y z v w x y z"),
+        # bullets + ellipsis lines
+        (4, "- item one\n- item two\nplain tail..."),
+        # a "good" doc: >= 12 words incl. two Gopher stopwords
+        (5, "the cat sat with the dog and they watched other cats play "
+            "games outside today happily under warm sun"),
+        # symbol-heavy: many '#'
+        (6, "spam ### ### ### ### wow"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestRepetition:
+    def stats(self, crafted):
+        return {
+            r["doc"]: r
+            for r in T.gopher_repetition(crafted, key="doc_id").collect()
+        }
+
+    def test_duplicate_lines(self, crafted):
+        s = self.stats(crafted)[1]
+        assert s["n_lines"] == 4
+        # 1 extra occurrence of 4 lines
+        assert s["dup_line_frac_micro"] == 250000
+        # extra chars 8 of 32 line chars
+        assert s["dup_line_char_frac_micro"] == 250000
+
+    def test_no_duplicate_lines(self, crafted):
+        s = self.stats(crafted)[4]
+        assert s["n_lines"] == 3
+        assert s["dup_line_frac_micro"] == 0
+        assert s["dup_line_char_frac_micro"] == 0
+
+    def test_top_2gram_coverage(self, crafted):
+        # doc 2: tokens [ab cd ab cd ab cd ab cd]; top 2-gram "ab cd"
+        # (len 5) occurs 4x -> cover 20 over 23 text chars
+        s = self.stats(crafted)[2]
+        assert s["top_2gram_char_frac_micro"] == round(20 / 23 * 1e6)
+
+    def test_dup_5gram_coverage(self, crafted):
+        # doc 3: "v w x y z" (len 9) appears twice among the six 5-grams;
+        # the other grams are unique -> dup cover 18 over 19 chars
+        s = self.stats(crafted)[3]
+        assert s["dup_5gram_char_frac_micro"] == round(18 / 19 * 1e6)
+
+    def test_short_doc_zero_grams(self, crafted):
+        # doc 6 has 6 tokens -> 5-grams exist but unique; 2-grams unique
+        s = self.stats(crafted)[6]
+        assert s["dup_5gram_char_frac_micro"] == 0
+
+
+class TestQualityRules:
+    def feats(self, crafted, **kw):
+        return {
+            r["doc"]: r
+            for r in T.gopher_quality(crafted, key="doc_id", **kw).collect()
+        }
+
+    def test_bullet_and_ellipsis_fractions(self, crafted):
+        f = self.feats(crafted)[4]
+        assert f["bullet_line_frac_micro"] == round(2 / 3 * 1e6)
+        assert f["ellipsis_line_frac_micro"] == round(1 / 3 * 1e6)
+
+    def test_symbol_ratio(self, crafted):
+        # doc 6: 12 '#' chars, 0 '...'; tokens = [spam, wow] (###
+        # dissolves in the tokenizer) -> ratio 12/2 = 6.0
+        f = self.feats(crafted)[6]
+        assert f["symbol_ratio_micro"] == 6_000_000
+        assert f["passes"] == 0
+
+    def test_stopword_floor_and_pass(self, crafted):
+        f = self.feats(crafted, min_words=10)[5]
+        assert f["n_stop_hits"] >= 3  # the, with, and
+        assert f["alpha_word_frac_micro"] == 1_000_000
+        assert f["passes"] == 1
+
+    def test_word_count_band(self, crafted):
+        # default min_words=50 rejects every crafted doc
+        f = self.feats(crafted)
+        assert all(v["passes"] == 0 for v in f.values())
+
+    def test_min_stop_parameter(self, crafted):
+        strict = self.feats(crafted, min_words=10, min_stop=5)[5]
+        assert strict["passes"] == 0  # only 3 distinct stopwords present

@@ -146,3 +146,238 @@ def fingerprints(docs: DataFrame, key: str, text_col: str = "text") -> DataFrame
         F.md5(shape).alias("fp_shape"),
         F.conv(F.substring(fp_full, 1, 15), 16, 10).cast("long").alias("fp_bucket"),
     )
+
+
+# ------------------------------------------------- Gopher repetition rules
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher"), Table A1: the
+# repetition signals (duplicate lines, most-frequent n-gram coverage,
+# duplicated n-gram coverage) and the quality-filter rules every production
+# pretraining pipeline applies. All pure per-row column algebra: each doc's
+# lines/tokens already sit in one array, so duplicate detection is a
+# LINEAR fold over the SORTED array (duplicates become adjacent) — no
+# shuffle, no O(n^2) membership probes, embarrassingly parallel at 10^12
+# rows. Cross-engine determinism notes:
+#   - "duplicate line fraction" counts EXTRA occurrences (n - n_distinct),
+#     the Dolma/RedPajama convention;
+#   - "top n-gram coverage" is max over grams of count*len(gram) (coverage
+#     directly, sidestepping the most-frequent-tie ambiguity — documented
+#     variant);
+#   - "duplicate n-gram coverage" sums count*len(gram) over grams with
+#     count > 1, capped at 1 (overlap-occupancy ignored, the standard
+#     approximation).
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _lines_col(text_col: str) -> Column:
+    """Non-empty lines of the text."""
+    return F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams as a string array (empty when < n tokens)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i + 1, n)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _dup_run_stats(arr: Column) -> Column:
+    """Linear fold over a SORTED string array: struct(extra_chars,
+    extra_count, top_cover, dup_cover) where
+      extra_chars  chars in occurrences beyond each value's first
+      extra_count  number of such extra occurrences
+      top_cover    max over values of count * len(value)
+      dup_cover    sum over values with count > 1 of count * len(value)
+    """
+    sorted_arr = F.array_sort(arr)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("extra_chars"),
+        F.lit(0).cast("long").alias("extra_count"),
+        F.lit(0).cast("long").alias("top_cover"),
+        F.lit(0).cast("long").alias("dup_cover"),
+    )
+
+    def step(acc: Column, e: Column) -> Column:
+        same = acc["prev"].isNotNull() & (e == acc["prev"])
+        # close the previous run when the value changes
+        closed_cover = acc["run"] * F.length(acc["prev"])
+        top = F.when(
+            ~same & acc["prev"].isNotNull(),
+            F.greatest(acc["top_cover"], closed_cover),
+        ).otherwise(acc["top_cover"])
+        dup = F.when(
+            ~same & acc["prev"].isNotNull() & (acc["run"] > 1),
+            acc["dup_cover"] + closed_cover,
+        ).otherwise(acc["dup_cover"])
+        return F.struct(
+            e.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["extra_chars"] + F.length(e))
+            .otherwise(acc["extra_chars"])
+            .alias("extra_chars"),
+            F.when(same, acc["extra_count"] + 1)
+            .otherwise(acc["extra_count"])
+            .alias("extra_count"),
+            top.alias("top_cover"),
+            dup.alias("dup_cover"),
+        )
+
+    def finish(acc: Column) -> Column:
+        closed_cover = acc["run"] * F.length(acc["prev"])
+        return F.struct(
+            acc["extra_chars"].alias("extra_chars"),
+            acc["extra_count"].alias("extra_count"),
+            F.when(
+                acc["prev"].isNotNull(),
+                F.greatest(acc["top_cover"], closed_cover),
+            )
+            .otherwise(acc["top_cover"])
+            .alias("top_cover"),
+            F.when(
+                acc["prev"].isNotNull() & (acc["run"] > 1),
+                acc["dup_cover"] + closed_cover,
+            )
+            .otherwise(acc["dup_cover"])
+            .alias("dup_cover"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, finish)
+
+
+def gopher_repetition(
+    docs: DataFrame, key: str, text_col: str = "text"
+) -> DataFrame:
+    """Per-doc Gopher repetition signals (micro-integerized ratios):
+
+      n_lines, dup_line_frac_micro, dup_line_char_frac_micro,
+      top_2gram_char_frac_micro, dup_5gram_char_frac_micro
+    """
+    staged = _with_tokens(docs, key, text_col).withColumn(
+        "lines", _lines_col("text")
+    )
+    lines = F.col("lines")
+    toks = F.col("toks")
+    n_chars = F.length(F.col("text"))
+    line_stats = _dup_run_stats(lines)
+    g2 = _dup_run_stats(_word_ngrams(toks, 2))
+    g5 = _dup_run_stats(_word_ngrams(toks, 5))
+    n_lines = F.size(lines)
+    line_chars = F.aggregate(lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l))
+    m = lambda c: F.round(c * 1_000_000).cast("long")  # noqa: E731
+    frac = lambda num, den: F.when(den > 0, F.least(num / den, F.lit(1.0))).otherwise(F.lit(0.0))  # noqa: E731
+    out = staged.select(
+        "doc",
+        n_lines.cast("long").alias("n_lines"),
+        line_stats.alias("_ls"),
+        g2.alias("_g2"),
+        g5.alias("_g5"),
+        line_chars.alias("_line_chars"),
+        n_chars.alias("_n_chars"),
+    )
+    return out.select(
+        "doc",
+        "n_lines",
+        m(frac(F.col("_ls.extra_count"), F.col("n_lines"))).alias(
+            "dup_line_frac_micro"
+        ),
+        m(frac(F.col("_ls.extra_chars"), F.col("_line_chars"))).alias(
+            "dup_line_char_frac_micro"
+        ),
+        m(frac(F.col("_g2.top_cover"), F.col("_n_chars"))).alias(
+            "top_2gram_char_frac_micro"
+        ),
+        m(frac(F.col("_g5.dup_cover"), F.col("_n_chars"))).alias(
+            "dup_5gram_char_frac_micro"
+        ),
+    )
+
+
+def gopher_quality(
+    docs: DataFrame,
+    key: str,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop: int = 2,
+) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021 A1.1) as per-doc
+    signals + the composite pass flag:
+
+      n_words in [min_words, max_words]; mean word length in [3, 10];
+      symbol-to-word ratio ('#' or '...') <= 0.1; <= 90% of lines start
+      with a bullet; <= 30% end with an ellipsis; >= 80% of words contain
+      an alphabetic character; >= ``min_stop`` distinct Gopher stopwords
+      present (the paper uses 2; corpora whose vocabulary carries fewer
+      function words parameterize it down rather than silently passing
+      nothing).
+
+    Columns: doc, n_words, mean_word_len_micro, symbol_ratio_micro,
+    bullet_line_frac_micro, ellipsis_line_frac_micro,
+    alpha_word_frac_micro, n_stop_hits, passes (int 0/1).
+    """
+    staged = _with_tokens(docs, key, text_col).withColumn(
+        "lines", _lines_col("text")
+    )
+    toks = F.col("toks")
+    text = F.col("text")
+    lines = F.col("lines")
+    n_words = F.size(toks)
+    token_chars = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    mean_wl = F.when(n_words > 0, token_chars / n_words).otherwise(F.lit(0.0))
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ellipsis = F.size(F.split(text, r"\.\.\.")) - 1
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis) / n_words
+    ).otherwise(F.lit(0.0))
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).startswith("- ")
+            | F.trim(l).startswith("* ")
+            | F.trim(l).startswith("•"),
+        )
+    )
+    ellipsis_end = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.filter(stop_arr, lambda w: F.array_contains(toks, w))
+    )
+    frac = lambda num, den: F.when(den > 0, num / den).otherwise(F.lit(0.0))  # noqa: E731
+    m = lambda c: F.round(c * 1_000_000).cast("long")  # noqa: E731
+    bullet_frac = frac(bullet, n_lines)
+    ellipsis_frac = frac(ellipsis_end, n_lines)
+    alpha_frac = frac(alpha_words, n_words)
+    passes = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (n_stop >= min_stop)
+    )
+    return staged.select(
+        "doc",
+        n_words.cast("long").alias("n_words"),
+        m(mean_wl).alias("mean_word_len_micro"),
+        m(symbol_ratio).alias("symbol_ratio_micro"),
+        m(bullet_frac).alias("bullet_line_frac_micro"),
+        m(ellipsis_frac).alias("ellipsis_line_frac_micro"),
+        m(alpha_frac).alias("alpha_word_frac_micro"),
+        n_stop.cast("long").alias("n_stop_hits"),
+        passes.cast("int").alias("passes"),
+    )

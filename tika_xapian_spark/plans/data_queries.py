@@ -589,6 +589,177 @@ SELECT doc_id, n_chars::BIGINT AS n_chars, n_tokens::BIGINT AS n_tokens,
 FROM feat ORDER BY doc_id"""
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition signals (Rae et al. 2021 Table A1): duplicate-line
+    fractions and n-gram character coverage — per-row linear folds over
+    sorted arrays, zero shuffle (operators/textstats.py)."""
+    return (
+        T.gopher_repetition(_docs(spark, sf_dir), key="doc_id")
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_lines",
+            "dup_line_frac_micro",
+            "dup_line_char_frac_micro",
+            "top_2gram_char_frac_micro",
+            "dup_5gram_char_frac_micro",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_GOPHER_REP = f"""
+WITH {_TOK_CTE.lstrip()},
+lns AS (
+  SELECT doc_id, l
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+  WHERE length(trim(l)) > 0
+),
+line_groups AS (
+  SELECT doc_id, l, count(*) AS cnt, length(l) AS len
+  FROM lns GROUP BY doc_id, l
+),
+line_stats AS (
+  SELECT doc_id,
+         sum(cnt)::BIGINT AS n_lines,
+         sum(cnt - 1)::BIGINT AS extra_count,
+         sum((cnt - 1) * len)::BIGINT AS extra_chars,
+         sum(cnt * len)::BIGINT AS line_chars
+  FROM line_groups GROUP BY doc_id
+),
+g2 AS (
+  SELECT doc_id, term || ' ' || lead(term) OVER w AS gram
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+g2_stats AS (
+  SELECT doc_id, max(cnt * length(gram))::BIGINT AS top_cover
+  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g2
+        WHERE gram IS NOT NULL GROUP BY doc_id, gram)
+  GROUP BY doc_id
+),
+g5 AS (
+  SELECT doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+              || ' ' || lead(term, 3) OVER w || ' ' || lead(term, 4) OVER w
+           AS gram
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+g5_stats AS (
+  SELECT doc_id, sum(cnt * length(gram)) FILTER (WHERE cnt > 1)::BIGINT
+           AS dup_cover
+  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g5
+        WHERE gram IS NOT NULL GROUP BY doc_id, gram)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(ls.n_lines, 0)::BIGINT AS n_lines,
+       CAST(round(CASE WHEN coalesce(ls.n_lines, 0) > 0
+            THEN least(ls.extra_count::DOUBLE / ls.n_lines, 1.0) ELSE 0 END
+            * 1000000) AS BIGINT) AS dup_line_frac_micro,
+       CAST(round(CASE WHEN coalesce(ls.line_chars, 0) > 0
+            THEN least(ls.extra_chars::DOUBLE / ls.line_chars, 1.0) ELSE 0 END
+            * 1000000) AS BIGINT) AS dup_line_char_frac_micro,
+       CAST(round(CASE WHEN length(d.text) > 0
+            THEN least(coalesce(g2_stats.top_cover, 0)::DOUBLE
+                       / length(d.text), 1.0) ELSE 0 END
+            * 1000000) AS BIGINT) AS top_2gram_char_frac_micro,
+       CAST(round(CASE WHEN length(d.text) > 0
+            THEN least(coalesce(g5_stats.dup_cover, 0)::DOUBLE
+                       / length(d.text), 1.0) ELSE 0 END
+            * 1000000) AS BIGINT) AS dup_5gram_char_frac_micro
+FROM documents d
+LEFT JOIN line_stats ls ON ls.doc_id = d.doc_id
+LEFT JOIN g2_stats ON g2_stats.doc_id = d.doc_id
+LEFT JOIN g5_stats ON g5_stats.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher quality-filter rules (word-count band, mean word length,
+    symbol ratio, bullet/ellipsis line fractions, alpha-word fraction,
+    stopword floor) + the composite pass flag."""
+    return (
+        # min_stop=1: the synthetic vocabulary carries exactly one Gopher
+        # stopword ('the'), so the paper's >=2 floor would zero the flag
+        # corpus-wide; the parameterized floor keeps the composite rule
+        # discriminating here while the default stays Gopher's 2
+        T.gopher_quality(_docs(spark, sf_dir), key="doc_id", min_stop=1)
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_words",
+            "mean_word_len_micro",
+            "symbol_ratio_micro",
+            "bullet_line_frac_micro",
+            "ellipsis_line_frac_micro",
+            "alpha_word_frac_micro",
+            "n_stop_hits",
+            "passes",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _gopher_quality_oracle(
+    min_words: int = 50, max_words: int = 100_000, min_stop: int = 1
+) -> str:
+    stops = ", ".join(f"'{w}'" for w in T.GOPHER_STOPWORDS)
+    return f"""
+WITH {_TOK_CTE.lstrip()},
+lns AS (
+  SELECT doc_id, l
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+  WHERE length(trim(l)) > 0
+),
+line_agg AS (
+  SELECT doc_id, count(*) AS n_lines,
+         count(*) FILTER (WHERE trim(l) LIKE '- %' OR trim(l) LIKE '* %'
+                             OR trim(l) LIKE '•%') AS bullets,
+         count(*) FILTER (WHERE rtrim(l) LIKE '%...') AS ellipsis_ends
+  FROM lns GROUP BY doc_id
+),
+tok_agg AS (
+  SELECT d.doc_id,
+         count(tok.term) AS n_words,
+         coalesce(sum(length(tok.term)), 0) AS token_chars,
+         count(*) FILTER (WHERE regexp_matches(tok.term, '[a-z]')) AS alpha_words,
+         count(DISTINCT tok.term) FILTER (WHERE tok.term IN ({stops}))
+           AS n_stop,
+         length(d.text) - length(replace(d.text, '#', '')) AS n_hash,
+         len(string_split(d.text, '...')) - 1 AS n_ellipsis
+  FROM documents d LEFT JOIN tok ON tok.doc_id = d.doc_id
+  GROUP BY d.doc_id, d.text
+),
+feat AS (
+  SELECT t.doc_id, t.n_words, t.n_stop,
+         CASE WHEN t.n_words > 0 THEN t.token_chars::DOUBLE / t.n_words
+              ELSE 0 END AS mean_wl,
+         CASE WHEN t.n_words > 0
+              THEN (t.n_hash + t.n_ellipsis)::DOUBLE / t.n_words
+              ELSE 0 END AS symbol_ratio,
+         CASE WHEN coalesce(l.n_lines, 0) > 0
+              THEN l.bullets::DOUBLE / l.n_lines ELSE 0 END AS bullet_frac,
+         CASE WHEN coalesce(l.n_lines, 0) > 0
+              THEN l.ellipsis_ends::DOUBLE / l.n_lines ELSE 0 END
+           AS ellipsis_frac,
+         CASE WHEN t.n_words > 0 THEN t.alpha_words::DOUBLE / t.n_words
+              ELSE 0 END AS alpha_frac
+  FROM tok_agg t LEFT JOIN line_agg l ON l.doc_id = t.doc_id
+)
+SELECT doc_id, n_words::BIGINT AS n_words,
+       CAST(round(mean_wl * 1000000) AS BIGINT) AS mean_word_len_micro,
+       CAST(round(symbol_ratio * 1000000) AS BIGINT) AS symbol_ratio_micro,
+       CAST(round(bullet_frac * 1000000) AS BIGINT) AS bullet_line_frac_micro,
+       CAST(round(ellipsis_frac * 1000000) AS BIGINT)
+         AS ellipsis_line_frac_micro,
+       CAST(round(alpha_frac * 1000000) AS BIGINT) AS alpha_word_frac_micro,
+       n_stop::BIGINT AS n_stop_hits,
+       CAST((n_words >= {min_words} AND n_words <= {max_words}
+         AND mean_wl >= 3.0 AND mean_wl <= 10.0
+         AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+         AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+         AND n_stop >= {min_stop}) AS INT) AS passes
+FROM feat ORDER BY doc_id"""
+
+
 CURATE_QUALITY_MIN = 450_000
 CURATE_JACCARD_MIN = 500_000
 
@@ -1007,6 +1178,8 @@ DATA_QUERIES = {
     "embedding_top_pairs": q_embedding_top_pairs,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
+    "gopher_repetition": q_gopher_repetition,
+    "gopher_quality": q_gopher_quality,
     "curate_corpus": q_curate_corpus,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1035,6 +1208,8 @@ def data_oracle_sqls() -> dict[str, str]:
         "embedding_top_pairs": ORACLE_EMB_PAIRS,
         "text_langid": _langid_oracle(),
         "text_quality": _quality_oracle(),
+        "gopher_repetition": ORACLE_GOPHER_REP,
+        "gopher_quality": _gopher_quality_oracle(),
         "curate_corpus": _curate_oracle(),
         "token_count": ORACLE_TOKEN_COUNT,
         "doc_fingerprint": ORACLE_FINGERPRINT,
