@@ -390,6 +390,24 @@ class TestCorpusHygiene:
         assert set(got) == set(range(20))
         assert got[0] > got[5]  # probe doc matches its own unique shingles
 
+    def test_gopher_ops_zero_shuffle(self, spark):
+        """The Gopher repetition/quality passes are per-row folds — at
+        10^12 rows they must stay embarrassingly parallel map stages: no
+        Exchange, no Python evaluation anywhere in the plan."""
+        from tika_xapian_spark.operators import textstats as T
+
+        docs = spark.createDataFrame(
+            [(i, f"line a\nline b w{i}") for i in range(20)],
+            "doc_id long, text string",
+        )
+        for df in (
+            T.gopher_repetition(docs, key="doc_id"),
+            T.gopher_quality(docs, key="doc_id"),
+        ):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan
+            assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
     def test_boilerplate_profile(self, spark):
         rows = [(i, "nav home about " + f"unique{i} body text") for i in range(10)]
         rows += [(100 + i, f"solo{i} words only here") for i in range(10)]

@@ -102,3 +102,46 @@ class TestQualityRules:
     def test_min_stop_parameter(self, crafted):
         strict = self.feats(crafted, min_words=10, min_stop=5)[5]
         assert strict["passes"] == 0  # only 3 distinct stopwords present
+
+
+class TestDupRunStatsProperty:
+    """_dup_run_stats (the sorted-adjacent fold) vs a plain-Python
+    reference over randomized string arrays — hypothesis-style coverage via
+    seeded batches (one Spark action for the whole batch)."""
+
+    def reference(self, arr):
+        from collections import Counter
+
+        c = Counter(arr)
+        extra_chars = sum((n - 1) * len(v) for v, n in c.items())
+        extra_count = sum(n - 1 for n in c.values())
+        top_cover = max((n * len(v) for v, n in c.items()), default=0)
+        dup_cover = sum(n * len(v) for v, n in c.items() if n > 1)
+        return (extra_chars, extra_count, top_cover, dup_cover)
+
+    def test_matches_reference_on_random_arrays(self, spark):
+        import random
+
+        from tika_xapian_spark.operators.textstats import _dup_run_stats
+
+        rng = random.Random(7)
+        words = ["a", "bb", "ccc", "dddd", "ee", "f"]
+        cases = [[]] + [
+            [rng.choice(words) for _ in range(rng.randint(1, 12))]
+            for _ in range(60)
+        ]
+        df = spark.createDataFrame(
+            [(i, arr) for i, arr in enumerate(cases)],
+            "id long, arr array<string>",
+        )
+        got = {
+            r["id"]: (
+                r["s"]["extra_chars"],
+                r["s"]["extra_count"],
+                r["s"]["top_cover"],
+                r["s"]["dup_cover"],
+            )
+            for r in df.select("id", _dup_run_stats(F.col("arr")).alias("s")).collect()
+        }
+        for i, arr in enumerate(cases):
+            assert got[i] == self.reference(arr), (i, arr, got[i])
