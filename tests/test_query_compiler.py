@@ -540,3 +540,37 @@ class TestPrefixedGroup:
             get_description(n)
             == "Query(((ZSspark@1 OR ZSmerg@1) AND Zjoin@1))"
         )
+
+
+class TestSignedGroups:
+    """Love/hate over parenthesized subqueries: +(...) AND-requires the
+    group (AND_MAYBE fold, like +word), -(...) AND_NOTs it."""
+
+    def test_hate_group(self):
+        n = compile_query("a -(b OR c)", partial=False)
+        assert get_description(n) == "Query((Za@1 AND_NOT (Zb@1 OR Zc@1)))"
+
+    def test_love_group(self):
+        n = compile_query("+(a b) c", partial=False)
+        assert get_description(n) == "Query(((Za@1 OR Zb@1) AND_MAYBE Zc@1))"
+
+    def test_love_group_alone(self):
+        n = compile_query("+(a AND b)", partial=False)
+        assert get_description(n) == "Query((Za@1 AND Zb@1))"
+
+    def test_hate_group_alone_is_pure_not_shape(self):
+        n = compile_query("-(a b)", partial=False)
+        assert get_description(n) == "Query(( AND_NOT (Za@1 OR Zb@1)))"
+
+    def test_signed_prefixed_group(self):
+        n = compile_query("spark -title:(draft old)", partial=False)
+        assert (
+            get_description(n)
+            == "Query((Zspark@1 AND_NOT (ZSdraft@1 OR ZSold@1)))"
+        )
+
+    def test_hate_group_e2e(self, sindex):
+        # CORPUS: doc2 "spark spark merge", doc4 "merge join spark ...";
+        # spark docs minus any matching (merge OR slow) leaves doc 1
+        got = {r["doc"] for r in search(sindex, "spark -(merge OR slow)", partial=False).collect()}
+        assert got == {1}

@@ -339,25 +339,31 @@ _PREFIXED_GROUP = re.compile(r"(\w+):$")
 
 
 def _split_grouped(s: str) -> list[tuple[str, object]]:
-    """Depth-0 segmentation of a balanced-paren query: ("text", t) runs,
-    ("group", inner) parenthesized subexpressions (lemony's ``( expr )``
-    grouping rule), and ("pgroup", (prefix, inner)) for prefixed
+    """Depth-0 segmentation of a balanced-paren query: ("text", t) runs and
+    ("group", (sign, prefix, inner)) parenthesized subexpressions (lemony's
+    ``( expr )`` grouping rule). ``prefix`` is set for prefixed
     subexpressions like ``title:(fast NEAR food)`` (queryparser.lemony:1120
-    — the field prefix distributes over every term of the group)."""
+    — the field prefix distributes over every term of the group); ``sign``
+    is '+'/'-' for love/hate-marked groups (``+(a b)``, ``-(x OR y)`` —
+    the lemony hated_expr/stop_prob rules applied to a subquery)."""
     items: list[tuple[str, object]] = []
     depth = 0
     start = 0
     gstart = 0
+    gsign: str | None = None
     gprefix: str | None = None
     for i, ch in enumerate(s):
         if ch == "(":
             if depth == 0:
                 text = s[start:i]
+                gsign = gprefix = None
                 m = _PREFIXED_GROUP.search(text)
-                gprefix = None
                 if m and m.group(1).lower() in FIELD_PREFIXES:
                     gprefix = FIELD_PREFIXES[m.group(1).lower()]
                     text = text[: m.start()]
+                if text and text[-1] in "+-":
+                    gsign = text[-1]
+                    text = text[:-1]
                 if text:
                     items.append(("text", text))
                 gstart = i + 1
@@ -365,11 +371,7 @@ def _split_grouped(s: str) -> list[tuple[str, object]]:
         elif ch == ")":
             depth -= 1
             if depth == 0:
-                inner = s[gstart:i]
-                if gprefix is not None:
-                    items.append(("pgroup", (gprefix, inner)))
-                else:
-                    items.append(("group", inner))
+                items.append(("group", (gsign, gprefix, s[gstart:i])))
                 start = i + 1
     if start < len(s):
         items.append(("text", s[start:]))
@@ -443,19 +445,24 @@ def compile_query(
 def _compile_grouped(qstr: str, partial: bool) -> Node:
     """Left-associative fold over depth-0 operands (text chunks and
     recursively-compiled groups)."""
-    stream: list[tuple[str, str | Node]] = []
+    stream: list[tuple[str, object]] = []
+    loves: list[Node] = []
+    hates: list[Node] = []
     for kind, payload in _split_grouped(qstr):
-        if kind in ("group", "pgroup"):
-            if kind == "pgroup":
-                prefix, inner = payload
-                sub = _apply_prefix(
-                    compile_query(inner, partial, _streaming_tail=False),
-                    prefix,
-                )
-            else:
-                sub = compile_query(payload, partial, _streaming_tail=False)
-            if not isinstance(sub, Empty):
-                stream.append(("node", sub))
+        if kind == "group":
+            sign, prefix, inner = payload
+            sub = compile_query(inner, partial, _streaming_tail=False)
+            if prefix is not None:
+                sub = _apply_prefix(sub, prefix)
+            if isinstance(sub, Empty):
+                continue
+            if sign == "+":
+                loves.append(sub)  # folded like _chunk_to_node's love bucket
+                continue
+            if sign == "-":
+                hates.append(sub)
+                continue
+            stream.append(("node", sub))
             continue
         parts = _OP_PATTERN.split(payload)
         for j, p in enumerate(parts):
@@ -498,6 +505,20 @@ def _compile_grouped(qstr: str, partial: bool) -> Node:
         else:
             node = _apply_op(pending, node, operand, rhs_text)
         pending = None
+    # love/hate groups fold exactly like _chunk_to_node's +/- buckets:
+    # required terms AND-fold then AND_MAYBE the rest; hates AND_NOT last
+    if loves:
+        required: Node | None = None
+        for n in loves:
+            required = n if required is None else Bool("AND", required, n)
+        node = Bool("AND_MAYBE", required, node) if node is not None else required
+    if node is None and hates:
+        node = Empty()
+    if hates:
+        hate: Node | None = None
+        for n in hates:
+            hate = n if hate is None else Bool("OR", hate, n)
+        node = Bool("AND_NOT", node, hate)
     return node if node is not None else Empty()
 
 
