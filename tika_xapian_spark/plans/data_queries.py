@@ -609,14 +609,14 @@ def q_gopher_repetition(spark, sf_dir):
 
 ORACLE_GOPHER_REP = f"""
 WITH {_TOK_CTE.lstrip()},
-lns AS (
+rep_lns AS (
   SELECT doc_id, l
   FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
   WHERE length(trim(l)) > 0
 ),
 line_groups AS (
   SELECT doc_id, l, count(*) AS cnt, length(l) AS len
-  FROM lns GROUP BY doc_id, l
+  FROM rep_lns GROUP BY doc_id, l
 ),
 line_stats AS (
   SELECT doc_id,
@@ -704,7 +704,7 @@ def _gopher_quality_oracle(
     stops = ", ".join(f"'{w}'" for w in T.GOPHER_STOPWORDS)
     return f"""
 WITH {_TOK_CTE.lstrip()},
-lns AS (
+gq_lns AS (
   SELECT doc_id, l
   FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
   WHERE length(trim(l)) > 0
@@ -714,7 +714,7 @@ line_agg AS (
          count(*) FILTER (WHERE trim(l) LIKE '- %' OR trim(l) LIKE '* %'
                              OR trim(l) LIKE '•%') AS bullets,
          count(*) FILTER (WHERE rtrim(l) LIKE '%...') AS ellipsis_ends
-  FROM lns GROUP BY doc_id
+  FROM gq_lns GROUP BY doc_id
 ),
 tok_agg AS (
   SELECT d.doc_id,
@@ -728,7 +728,7 @@ tok_agg AS (
   FROM documents d LEFT JOIN tok ON tok.doc_id = d.doc_id
   GROUP BY d.doc_id, d.text
 ),
-feat AS (
+gq_feat AS (
   SELECT t.doc_id, t.n_words, t.n_stop,
          CASE WHEN t.n_words > 0 THEN t.token_chars::DOUBLE / t.n_words
               ELSE 0 END AS mean_wl,
@@ -757,7 +757,7 @@ SELECT doc_id, n_words::BIGINT AS n_words,
          AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
          AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
          AND n_stop >= {min_stop}) AS INT) AS passes
-FROM feat ORDER BY doc_id"""
+FROM gq_feat ORDER BY doc_id"""
 
 
 CURATE_QUALITY_MIN = 450_000
@@ -976,6 +976,102 @@ WHERE l.predicted_lang = 'en'
 ORDER BY d.doc_id"""
 
 
+CURATE_TOP2_MAX = 250_000  # drop docs whose top 2-gram covers > 25% of chars
+
+
+def q_curate_corpus_gopher(spark, sf_dir):
+    """Curation v2 — the Gopher-gated composition: language filter (en) ->
+    Gopher quality-rule pass -> repetition cap (top-2-gram char coverage
+    <= 25%) -> exact-dup canonical only -> near-dup removal. Same
+    single-source-of-truth property as curate_corpus: every stage is an
+    oracle-checked operator and the composed oracle splices the standalone
+    stage oracles' own CTE text."""
+    docs = _docs(spark, sf_dir)
+    lang = T.lang_id(docs, key="doc_id").select(
+        F.col("doc").alias("doc_id"), "predicted_lang"
+    )
+    gq = T.gopher_quality(docs, key="doc_id", min_stop=1).select(
+        F.col("doc").alias("doc_id"), "passes"
+    )
+    rep = T.gopher_repetition(docs, key="doc_id").select(
+        F.col("doc").alias("doc_id"), "top_2gram_char_frac_micro"
+    )
+    exact = D.exact_duplicates(docs, key="doc_id").select(
+        F.col("doc").alias("doc_id"), "canonical_id"
+    )
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    nd_drop = (
+        pairs.filter(F.col("jaccard_micro") >= CURATE_JACCARD_MIN)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.select("doc_id")
+        .join(lang, "doc_id")
+        .filter(F.col("predicted_lang") == "en")
+        .join(gq, "doc_id")
+        .filter(F.col("passes") == 1)
+        .join(rep, "doc_id")
+        .filter(F.col("top_2gram_char_frac_micro") <= CURATE_TOP2_MAX)
+        .join(exact, "doc_id")
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .join(nd_drop, "doc_id", "left_anti")
+        .select("doc_id", "top_2gram_char_frac_micro")
+        .orderBy("doc_id")
+    )
+
+
+def _curate_gopher_oracle(
+    top2_max: int = CURATE_TOP2_MAX, j_thresh: int = CURATE_JACCARD_MIN
+) -> str:
+    """Spliced from the standalone langid / gopher_quality /
+    gopher_repetition / minhash-pairs oracle texts (same machinery as
+    _curate_oracle)."""
+    tokc = _TOK_CTE.strip()
+
+    def split_parts(sql: str, select_marker: str):
+        rest = sql.split(tokc, 1)[1].lstrip(",\n")
+        ctes, sel = rest.rsplit(select_marker, 1)
+        sel = (select_marker.lstrip("\n") + sel).rsplit("ORDER BY", 1)[0]
+        return ctes.rstrip().rstrip(","), sel
+
+    lang_ctes, lang_sel = split_parts(_langid_oracle(), "\nSELECT doc_id,")
+    gq_ctes, gq_sel = split_parts(_gopher_quality_oracle(), "\nSELECT doc_id,")
+    rep_ctes, rep_sel = split_parts(ORACLE_GOPHER_REP, "\nSELECT d.doc_id,")
+    mh_ctes, mh_sel = split_parts(ORACLE_MINHASH_PAIRS, "\nSELECT c.doc_a,")
+    return f"""
+WITH {_TOK_CTE.lstrip()},
+{lang_ctes},
+lang AS ({lang_sel}),
+{gq_ctes},
+gq AS ({gq_sel}),
+{rep_ctes},
+rep AS ({rep_sel}),
+exact_h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+exact_g AS (
+  SELECT content_hash, min(doc_id) AS canonical_id
+  FROM exact_h GROUP BY content_hash
+),
+{mh_ctes},
+jac AS ({mh_sel}),
+nd_drop AS (
+  SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard_micro >= {j_thresh}
+)
+SELECT d.doc_id, r.top_2gram_char_frac_micro
+FROM documents d
+JOIN lang l ON l.doc_id = d.doc_id
+JOIN gq ON gq.doc_id = d.doc_id
+JOIN rep r ON r.doc_id = d.doc_id
+JOIN exact_h h ON h.doc_id = d.doc_id
+JOIN exact_g g ON g.content_hash = h.content_hash
+WHERE l.predicted_lang = 'en'
+  AND gq.passes = 1
+  AND r.top_2gram_char_frac_micro <= {top2_max}
+  AND g.canonical_id = d.doc_id
+  AND d.doc_id NOT IN (SELECT doc_id FROM nd_drop)
+ORDER BY d.doc_id"""
+
+
 def q_token_count(spark, sf_dir):
     return (
         T.token_counts(_docs(spark, sf_dir), key="doc_id")
@@ -1181,6 +1277,7 @@ DATA_QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "gopher_quality": q_gopher_quality,
     "curate_corpus": q_curate_corpus,
+    "curate_corpus_gopher": q_curate_corpus_gopher,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
@@ -1211,6 +1308,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "gopher_repetition": ORACLE_GOPHER_REP,
         "gopher_quality": _gopher_quality_oracle(),
         "curate_corpus": _curate_oracle(),
+        "curate_corpus_gopher": _curate_gopher_oracle(),
         "token_count": ORACLE_TOKEN_COUNT,
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "multimodal_meta": ORACLE_MM_META,
