@@ -1,0 +1,127 @@
+"""URL canonicalization + host profiling goldens: the normalization rules
+are pinned pair-by-pair (no oracle view carries URLs, so this suite is the
+gate, tokenizer-style), and the dedup/profile operators are checked on a
+crafted crawl slice."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tika_xapian_spark.operators import weburl as W
+
+
+CANON_CASES = [
+    # scheme/host case + www + default port
+    ("HTTP://WWW.Example.COM:80/Path", "http://example.com/Path"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("https://example.com:8443/a", "https://example.com:8443/a"),
+    # fragment dropped
+    ("https://example.com/a#section-2", "https://example.com/a"),
+    # tracking params dropped, rest sorted
+    (
+        "https://example.com/a?z=1&utm_source=tw&a=2&fbclid=xyz",
+        "https://example.com/a?a=2&z=1",
+    ),
+    ("https://example.com/a?utm_campaign=x", "https://example.com/a"),
+    # trailing slash (non-root) stripped; root kept
+    ("https://example.com/dir/", "https://example.com/dir"),
+    ("https://example.com/", "https://example.com/"),
+    ("https://example.com", "https://example.com/"),
+    # userinfo ignored for host; param order irrelevant
+    ("https://user@example.com/x?b=2&a=1", "https://example.com/x?a=1&b=2"),
+    # schemeless passes through untouched
+    ("not a url", "not a url"),
+]
+
+
+class TestCanonicalUrl:
+    def test_golden_pairs(self, spark):
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _) in enumerate(CANON_CASES)], "id long, url string"
+        )
+        got = {
+            r["id"]: r["c"]
+            for r in df.select("id", W.canonical_url("url").alias("c")).collect()
+        }
+        for i, (u, want) in enumerate(CANON_CASES):
+            assert got[i] == want, (u, got[i], want)
+
+    def test_host_of(self, spark):
+        df = spark.createDataFrame(
+            [(1, "HTTPS://WWW.Sub.Example.com:8080/x?q=1")], "id long, url string"
+        )
+        assert df.select(W.host_of("url").alias("h")).collect()[0]["h"] == "sub.example.com"
+
+    def test_canonical_is_idempotent(self, spark):
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _) in enumerate(CANON_CASES)], "id long, url string"
+        )
+        once = df.select("id", W.canonical_url("url").alias("c"))
+        twice = once.select("id", W.canonical_url("c").alias("c2"), "c")
+        for r in twice.collect():
+            assert r["c2"] == r["c"]
+
+
+class TestUrlDuplicates:
+    @pytest.fixture(scope="class")
+    def crawl(self, spark):
+        rows = [
+            (1, "https://example.com/a?utm_source=x", 100),
+            (2, "https://example.com/a", 50),
+            (3, "HTTP://WWW.other.com:80/b#frag", 10),
+            (4, "http://other.com/b", 20),
+            (5, "https://unique.com/c", 5),
+        ]
+        return spark.createDataFrame(rows, "doc long, url string, ts long")
+
+    def test_groups_and_canonical_pick(self, crawl):
+        out = {r["url"]: r for r in W.url_duplicates(crawl, "url").collect()}
+        assert out["https://example.com/a"]["group_size"] == 2
+        # lexicographically smallest original url wins without ts
+        assert (
+            out["https://example.com/a?utm_source=x"]["canonical_of_group"]
+            == "https://example.com/a"
+        )
+        assert out["HTTP://WWW.other.com:80/b#frag"]["group_size"] == 2
+        assert out["https://unique.com/c"]["group_size"] == 1
+
+    def test_earliest_ts_wins_when_given(self, crawl):
+        out = {
+            r["url"]: r
+            for r in W.url_duplicates(crawl, "url", ts_col="ts").collect()
+        }
+        # other.com group: ts 10 row is the HTTP://WWW... one -> it wins
+        assert (
+            out["http://other.com/b"]["canonical_of_group"]
+            == "HTTP://WWW.other.com:80/b#frag"
+        )
+
+    def test_no_cartesian(self, crawl):
+        plan = (
+            W.url_duplicates(crawl, "url")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+
+
+class TestHostProfile:
+    def test_shares_and_skew_flag(self, spark):
+        rows = [(i, f"https://big.com/p{i}") for i in range(90)]
+        rows += [(100 + i, f"https://small{i}.org/x") for i in range(10)]
+        pages = spark.createDataFrame(rows, "doc long, url string")
+        out = {r["host"]: r for r in W.host_profile(pages, "url").collect()}
+        assert out["big.com"]["n_pages"] == 90
+        assert out["big.com"]["share_micro"] == 900000
+        assert out["big.com"]["skewed"] == 1
+        assert out["small0.org"]["share_micro"] == 10000
+        assert out["small0.org"]["skewed"] == 0
+
+    def test_zero_construction_jobs(self, spark):
+        pages = spark.createDataFrame(
+            [(1, "https://a.com/x")], "doc long, url string"
+        )
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None))
+        W.host_profile(pages, "url")
+        assert len(tracker.getJobIdsForGroup(None)) == before

@@ -1,0 +1,138 @@
+"""URL canonicalization and host-level profiling for web-crawl pipelines.
+
+The first dedup any crawl corpus runs is BY URL (the same page fetched
+twice, tracking params, fragment anchors), and the first partitioning
+decision is BY HOST (a handful of giant hosts skew every shuffle keyed on
+url/host — the reference's Common-Crawl-style input calls this out
+explicitly). Both are pure JVM column algebra here: regexp/split/array
+builtins, zero Python, zero shuffle for the canonical form itself.
+
+Canonical form (documented, deterministic):
+  - scheme and host lowercased; ``www.`` prefix dropped
+  - default ports stripped (``:80`` for http, ``:443`` for https)
+  - fragment (``#...``) dropped
+  - tracking params dropped (``utm_*``, ``fbclid``, ``gclid``, ``ref``)
+  - remaining query params sorted byte-wise (param order never changes
+    content); empty query dropped
+  - trailing slash stripped from non-root paths
+
+At 10^12 pages: url_duplicates is one hash-groupBy shuffle on the
+canonical string (same shape as exact text dedup); host_profile is one
+groupBy(host) with map-side combine, and its output IS the salting input —
+hosts whose share exceeds the skew threshold are the keys a url-keyed job
+should salt (or hand to AQE skew-join handling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "ref")
+
+
+def host_of(url: str | Column) -> Column:
+    """Lowercased host (authority minus userinfo/port), ``www.`` stripped."""
+    c = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def canonical_url(url: str | Column) -> Column:
+    """Deterministic canonical form (see module doc). Unparseable strings
+    (no scheme) pass through lowercased-scheme-less as-is."""
+    c = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = host_of(c)
+    port = F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/:?#]+:([0-9]+)", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    # strip trailing slash on non-root paths
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        path.substr(F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+    query = F.regexp_extract(c, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0)
+        & ~F.exists(
+            F.array(*[F.lit(t) for t in TRACKING_PARAMS]),
+            lambda t: p.startswith(t) | (p == t),
+        ),
+    )
+    sorted_q = F.concat_ws("&", F.array_sort(params))
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", c).otherwise(canon)
+
+
+def url_duplicates(
+    pages: DataFrame, url_col: str = "url", ts_col: str | None = None
+) -> DataFrame:
+    """(url, canonical_url, canonical_of_group, group_size): exact URL
+    dedup on the canonical form — one hash-groupBy shuffle, the url-level
+    sibling of dedup.exact_duplicates. The canonical row per group is the
+    lexicographically-smallest original url (or the earliest ``ts_col``
+    when given, ties by url) so re-crawls keep the first fetch."""
+    with_canon = pages.select(
+        F.col(url_col).alias("url"),
+        canonical_url(url_col).alias("canonical_url"),
+        *([F.col(ts_col).alias("_ts")] if ts_col else []),
+    )
+    pick = (
+        F.struct(F.col("_ts"), F.col("url")) if ts_col else F.struct(F.col("url"))
+    )
+    groups = with_canon.groupBy("canonical_url").agg(
+        F.min(pick).alias("_best"),
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+    ).select(
+        "canonical_url",
+        F.col("_best.url").alias("canonical_of_group"),
+        "group_size",
+    )
+    return (
+        with_canon.select("url", "canonical_url")
+        .join(groups, "canonical_url")
+        .select("url", "canonical_url", "canonical_of_group", "group_size")
+    )
+
+
+def host_profile(
+    pages: DataFrame, url_col: str = "url", skew_share: float = 0.01
+) -> DataFrame:
+    """(host, n_pages, share_micro, skewed): per-host page counts and
+    corpus share — the salting input for url/host-keyed shuffles. One
+    groupBy(host) with map-side combine; the total rides the plan as a
+    broadcast 1-row aggregate (no eager count)."""
+    hosts = pages.select(host_of(url_col).alias("host"))
+    total = F.broadcast(
+        hosts.agg(F.count(F.lit(1)).cast("double").alias("_total"))
+    )
+    return (
+        hosts.groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
+        .crossJoin(total)
+        .select(
+            "host",
+            "n_pages",
+            F.round(F.col("n_pages") / F.col("_total") * 1_000_000)
+            .cast("long")
+            .alias("share_micro"),
+            (F.col("n_pages") / F.col("_total") > F.lit(float(skew_share)))
+            .cast("int")
+            .alias("skewed"),
+        )
+        .orderBy(F.desc("n_pages"), "host")
+    )

@@ -1072,6 +1072,94 @@ WHERE l.predicted_lang = 'en'
 ORDER BY d.doc_id"""
 
 
+# --------------------------------------------------------------- web URLs
+# documents carries no URL column, so the driver queries synthesize one
+# DETERMINISTICALLY from (source, doc_id) — messy in exactly the ways real
+# crawl URLs are (www + default port + trailing slash + tracking params +
+# fragments) — and the oracle derives the expected canonical form
+# STRUCTURALLY from the same (source, doc_id), independent of the
+# engine's regex implementation; a normalization bug cannot cancel out.
+
+def _synth_urls(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("HTTPS://www."),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/dir/p"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("?utm_source=x&b=2&a=1")
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+_URL_SYNTH_SQL = """
+urls AS (
+  SELECT doc_id,
+         'HTTPS://www.' || source || '.example.com'
+         || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+         || '/dir/p' || (doc_id % 7)
+         || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1'
+                 WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END
+         || CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS url,
+         'https://' || source || '.example.com/dir/p' || (doc_id % 7)
+         || CASE WHEN doc_id % 3 IN (0, 1) THEN '?a=1&b=2' ELSE '' END
+           AS canonical_url
+  FROM documents
+)"""
+
+
+def q_url_dedup(spark, sf_dir):
+    """Exact URL dedup on the canonical form over synthesized crawl-messy
+    URLs (operators/weburl.py)."""
+    from ..operators import weburl as W
+
+    return (
+        W.url_duplicates(_synth_urls(spark, sf_dir), "url")
+        .orderBy("url", "canonical_url")
+    )
+
+
+ORACLE_URL_DEDUP = f"""
+WITH {_URL_SYNTH_SQL.strip()},
+groups AS (
+  SELECT canonical_url, min(url) AS canonical_of_group,
+         count(*)::BIGINT AS group_size
+  FROM urls GROUP BY canonical_url
+)
+SELECT u.url, u.canonical_url, g.canonical_of_group, g.group_size
+FROM urls u JOIN groups g USING (canonical_url)
+ORDER BY u.url, u.canonical_url"""
+
+
+def q_url_host_profile(spark, sf_dir):
+    """Per-host page counts / corpus share / skew flag over the same
+    synthesized URLs — the salting input for url-keyed shuffles."""
+    from ..operators import weburl as W
+
+    return W.host_profile(_synth_urls(spark, sf_dir), "url", skew_share=0.05)
+
+
+ORACLE_URL_HOSTS = f"""
+WITH {_URL_SYNTH_SQL.strip()},
+hosts AS (SELECT source || '.example.com' AS host FROM documents),
+tot AS (SELECT count(*)::DOUBLE AS n FROM hosts)
+SELECT host, count(*)::BIGINT AS n_pages,
+       CAST(round(count(*) * 1000000.0 / tot.n) AS BIGINT) AS share_micro,
+       CAST(count(*) / tot.n > 0.05 AS INT) AS skewed
+FROM hosts CROSS JOIN tot
+GROUP BY host, tot.n
+ORDER BY n_pages DESC, host"""
+
+
 def q_token_count(spark, sf_dir):
     return (
         T.token_counts(_docs(spark, sf_dir), key="doc_id")
@@ -1278,6 +1366,8 @@ DATA_QUERIES = {
     "gopher_quality": q_gopher_quality,
     "curate_corpus": q_curate_corpus,
     "curate_corpus_gopher": q_curate_corpus_gopher,
+    "url_dedup": q_url_dedup,
+    "url_host_profile": q_url_host_profile,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
@@ -1309,6 +1399,8 @@ def data_oracle_sqls() -> dict[str, str]:
         "gopher_quality": _gopher_quality_oracle(),
         "curate_corpus": _curate_oracle(),
         "curate_corpus_gopher": _curate_gopher_oracle(),
+        "url_dedup": ORACLE_URL_DEDUP,
+        "url_host_profile": ORACLE_URL_HOSTS,
         "token_count": ORACLE_TOKEN_COUNT,
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "multimodal_meta": ORACLE_MM_META,
