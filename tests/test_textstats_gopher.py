@@ -145,3 +145,55 @@ class TestDupRunStatsProperty:
         }
         for i, arr in enumerate(cases):
             assert got[i] == self.reference(arr), (i, arr, got[i])
+
+
+class TestSharedSubstringSpans:
+    """ExactSubstr relational form: spans must merge along diagonals and
+    split at gaps, with exact start offsets."""
+
+    @pytest.fixture(scope="class")
+    def pair_docs(self, spark):
+        shared = " ".join(f"s{i}" for i in range(12))  # 12-token run
+        rows = [
+            (1, "left padding words here " + shared + " tail one"),
+            (2, "other intro " + shared + " different ending words"),
+            # doc 3 shares the run but with a one-token mutation in the
+            # middle -> splits into two sub-runs of 6, both < width 8
+            (3, "x " + " ".join(
+                f"s{i}" if i != 6 else "MUT" for i in range(12))),
+            (4, "nothing in common at all zebra quux"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_span_offsets_and_length(self, pair_docs):
+        from tika_xapian_spark.operators.dedup import shared_substring_spans
+
+        out = shared_substring_spans(
+            pair_docs, key="doc_id", width=8
+        ).collect()
+        spans = {(r["doc_a"], r["doc_b"]): r for r in out}
+        s = spans[(1, 2)]
+        # doc1 tokens: [left,padding,words,here, s0..s11, tail,one] -> run
+        # starts at 4; doc2: [other,intro, s0..s11, ...] -> starts at 2
+        assert s["span_tokens"] == 12
+        assert s["start_a"] == 4 and s["start_b"] == 2
+        # mutated doc: both halves are 6 tokens < width -> no span reported
+        assert (1, 3) not in spans and (2, 3) not in spans
+        assert all(4 not in k for k in spans)
+
+    def test_gap_splits_with_narrow_width(self, pair_docs):
+        from tika_xapian_spark.operators.dedup import shared_substring_spans
+
+        out = shared_substring_spans(
+            pair_docs, key="doc_id", width=4
+        ).collect()
+        halves = sorted(
+            (
+                (r["start_a"], r["start_b"], r["span_tokens"])
+                for r in out
+                if {r["doc_a"], r["doc_b"]} == {1, 3}
+            )
+        )
+        # the mutation splits the run: s0..s5 (6 tokens) + s7..s11 (5
+        # tokens), two separate islands on the same diagonal
+        assert halves == [(4, 1, 6), (11, 8, 5)]

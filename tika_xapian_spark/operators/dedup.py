@@ -496,3 +496,95 @@ def boilerplate_shingles(
         .orderBy(F.desc("df"), F.asc("shingle"))
         .limit(limit)
     )
+
+
+# ----------------------------------------------- exact-substring spans
+# The ExactSubstr primitive of Lee et al. 2022 ("Deduplicating Training
+# Data Makes Language Models Better"): find long token spans SHARED
+# VERBATIM between documents (the signal minhash misses when a copied
+# paragraph hides inside an otherwise-different page). The reference
+# implementation builds a corpus suffix array; relationally the same spans
+# fall out of a window-gram inverted index + a gaps-and-islands merge:
+#
+#   1. hash every WIDTH-token window per position (map-side slice+md5 —
+#      one row per token position, no amplification beyond the stream);
+#   2. drop grams shared by more than max_gram_df docs (boilerplate — the
+#      same stop-shingle cap the minhash path applies, and exactly what
+#      keeps the candidate join from going quadratic on template text);
+#   3. equi-join positions on the gram hash (doc_a < doc_b): matches on a
+#      shared span of length S produce S - WIDTH + 1 hits along ONE
+#      diagonal (pos_b - pos_a constant);
+#   4. merge each diagonal's consecutive runs (pa - row_number constant —
+#      gaps-and-islands) into maximal spans: span_tokens = run + WIDTH - 1.
+#
+# Shuffles: gram-df cap (1), candidate equi-join (1), per-(pair, diagonal)
+# window + span groupBy (1) — all keyed, no cartesian anywhere.
+
+
+def window_gram_positions(
+    docs: DataFrame, key: str, text_col: str = "text", width: int = 10
+) -> DataFrame:
+    """(doc, pos, g): md5 of the WIDTH-token window starting at pos."""
+    toks = tokens_col(text_col)
+    grams = F.when(
+        F.size(toks) >= width,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - width),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(toks, i + 1, width))).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:bigint,g:string>>"))
+    return (
+        docs.select(F.col(key).alias("doc"), F.explode(grams).alias("e"))
+        .select("doc", F.col("e.pos").alias("pos"), F.col("e.g").alias("g"))
+    )
+
+
+def shared_substring_spans(
+    docs: DataFrame,
+    key: str,
+    text_col: str = "text",
+    width: int = 10,
+    min_tokens: int | None = None,
+    top: int = 50,
+    max_gram_df: int = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, start_a, start_b, span_tokens): maximal verbatim
+    token spans of >= min_tokens (default: width) shared between document
+    pairs, longest first (ties by ids then start)."""
+    from pyspark.sql import Window
+
+    if min_tokens is None:
+        min_tokens = width
+    g = window_gram_positions(docs, key, text_col, width)
+    rare = (
+        g.groupBy("g")
+        .agg(F.countDistinct("doc").alias("_df"))
+        .filter(F.col("_df") <= max_gram_df)
+        .select("g")
+    )
+    g = g.join(rare, "g", "left_semi")
+    a = g.select(F.col("doc").alias("doc_a"), F.col("pos").alias("pa"), "g")
+    b = g.select(F.col("doc").alias("doc_b"), F.col("pos").alias("pb"), "g")
+    hits = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb", (F.col("pb") - F.col("pa")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = hits.withColumn("_run", F.col("pa") - F.row_number().over(w))
+    spans = (
+        runs.groupBy("doc_a", "doc_b", "diag", "_run")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count(F.lit(1)) + width - 1).cast("long").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_tokens)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+    )
+    return spans.orderBy(
+        F.desc("span_tokens"), "doc_a", "doc_b", "start_a"
+    ).limit(top)

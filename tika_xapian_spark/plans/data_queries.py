@@ -1072,6 +1072,59 @@ WHERE l.predicted_lang = 'en'
 ORDER BY d.doc_id"""
 
 
+SUBSTR_WIDTH = 8
+
+
+def q_dedup_substring_spans(spark, sf_dir):
+    """ExactSubstr (Lee et al. 2022) relationally: maximal verbatim token
+    spans >= 8 tokens shared between doc pairs — window-gram inverted index
+    + gaps-and-islands diagonal merge (operators/dedup.py)."""
+    return D.shared_substring_spans(
+        _docs(spark, sf_dir), key="doc_id", width=SUBSTR_WIDTH, top=50
+    )
+
+
+ORACLE_SUBSTR_SPANS = f"""
+WITH {_TOK_CTE.lstrip()},
+toks AS (SELECT doc_id, list(term ORDER BY pos) AS ts FROM tok GROUP BY doc_id),
+gr AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(ts) - {SUBSTR_WIDTH} + 1, 0) + 1)) AS i,
+         ts
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(list_slice(ts, i, i + {SUBSTR_WIDTH} - 1), ' ')) AS g
+  FROM gr
+),
+rare AS (
+  SELECT g FROM (
+    SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g
+  ) WHERE df <= 1000
+),
+gp AS (SELECT grams.* FROM grams JOIN rare USING (g)),
+hits AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+         b.pos - a.pos AS diag
+  FROM gp a JOIN gp b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT *, pa - row_number() OVER (
+    PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS run
+  FROM hits
+),
+spans AS (
+  SELECT doc_a, doc_b, min(pa)::BIGINT AS start_a, min(pb)::BIGINT AS start_b,
+         (count(*) + {SUBSTR_WIDTH} - 1)::BIGINT AS span_tokens
+  FROM runs GROUP BY doc_a, doc_b, diag, run
+)
+SELECT doc_a, doc_b, start_a, start_b, span_tokens
+FROM spans WHERE span_tokens >= {SUBSTR_WIDTH}
+ORDER BY span_tokens DESC, doc_a, doc_b, start_a
+LIMIT 50"""
+
+
 # --------------------------------------------------------------- web URLs
 # documents carries no URL column, so the driver queries synthesize one
 # DETERMINISTICALLY from (source, doc_id) — messy in exactly the ways real
@@ -1368,6 +1421,7 @@ DATA_QUERIES = {
     "curate_corpus_gopher": q_curate_corpus_gopher,
     "url_dedup": q_url_dedup,
     "url_host_profile": q_url_host_profile,
+    "dedup_substring_spans": q_dedup_substring_spans,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
@@ -1401,6 +1455,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "curate_corpus_gopher": _curate_gopher_oracle(),
         "url_dedup": ORACLE_URL_DEDUP,
         "url_host_profile": ORACLE_URL_HOSTS,
+        "dedup_substring_spans": ORACLE_SUBSTR_SPANS,
         "token_count": ORACLE_TOKEN_COUNT,
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "multimodal_meta": ORACLE_MM_META,
