@@ -378,6 +378,72 @@ FROM supplier s LEFT JOIN per_supp p ON s.s_suppkey = p.l_suppkey
 ORDER BY suppkey"""
 
 
+def q_tpch_local_supplier_volume(spark, sf_dir):
+    """Q5-shape (local supplier volume): the canonical snowflake +
+    fact-fact plan — lineitem x orders (date-filtered) x supplier x
+    customer x nation x region with the classic local-supplier constraint
+    c_nationkey == s_nationkey; revenue per nation in one region. Every
+    dimension broadcasts; the only shuffle is the final groupBy(n_name)
+    after the map-side joins."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(
+            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue_cents"), "n_name")
+    )
+
+
+ORACLE_TPCH_LOCAL_SUPPLIER = """
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue_cents DESC, n.n_name"""
+
+
 REL_QUERIES = {
     "events_windowed": q_events_windowed,
     "events_stream_windowed": q_events_stream_windowed,
@@ -390,6 +456,7 @@ REL_QUERIES = {
     "tpch_region_revenue": q_tpch_region_revenue,
     "tpch_parts_per_supplier": q_tpch_parts_per_supplier,
     "tpch_shipping_priority": q_tpch_shipping_priority,
+    "tpch_local_supplier_volume": q_tpch_local_supplier_volume,
 }
 
 
@@ -406,4 +473,5 @@ def rel_oracle_sqls() -> dict[str, str]:
         "tpch_region_revenue": ORACLE_TPCH_REGION_REVENUE,
         "tpch_parts_per_supplier": ORACLE_TPCH_PARTS_PER_SUPPLIER,
         "tpch_shipping_priority": ORACLE_TPCH_SHIPPING,
+        "tpch_local_supplier_volume": ORACLE_TPCH_LOCAL_SUPPLIER,
     }
