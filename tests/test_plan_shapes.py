@@ -390,6 +390,20 @@ class TestCorpusHygiene:
         assert set(got) == set(range(20))
         assert got[0] > got[5]  # probe doc matches its own unique shingles
 
+    def test_substring_spans_keyed_joins_only(self, spark):
+        """ExactSubstr at 10^12 rows: the candidate generator must be an
+        equi-join on the gram hash — never a cartesian — and the span merge
+        a keyed window+groupBy."""
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{(i * 3 + j) % 9}" for j in range(15)))
+             for i in range(20)],
+            "doc_id long, text string",
+        )
+        df = D.shared_substring_spans(docs, key="doc_id", width=4)
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_gopher_ops_zero_shuffle(self, spark):
         """The Gopher repetition/quality passes are per-row folds — at
         10^12 rows they must stay embarrassingly parallel map stages: no
