@@ -381,3 +381,39 @@ def gopher_quality(
         n_stop.cast("long").alias("n_stop_hits"),
         passes.cast("int").alias("passes"),
     )
+
+
+def unigram_logppl(docs: DataFrame, key: str, text_col: str = "text") -> DataFrame:
+    """(doc, n_tokens, logppl_micro): per-doc mean bits-per-token under the
+    corpus's OWN unigram model — the CCNet/RedPajama perplexity-filter
+    signal with a fully transparent LM (no external model): documents whose
+    token distribution diverges from the corpus (gibberish, boilerplate,
+    wrong language) score high; formulaic text scores low.
+
+      logppl(d) = avg over tokens t of  log2(N_total) - log2(count(t))
+
+    Shuffle shape: one groupBy(token) for the unigram table, one
+    groupBy(doc) for the per-doc mean; the token-count join is an equi-join
+    on the term (broadcast at small vocab, AQE-handled at web vocab), and
+    the corpus total rides as a broadcast 1-row aggregate — no eager count,
+    no Python."""
+    occ = docs.select(
+        F.col(key).alias("doc"), F.explode(tokens_col(text_col)).alias("token")
+    )
+    total = F.broadcast(
+        occ.agg(F.count(F.lit(1)).cast("double").alias("_total"))
+    )
+    counts = occ.groupBy("token").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        occ.join(counts, "token")
+        .crossJoin(total)
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(F.log2(F.col("_total")) - F.log2(F.col("_c"))) * 1_000_000
+            )
+            .cast("long")
+            .alias("logppl_micro"),
+        )
+    )

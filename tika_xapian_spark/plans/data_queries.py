@@ -1072,6 +1072,29 @@ WHERE l.predicted_lang = 'en'
 ORDER BY d.doc_id"""
 
 
+def q_text_unigram_logppl(spark, sf_dir):
+    """CCNet-style perplexity signal with a transparent corpus-unigram LM:
+    per-doc mean bits-per-token (operators/textstats.py)."""
+    return (
+        T.unigram_logppl(_docs(spark, sf_dir), key="doc_id")
+        .select(F.col("doc").alias("doc_id"), "n_tokens", "logppl_micro")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_UNIGRAM_LOGPPL = f"""
+WITH {_TOK_CTE.lstrip()},
+tot AS (SELECT count(*)::DOUBLE AS n FROM tok),
+cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term)
+SELECT t.doc_id,
+       count(*)::BIGINT AS n_tokens,
+       CAST(round(avg(log2(tot.n) - log2(cnt.c)) * 1000000) AS BIGINT)
+         AS logppl_micro
+FROM tok t JOIN cnt USING (term) CROSS JOIN tot
+GROUP BY t.doc_id
+ORDER BY t.doc_id"""
+
+
 SUBSTR_WIDTH = 8
 
 
@@ -1422,6 +1445,7 @@ DATA_QUERIES = {
     "url_dedup": q_url_dedup,
     "url_host_profile": q_url_host_profile,
     "dedup_substring_spans": q_dedup_substring_spans,
+    "text_unigram_logppl": q_text_unigram_logppl,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
@@ -1456,6 +1480,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "url_dedup": ORACLE_URL_DEDUP,
         "url_host_profile": ORACLE_URL_HOSTS,
         "dedup_substring_spans": ORACLE_SUBSTR_SPANS,
+        "text_unigram_logppl": ORACLE_UNIGRAM_LOGPPL,
         "token_count": ORACLE_TOKEN_COUNT,
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "multimodal_meta": ORACLE_MM_META,
