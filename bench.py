@@ -131,7 +131,10 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "search_wildcard",
         "collapse_best_per_source",
         "dedup_minhash_pairs",
+        "dedup_substring_spans",  # ExactSubstr spans (round 5)
         "text_simhash",
+        "gopher_repetition",  # zero-shuffle per-row folds (round 5)
+        "url_dedup",  # canonicalize + hash-groupBy (round 5)
         "ann_cosine_topk",
         "ann_multiprobe_topk",  # written-index path: partition-pruned probe
         "spelling_suggest",  # persistent trigram table point lookup

@@ -524,8 +524,16 @@ def boilerplate_shingles(
 def window_gram_positions(
     docs: DataFrame, key: str, text_col: str = "text", width: int = 10
 ) -> DataFrame:
-    """(doc, pos, g): md5 of the WIDTH-token window starting at pos."""
-    toks = tokens_col(text_col)
+    """(doc, pos, g): md5 of the WIDTH-token window starting at pos.
+
+    The tokenize-split is STAGED in its own projection before the window
+    transform references it (the textstats._with_tokens rule): inlined, the
+    split expression is re-evaluated per window element — measured ~10x on
+    this operator's scan."""
+    staged = docs.select(
+        F.col(key).alias("doc"), tokens_col(text_col).alias("toks")
+    )
+    toks = F.col("toks")
     grams = F.when(
         F.size(toks) >= width,
         F.transform(
@@ -537,7 +545,7 @@ def window_gram_positions(
         ),
     ).otherwise(F.array().cast("array<struct<pos:bigint,g:string>>"))
     return (
-        docs.select(F.col(key).alias("doc"), F.explode(grams).alias("e"))
+        staged.select("doc", F.explode(grams).alias("e"))
         .select("doc", F.col("e.pos").alias("pos"), F.col("e.g").alias("g"))
     )
 
@@ -558,7 +566,10 @@ def shared_substring_spans(
 
     if min_tokens is None:
         min_tokens = width
-    g = window_gram_positions(docs, key, text_col, width)
+    # three consumers (df cap + both join sides): materialize once instead
+    # of re-executing the gram scan per reference (the exact_jaccard /
+    # _SHINGLE_CACHE lesson — DataFrames referenced N times run N times)
+    g = window_gram_positions(docs, key, text_col, width).localCheckpoint()
     rare = (
         g.groupBy("g")
         .agg(F.countDistinct("doc").alias("_df"))
