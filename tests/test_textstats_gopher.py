@@ -197,3 +197,43 @@ class TestSharedSubstringSpans:
         # the mutation splits the run: s0..s5 (6 tokens) + s7..s11 (5
         # tokens), two separate islands on the same diagonal
         assert halves == [(4, 1, 6), (11, 8, 5)]
+
+
+class TestCurationLibrarySurface:
+    """plans/curation.curate_docs (the CLI surface) must agree exactly with
+    the oracle-gated driver queries on kept ids — one chain, two entries."""
+
+    def test_gopher_gate_matches_driver_query(self, spark):
+        from tika_xapian_spark.plans.curation import curate_docs
+        from tika_xapian_spark.plans.data_queries import q_curate_corpus_gopher
+
+        sf = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        kept = {r["doc_id"] for r in curate_docs(docs, gate="gopher").collect()}
+        want = {r["doc_id"] for r in q_curate_corpus_gopher(spark, sf).collect()}
+        assert kept == want
+
+    def test_classic_gate_matches_driver_query(self, spark):
+        from tika_xapian_spark.plans.curation import curate_docs
+        from tika_xapian_spark.plans.data_queries import q_curate_corpus
+
+        sf = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        kept = {r["doc_id"] for r in curate_docs(docs, gate="classic").collect()}
+        want = {r["doc_id"] for r in q_curate_corpus(spark, sf).collect()}
+        assert kept == want
+
+    def test_bad_gate_raises(self, spark):
+        from tika_xapian_spark.plans.curation import curate_docs
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="gate"):
+            curate_docs(docs, gate="magic")
+
+    def test_output_keeps_all_columns(self, spark):
+        from tika_xapian_spark.plans.curation import curate_docs
+
+        sf = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        out = curate_docs(docs, gate="gopher")
+        assert set(docs.columns) <= set(out.columns)

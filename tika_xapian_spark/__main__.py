@@ -35,6 +35,22 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--buckets", type=int, default=None)
     pc.add_argument("--master", default=None)
 
+    pd = sub.add_parser(
+        "curate",
+        help="corpus curation: lang -> quality gate -> repetition cap -> "
+        "exact dedup -> near-dup removal; writes kept docs as parquet",
+    )
+    pd.add_argument("--docs", required=True, help="documents parquet (doc_id, text, ...)")
+    pd.add_argument("--out", required=True, help="curated output parquet dir")
+    pd.add_argument("--key", default="doc_id")
+    pd.add_argument(
+        "--gate", choices=["classic", "gopher"], default="gopher",
+        help="quality gate: 'classic' (length/stopword composite) or "
+        "'gopher' (Rae et al. rule set + repetition cap)",
+    )
+    pd.add_argument("--min-stop", type=int, default=1)
+    pd.add_argument("--master", default=None)
+
     pq = sub.add_parser("query", help="ranked search over a written index")
     pq.add_argument("--index", required=True, help="index dir (write() layout)")
     pq.add_argument("qstr", help="query string (reference grammar)")
@@ -60,6 +76,22 @@ def main(argv: list[str] | None = None) -> int:
             from .streaming.resume import compact_stream_postings
 
             print(json.dumps(compact_stream_postings(spark, args.out, args.buckets)))
+        elif args.cmd == "curate":
+            from pyspark.sql import functions as F
+
+            from .plans.curation import curate_docs
+
+            docs = spark.read.parquet(args.docs)
+            kept = curate_docs(
+                docs, key=args.key, gate=args.gate, min_stop=args.min_stop
+            )
+            kept.write.mode("overwrite").parquet(args.out)
+            n_in = docs.count()
+            n_out = spark.read.parquet(args.out).count()
+            print(json.dumps({
+                "gate": args.gate, "n_in": n_in, "n_kept": n_out,
+                "kept_frac": round(n_out / max(n_in, 1), 4), "out": args.out,
+            }))
         else:
             from .operators.index import InvertedIndex
             from .plans.query_compiler import compile_query, explain, search

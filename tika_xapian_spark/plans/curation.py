@@ -1,0 +1,90 @@
+"""Path-agnostic corpus-curation chain — the library/CLI surface behind the
+oracle-gated driver queries (plans/data_queries.py q_curate_corpus*).
+
+Stages (each an independently oracle-checked operator):
+
+  language filter (en)
+    -> quality gate ('classic' composite score, or 'gopher' rule set +
+       top-2-gram repetition cap)
+    -> exact-duplicate canonical only (md5 groups, min-id canonical)
+    -> near-duplicate removal (minhash-LSH banded candidates, exact
+       Jaccard verify, drop the higher doc id of each pair)
+
+Returns the KEPT rows of the input frame, all original columns intact, so
+the output parquet is a drop-in curated corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import textstats as T
+
+QUALITY_MIN = 450_000
+JACCARD_MIN = 500_000
+TOP2_MAX = 250_000
+
+
+def curate_docs(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    gate: str = "gopher",
+    min_stop: int = 1,
+    quality_min: int = QUALITY_MIN,
+    jaccard_min: int = JACCARD_MIN,
+    top2_max: int = TOP2_MAX,
+) -> DataFrame:
+    if gate not in ("classic", "gopher"):
+        raise ValueError(f"gate must be 'classic' or 'gopher', got {gate!r}")
+    lang = T.lang_id(docs, key=key, text_col=text_col).select(
+        F.col("doc").alias(key), "predicted_lang"
+    )
+    kept = (
+        docs.join(lang, key)
+        .filter(F.col("predicted_lang") == "en")
+        .drop("predicted_lang")
+    )
+    if gate == "classic":
+        qual = T.quality_features(docs, key=key, text_col=text_col).select(
+            F.col("doc").alias(key), "quality_micro"
+        )
+        kept = (
+            kept.join(qual, key)
+            .filter(F.col("quality_micro") >= quality_min)
+            .drop("quality_micro")
+        )
+    else:
+        gq = T.gopher_quality(
+            docs, key=key, text_col=text_col, min_stop=min_stop
+        ).select(F.col("doc").alias(key), "passes")
+        rep = T.gopher_repetition(docs, key=key, text_col=text_col).select(
+            F.col("doc").alias(key), "top_2gram_char_frac_micro"
+        )
+        kept = (
+            kept.join(gq, key)
+            .filter(F.col("passes") == 1)
+            .drop("passes")
+            .join(rep, key)
+            .filter(F.col("top_2gram_char_frac_micro") <= top2_max)
+            .drop("top_2gram_char_frac_micro")
+        )
+    exact = D.exact_duplicates(docs, key=key, text_col=text_col).select(
+        F.col("doc").alias(key), "canonical_id"
+    )
+    kept = (
+        kept.join(exact, key)
+        .filter(F.col(key) == F.col("canonical_id"))
+        .drop("canonical_id")
+    )
+    sh = D.shingles_df(docs, key=key, text_col=text_col).persist()
+    cand = D.lsh_candidates(D.band_buckets(D.minhash_signatures(sh))).persist()
+    nd_drop = (
+        D.exact_jaccard(cand, sh)
+        .filter(F.col("jaccard_micro") >= jaccard_min)
+        .select(F.col("doc_b").alias(key))
+        .distinct()
+    )
+    return kept.join(nd_drop, key, "left_anti")
