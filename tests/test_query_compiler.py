@@ -574,3 +574,45 @@ class TestSignedGroups:
         # spark docs minus any matching (merge OR slow) leaves doc 1
         got = {r["doc"] for r in search(sindex, "spark -(merge OR slow)", partial=False).collect()}
         assert got == {1}
+
+
+class TestGroupingEdgeCases:
+    """Round-5 review fixes: quoted parens, trailing-chunk lexer parity,
+    signed groups after explicit operators."""
+
+    def test_parens_inside_quotes_stay_phrase_text(self):
+        # parens inside a quoted phrase must NOT engage grouping: the
+        # quote token wins and the parens dissolve in scan_terms
+        n = compile_query('"foo (bar)"', partial=False)
+        assert get_description(n) == "Query((foo@1 PHRASE 2 bar@2))"
+
+    def test_quoted_parens_alongside_real_group(self):
+        n = compile_query('"a (b)" AND (c OR d)', partial=False)
+        assert (
+            get_description(n)
+            == "Query(((a@1 PHRASE 2 b@2) AND (Zc@1 OR Zd@1)))"
+        )
+
+    def test_trailing_field_degrade_survives_grouping(self):
+        # the flat path's pinned end-of-input rule: a trailing field:word
+        # degrades to an unprefixed implicit phrase; adding parens earlier
+        # in the query must not change that
+        flat = compile_query("x AND tag:rust", partial=False)
+        grouped = compile_query("(x) AND tag:rust", partial=False)
+        assert get_description(grouped) == get_description(flat)
+        assert "PHRASE" in get_description(grouped)  # degraded, unprefixed
+
+    def test_group_innards_keep_prefix(self):
+        # ...while INSIDE a group the closing paren means no end-of-input
+        n = compile_query("(x AND tag:rust)", partial=False)
+        assert "ZKrust" in get_description(n)
+
+    def test_explicit_op_before_love_group_is_kept(self):
+        # 'a AND +(b)': + (required) is subsumed by the explicit AND
+        n = compile_query("a AND +(b)", partial=False)
+        assert get_description(n) == "Query((Za@1 AND Zb@1))"
+
+    def test_explicit_op_before_hate_group_excludes(self):
+        # 'a AND -(b)': the exclusion wins (a AND_NOT b)
+        n = compile_query("a AND -(b OR c)", partial=False)
+        assert get_description(n) == "Query((Za@1 AND_NOT (Zb@1 OR Zc@1)))"

@@ -30,6 +30,14 @@ CANON_CASES = [
     ("https://user@example.com/x?b=2&a=1", "https://example.com/x?a=1&b=2"),
     # schemeless passes through untouched
     ("not a url", "not a url"),
+    # tracking NAMES match exactly: ref/refresh/referrer are distinct
+    ("https://shop.com/item?refresh=1", "https://shop.com/item?refresh=1"),
+    ("https://shop.com/item?referrer=x&a=1", "https://shop.com/item?a=1&referrer=x"),
+    ("https://shop.com/item?ref=tw&a=1", "https://shop.com/item?a=1"),
+    ("https://shop.com/item?ref", "https://shop.com/item"),
+    # a '?' INSIDE the fragment is fragment text, not a query
+    ("https://a.com/p#sec?x=1", "https://a.com/p"),
+    ("https://a.com/p?x=1#sec?y=2", "https://a.com/p?x=1"),
 ]
 
 

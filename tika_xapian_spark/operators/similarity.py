@@ -372,10 +372,13 @@ def pairwise_cosine_dedup(
         pairs.select(
             "id_a", "id_b", F.round(cos * 1_000_000).cast("long").alias("cos_micro")
         )
-        # fold multi-band duplicates: cosine is identical across a pair's
-        # candidate rows, so max == the value; scalar-only shuffle
+        # threshold BEFORE the dedup shuffle: cosine is identical across a
+        # pair's multi-band duplicate rows, so filtering first is
+        # result-identical and keeps the (vast) sub-threshold majority of
+        # candidates out of the Exchange entirely
+        .filter(F.col("cos_micro") >= threshold_micro)
+        # fold multi-band duplicates; scalar-only shuffle
         .groupBy("id_a", "id_b")
         .agg(F.max("cos_micro").alias("cos_micro"))
-        .filter(F.col("cos_micro") >= threshold_micro)
         .orderBy("id_a", "id_b")
     )

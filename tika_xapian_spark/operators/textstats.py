@@ -399,7 +399,8 @@ def unigram_logppl(docs: DataFrame, key: str, text_col: str = "text") -> DataFra
     no Python."""
     occ = docs.select(
         F.col(key).alias("doc"), F.explode(tokens_col(text_col)).alias("token")
-    )
+    ).localCheckpoint()  # three consumers (total, counts, probe side):
+    # materialize the token stream once instead of re-running the scan 3x
     total = F.broadcast(
         occ.agg(F.count(F.lit(1)).cast("double").alias("_total"))
     )

@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "ref")
+# "utm_" matches any utm-prefixed NAME; the others must match the param
+# name exactly (a prefix rule would silently eat refresh=/referrer=/
+# gclid_extra= params and merge distinct pages)
+TRACKING_PREFIXES = ("utm_",)
+TRACKING_NAMES = ("fbclid", "gclid", "ref")
 
 
 def host_of(url: str | Column) -> Column:
@@ -57,14 +61,25 @@ def canonical_url(url: str | Column) -> Column:
         (F.length(path) > 1) & path.endswith("/"),
         path.substr(F.lit(1), F.length(path) - 1),
     ).otherwise(path)
-    query = F.regexp_extract(c, r"\?([^#]*)", 1)
+    # query must come from the PRE-fragment portion: r"\?..." alone would
+    # match a '?' living inside the fragment and leak it into the canon
+    query = F.regexp_extract(c, r"^[^#]*?\?([^#]*)", 1)
+
+    def _is_tracking(p: Column) -> Column:
+        name = F.split(p, "=")[0]
+        by_prefix = F.exists(
+            F.array(*[F.lit(t) for t in TRACKING_PREFIXES]),
+            lambda t: name.startswith(t),
+        )
+        by_name = F.exists(
+            F.array(*[F.lit(t) for t in TRACKING_NAMES]),
+            lambda t: name == t,
+        )
+        return by_prefix | by_name
+
     params = F.filter(
         F.split(query, "&"),
-        lambda p: (F.length(p) > 0)
-        & ~F.exists(
-            F.array(*[F.lit(t) for t in TRACKING_PARAMS]),
-            lambda t: p.startswith(t) | (p == t),
-        ),
+        lambda p: (F.length(p) > 0) & ~_is_tracking(p),
     )
     sorted_q = F.concat_ws("&", F.array_sort(params))
     canon = F.concat(

@@ -79,8 +79,14 @@ def curate_docs(
         .filter(F.col(key) == F.col("canonical_id"))
         .drop("canonical_id")
     )
-    sh = D.shingles_df(docs, key=key, text_col=text_col).persist()
-    cand = D.lsh_candidates(D.band_buckets(D.minhash_signatures(sh))).persist()
+    # localCheckpoint, not persist: both frames have multiple consumers
+    # (exact_jaccard reads sh twice, cand twice), but a per-call persist in
+    # a reusable library entry leaks cached partitions for the session's
+    # lifetime — checkpoint blocks are released when the RDD is GC'd
+    sh = D.shingles_df(docs, key=key, text_col=text_col).localCheckpoint()
+    cand = D.lsh_candidates(
+        D.band_buckets(D.minhash_signatures(sh))
+    ).localCheckpoint()
     nd_drop = (
         D.exact_jaccard(cand, sh)
         .filter(F.col("jaccard_micro") >= jaccard_min)

@@ -323,16 +323,26 @@ def _apply_op(op: str, node: Node, rhs: Node, rhs_text: str) -> Node:
     return Bool("OR", node, rhs)  # pragma: no cover
 
 
-def _parens_balanced(s: str) -> bool:
+def _paren_profile(s: str) -> tuple[bool, bool]:
+    """(has_parens_outside_quotes, balanced) — parens INSIDE double quotes
+    are phrase text, not grouping (the quoted alternative of the token
+    lexers), so they neither engage the grouped path nor unbalance it."""
     depth = 0
+    has = False
+    inq = False
     for ch in s:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-            if depth < 0:
-                return False
-    return depth == 0
+        if ch == '"':
+            inq = not inq
+        elif not inq:
+            if ch == "(":
+                has = True
+                depth += 1
+            elif ch == ")":
+                has = True
+                depth -= 1
+                if depth < 0:
+                    return True, False
+    return has, depth == 0
 
 
 _PREFIXED_GROUP = re.compile(r"(\w+):$")
@@ -352,7 +362,13 @@ def _split_grouped(s: str) -> list[tuple[str, object]]:
     gstart = 0
     gsign: str | None = None
     gprefix: str | None = None
+    inq = False
     for i, ch in enumerate(s):
+        if ch == '"':
+            inq = not inq
+            continue
+        if inq:
+            continue  # parens inside quoted phrases are text, not grouping
         if ch == "(":
             if depth == 0:
                 text = s[start:i]
@@ -412,9 +428,9 @@ def compile_query(
     the LAST chunk because nom hits end-of-input there; inside a
     parenthesized group the closing ``)`` always follows the token, so
     group recursion disables it."""
-    if "(" in qstr or ")" in qstr:
-        if _parens_balanced(qstr):
-            return _compile_grouped(qstr, partial)
+    has_parens, balanced = _paren_profile(qstr)
+    if has_parens and balanced:
+        return _compile_grouped(qstr, partial, _streaming_tail)
     parts = _OP_PATTERN.split(qstr)
     # parts = [chunk, op, chunk, op, ...]; the LAST chunk goes through
     # expression_into_query in the reference, hence the lexer semantics
@@ -442,7 +458,9 @@ def compile_query(
     return node
 
 
-def _compile_grouped(qstr: str, partial: bool) -> Node:
+def _compile_grouped(
+    qstr: str, partial: bool, _streaming_tail: bool = True
+) -> Node:
     """Left-associative fold over depth-0 operands (text chunks and
     recursively-compiled groups)."""
     stream: list[tuple[str, object]] = []
@@ -456,13 +474,7 @@ def _compile_grouped(qstr: str, partial: bool) -> Node:
                 sub = _apply_prefix(sub, prefix)
             if isinstance(sub, Empty):
                 continue
-            if sign == "+":
-                loves.append(sub)  # folded like _chunk_to_node's love bucket
-                continue
-            if sign == "-":
-                hates.append(sub)
-                continue
-            stream.append(("node", sub))
+            stream.append(("sgroup" if sign else "node", (sign, sub)))
             continue
         parts = _OP_PATTERN.split(payload)
         for j, p in enumerate(parts):
@@ -472,12 +484,35 @@ def _compile_grouped(qstr: str, partial: bool) -> Node:
                 stream.append(("chunk", p))
     node: Node | None = None
     pending: str | None = None
-    for kind, payload in stream:
+    last_chunk_idx = max(
+        (i for i, (k, _) in enumerate(stream) if k == "chunk"), default=-1
+    )
+    for idx, (kind, payload) in enumerate(stream):
         if kind == "op":
             # consecutive operators: the later one wins (mirrors the flat
             # path, where the splitter never produces two ops in a row with
             # a non-empty chunk between)
             pending = payload
+            continue
+        if kind == "sgroup":
+            sign, sub = payload
+            if pending is None:
+                # juxtaposed signed group: bucket like _chunk_to_node's
+                # +/- tokens, folded after the operator chain
+                (loves if sign == "+" else hates).append(sub)
+                continue
+            # an EXPLICIT operator precedes the signed group — never drop
+            # it silently: '+' means required, which the operator chain
+            # already expresses, so the group joins through the operator;
+            # '-' means exclude, which subsumes the operator (a AND -(b)
+            # == a AND_NOT b)
+            if sign == "-" and node is not None:
+                node = Bool("AND_NOT", node, sub)
+            elif node is None:
+                node = sub if sign == "+" else Bool("AND_NOT", Empty(), sub)
+            else:
+                node = _apply_op(pending, node, sub, "")
+            pending = None
             continue
         rhs_text = payload if kind == "chunk" else ""
         if pending in ("SCALED", "ELITE") and kind == "chunk":
@@ -490,11 +525,18 @@ def _compile_grouped(qstr: str, partial: bool) -> Node:
                 )
                 pending = None
                 continue
-        operand = (
-            payload
-            if kind == "node"
-            else _chunk_to_node(payload, partial)
-        )
+        if kind == "node":
+            operand = payload[1]
+        else:
+            # the LAST top-level text chunk sits at end-of-input exactly
+            # like the flat path's final chunk: keep the pinned
+            # streaming-lexer degrade there (group recursion passes
+            # _streaming_tail=False, so group INNARDS stay exempt)
+            operand = _chunk_to_node(
+                payload,
+                partial,
+                final_chunk=(idx == last_chunk_idx) and _streaming_tail,
+            )
         if isinstance(operand, Empty):
             pending = None
             continue
