@@ -616,3 +616,45 @@ class TestGroupingEdgeCases:
         # 'a AND -(b)': the exclusion wins (a AND_NOT b)
         n = compile_query("a AND -(b OR c)", partial=False)
         assert get_description(n) == "Query((Za@1 AND_NOT (Zb@1 OR Zc@1)))"
+
+
+class TestCompilerFuzz:
+    """Robustness: compile_query / explain / get_description must never
+    raise on arbitrary input — the search surface takes raw user strings.
+    Hypothesis drives random strings over the grammar's alphabet (quotes,
+    parens, signs, ops, colons, garbage); Spark-free (AST only)."""
+
+    def test_never_raises_on_random_input(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        alphabet = st.sampled_from(
+            list("abcdefgh AND OR NOT XOR NEAR ADJ PHRASE +-():\"*/\\#.")
+        )
+        raw = st.text(alphabet=alphabet, min_size=0, max_size=60)
+
+        from tika_xapian_spark.plans import query_compiler as QC
+
+        @settings(max_examples=300, deadline=None)
+        @given(raw)
+        def run(qstr):
+            for partial in (True, False):
+                n = compile_query(qstr, partial=partial)
+                assert isinstance(n, QC.Node)
+                explain(n)
+                get_description(n)
+
+        run()
+
+    def test_pathological_shapes(self):
+        for q in [
+            "((((((((", "))))))))", "()", "(())", '""', '"""', "+", "-",
+            "AND", "OR OR OR", "a AND", "NEAR/", "NEAR/x b", "ADJ/0 b",
+            "a NEAR/999999999 b", "title:", ":", "::", "+(-(a))",
+            '"unclosed (paren', "a OR (b AND \"c (d)\")",
+        ]:
+            from tika_xapian_spark.plans import query_compiler as QC
+
+            n = compile_query(q, partial=True)
+            assert isinstance(n, QC.Node)
+            get_description(n)

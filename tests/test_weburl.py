@@ -133,3 +133,34 @@ class TestHostProfile:
         before = len(tracker.getJobIdsForGroup(None))
         W.host_profile(pages, "url")
         assert len(tracker.getJobIdsForGroup(None)) == before
+
+
+class TestCanonicalFuzz:
+    """Idempotence over randomized URL-ish garbage: canonical(canonical(x))
+    == canonical(x) for every input — the property that makes re-running
+    the canonicalization over an already-canonical corpus a no-op. One
+    Spark action for the whole seeded batch."""
+
+    def test_idempotent_on_random_urls(self, spark):
+        import random
+
+        rng = random.Random(13)
+        schemes = ["http", "HTTPS", "ftp", ""]
+        hosts = ["www.Ex.COM", "a.b.co", "x.org:8080", "y.net:443", ""]
+        paths = ["", "/", "/p", "/p/", "/p/q/", "//"]
+        queries = ["", "?a=1", "?utm_source=t&b=2", "?ref=1&refresh=2",
+                   "?b=2&a=1&a=0", "?", "?&&"]
+        frags = ["", "#f", "#sec?x=1", "##"]
+        cases = []
+        for i in range(120):
+            s = rng.choice(schemes)
+            u = (f"{s}://" if s else "") + rng.choice(hosts) + \
+                rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+            cases.append((i, u))
+        df = spark.createDataFrame(cases, "id long, url string")
+        once = df.select("id", "url", W.canonical_url("url").alias("c1"))
+        twice = once.select(
+            "id", "url", "c1", W.canonical_url("c1").alias("c2")
+        )
+        for r in twice.collect():
+            assert r["c2"] == r["c1"], (r["url"], r["c1"], r["c2"])
