@@ -444,6 +444,66 @@ GROUP BY n.n_name
 ORDER BY revenue_cents DESC, n.n_name"""
 
 
+def q_tpch_returned_items(spark, sf_dir):
+    """Q10-shape (returned item reporting): customers who returned items
+    ('R' lineitems in a date window), ranked by lost revenue — fact-fact
+    join with selective filters on both sides, customer/nation dims
+    broadcast, deterministic top-20."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(
+            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_name", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.col("c_custkey").cast("long").alias("custkey"),
+            "c_name",
+            "n_name",
+            "revenue_cents",
+            "n_items",
+        )
+        .orderBy(F.desc("revenue_cents"), "custkey")
+        .limit(20)
+    )
+
+
+ORACLE_TPCH_RETURNED = """
+SELECT c.c_custkey::BIGINT AS custkey, c.c_name, n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue_cents DESC, custkey
+LIMIT 20"""
+
+
 REL_QUERIES = {
     "events_windowed": q_events_windowed,
     "events_stream_windowed": q_events_stream_windowed,
@@ -457,6 +517,7 @@ REL_QUERIES = {
     "tpch_parts_per_supplier": q_tpch_parts_per_supplier,
     "tpch_shipping_priority": q_tpch_shipping_priority,
     "tpch_local_supplier_volume": q_tpch_local_supplier_volume,
+    "tpch_returned_items": q_tpch_returned_items,
 }
 
 
@@ -474,4 +535,5 @@ def rel_oracle_sqls() -> dict[str, str]:
         "tpch_parts_per_supplier": ORACLE_TPCH_PARTS_PER_SUPPLIER,
         "tpch_shipping_priority": ORACLE_TPCH_SHIPPING,
         "tpch_local_supplier_volume": ORACLE_TPCH_LOCAL_SUPPLIER,
+        "tpch_returned_items": ORACLE_TPCH_RETURNED,
     }
