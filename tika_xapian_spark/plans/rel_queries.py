@@ -378,6 +378,75 @@ FROM supplier s LEFT JOIN per_supp p ON s.s_suppkey = p.l_suppkey
 ORDER BY suppkey"""
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered conversion funnel signup -> click -> purchase: each step's
+    qualifying event must be STRICTLY AFTER the user's previous step AND
+    within a 24-hour conversion window of it (the classic product-analytics
+    funnel — ordering + recency, not mere set intersection; the window is
+    what makes the steps discriminate on this corpus, whose median
+    signup-to-click gap is ~55h). Three keyed aggregations, each joining
+    the previous step's first-timestamp frame — per-user state never
+    leaves the executors."""
+    ev = _t(spark, sf_dir, "events")
+    window = F.expr("INTERVAL 24 HOURS")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + window))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + window))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def count_step(df, label):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_users")
+        ).select(F.lit(label).alias("step"), "n_users")
+
+    return (
+        count_step(s1, "1_signup")
+        .unionByName(count_step(s2, "2_click"))
+        .unionByName(count_step(s3, "3_purchase"))
+        .orderBy("step")
+    )
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+)
+SELECT '1_signup' AS step, count(*)::BIGINT AS n_users FROM s1
+UNION ALL SELECT '2_click', count(*)::BIGINT FROM s2
+UNION ALL SELECT '3_purchase', count(*)::BIGINT FROM s3
+ORDER BY step"""
+
+
 def q_tpch_local_supplier_volume(spark, sf_dir):
     """Q5-shape (local supplier volume): the canonical snowflake +
     fact-fact plan — lineitem x orders (date-filtered) x supplier x
@@ -511,6 +580,7 @@ REL_QUERIES = {
     "events_stream_sessionized": q_events_stream_sessionized,
     "events_stream_sessionized_timeout": q_events_stream_sessionized_timeout,
     "events_top_users": q_events_top_users,
+    "events_funnel": q_events_funnel,
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "tpch_top_customers": q_tpch_top_customers,
     "tpch_region_revenue": q_tpch_region_revenue,
@@ -529,6 +599,7 @@ def rel_oracle_sqls() -> dict[str, str]:
         "events_stream_sessionized": ORACLE_EVENTS_SESSIONS,
         "events_stream_sessionized_timeout": ORACLE_EVENTS_SESSIONS,
         "events_top_users": ORACLE_EVENTS_TOP_USERS,
+        "events_funnel": ORACLE_EVENTS_FUNNEL,
         "tpch_pricing_summary": ORACLE_TPCH_PRICING,
         "tpch_top_customers": ORACLE_TPCH_TOP_CUSTOMERS,
         "tpch_region_revenue": ORACLE_TPCH_REGION_REVENUE,
