@@ -220,7 +220,14 @@ ORDER BY l_returnflag, l_linestatus"""
 
 
 def q_tpch_top_customers(spark, sf_dir):
-    """Fact-dim join (broadcast the dim) + agg + deterministic top-10."""
+    """Fact-fact join + agg + deterministic top-10.
+
+    ``customer`` scales linearly with the data (sf100 = 15M rows), so it
+    gets NO broadcast hint: an explicit ``F.broadcast`` would override
+    ``autoBroadcastJoinThreshold`` and AQE, OOMing executors at 100x. At
+    small sf AQE converts the join to broadcast on its own (it is under
+    the threshold); at scale it degrades gracefully to a shuffle join.
+    """
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     spend = orders.groupBy("o_custkey").agg(
@@ -229,7 +236,7 @@ def q_tpch_top_customers(spark, sf_dir):
     )
     return (
         spend.join(
-            F.broadcast(cust.select("c_custkey", "c_name", "c_mktsegment")),
+            cust.select("c_custkey", "c_name", "c_mktsegment"),
             spend["o_custkey"] == cust["c_custkey"],
         )
         .select(
@@ -259,15 +266,17 @@ LIMIT 10"""
 
 
 def q_tpch_region_revenue(spark, sf_dir):
-    """Snowflake join chain region <- nation <- customer <- orders, all dims
-    broadcast; revenue per region."""
+    """Snowflake join chain region <- nation <- customer <- orders; the
+    genuinely bounded dims (nation 25 rows, region 5 rows) broadcast,
+    while ``customer`` — linear in scale factor — is hint-free so the
+    planner/AQE picks broadcast at small sf and shuffle at 100x."""
     region = _t(spark, sf_dir, "region")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.join(
-            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            cust.select("c_custkey", "c_nationkey"),
             orders["o_custkey"] == cust["c_custkey"],
         )
         .join(
@@ -301,8 +310,10 @@ ORDER BY r.r_name"""
 
 def q_tpch_shipping_priority(spark, sf_dir):
     """Q3-shape: selective filters on both join sides, fact-fact join, agg,
-    deterministic top-10 — the canonical filtered-join-topk plan (filters
-    push to both scans; the orders side broadcasts after filtering)."""
+    deterministic top-10 — the canonical filtered-join-topk plan. Filters
+    push to both scans; the date filter keeps ~48% of ``orders``, which
+    still scales linearly, so the join is hint-free (AQE broadcasts it at
+    small sf, shuffles at 100x — a forced broadcast would OOM)."""
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1995-03-15")
     )
@@ -311,7 +322,7 @@ def q_tpch_shipping_priority(spark, sf_dir):
     )
     return (
         li.join(
-            F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+            orders.select("o_orderkey", "o_orderdate"),
             li["l_orderkey"] == orders["o_orderkey"],
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -451,9 +462,11 @@ def q_tpch_local_supplier_volume(spark, sf_dir):
     """Q5-shape (local supplier volume): the canonical snowflake +
     fact-fact plan — lineitem x orders (date-filtered) x supplier x
     customer x nation x region with the classic local-supplier constraint
-    c_nationkey == s_nationkey; revenue per nation in one region. Every
-    dimension broadcasts; the only shuffle is the final groupBy(n_name)
-    after the map-side joins."""
+    c_nationkey == s_nationkey; revenue per nation in one region. Only the
+    bounded dims broadcast (supplier sublinear at 1/10th of customer,
+    nation 25 rows, region filtered to 1); ``orders`` and ``customer`` are
+    facts that scale linearly, so those joins are hint-free — AQE picks
+    broadcast under the threshold at small sf and a shuffle join at 100x."""
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1995-01-01"))
         & (F.col("o_orderdate") < F.lit("1997-01-01"))
@@ -465,7 +478,7 @@ def q_tpch_local_supplier_volume(spark, sf_dir):
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(
-            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            orders.select("o_orderkey", "o_custkey"),
             li["l_orderkey"] == F.col("o_orderkey"),
         )
         .join(
@@ -473,7 +486,7 @@ def q_tpch_local_supplier_volume(spark, sf_dir):
             li["l_suppkey"] == F.col("s_suppkey"),
         )
         .join(
-            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            cust.select("c_custkey", "c_nationkey"),
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -516,8 +529,10 @@ ORDER BY revenue_cents DESC, n.n_name"""
 def q_tpch_returned_items(spark, sf_dir):
     """Q10-shape (returned item reporting): customers who returned items
     ('R' lineitems in a date window), ranked by lost revenue — fact-fact
-    join with selective filters on both sides, customer/nation dims
-    broadcast, deterministic top-20."""
+    join with selective filters on both sides. Only ``nation`` (25 rows)
+    broadcasts; the filtered ``orders`` (~15%) and ``customer`` sides
+    scale linearly, so those joins are hint-free and left to AQE,
+    deterministic top-20."""
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1995-01-01"))
         & (F.col("o_orderdate") < F.lit("1996-01-01"))
@@ -527,11 +542,11 @@ def q_tpch_returned_items(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation")
     return (
         li.join(
-            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            orders.select("o_orderkey", "o_custkey"),
             li["l_orderkey"] == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(cust.select("c_custkey", "c_name", "c_nationkey")),
+            cust.select("c_custkey", "c_name", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
