@@ -141,7 +141,7 @@ class TestDupRunStatsProperty:
                 r["s"]["top_cover"],
                 r["s"]["dup_cover"],
             )
-            for r in df.select("id", _dup_run_stats(F.col("arr")).alias("s")).collect()
+            for r in df.select("id", F.expr(_dup_run_stats("arr")).alias("s")).collect()
         }
         for i, arr in enumerate(cases):
             assert got[i] == self.reference(arr), (i, arr, got[i])

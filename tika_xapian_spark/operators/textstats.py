@@ -169,89 +169,100 @@ def fingerprints(docs: DataFrame, key: str, text_col: str = "text") -> DataFrame
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def _lines_sql(text_col: str) -> str:
+    """SQL text: non-empty lines of the text."""
+    return f"filter(split({text_col}, '\\n'), l -> length(trim(l)) > 0)"
+
+
 def _lines_col(text_col: str) -> Column:
     """Non-empty lines of the text."""
-    return F.filter(
-        F.split(F.col(text_col), "\n"), lambda l: F.length(F.trim(l)) > 0
+    return F.expr(_lines_sql(text_col))
+
+
+def _word_ngrams(toks_sql: str, n: int) -> str:
+    """SQL text: space-joined word n-grams as a string array (empty when
+    < n tokens). Grams are built with n O(1) ``element_at`` probes +
+    one ``concat`` — NOT ``slice``+``concat_ws``, which allocates a
+    throwaway sub-array per position (measured 1.75x slower on the gram
+    generation leg; HOF lambdas run interpreted, so per-element
+    allocations dominate)."""
+    parts = ", ' ', ".join(
+        f"element_at({toks_sql}, i + {j})" for j in range(1, n + 1)
+    )
+    return (
+        f"IF(size({toks_sql}) >= {n}, "
+        f"transform(sequence(0, size({toks_sql}) - {n}), "
+        f"i -> concat({parts})), "
+        f"CAST(array() AS ARRAY<STRING>))"
     )
 
 
-def _word_ngrams(toks: Column, n: int) -> Column:
-    """Space-joined word n-grams as a string array (empty when < n tokens)."""
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, i + 1, n)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+def _run_stat_exprs(ss_sql: str) -> dict[str, str]:
+    """The four duplicate-run statistics over a SORTED string array, as SQL
+    expression texts keyed by name:
 
-
-def _dup_run_stats(arr: Column) -> Column:
-    """Linear fold over a SORTED string array: struct(extra_chars,
-    extra_count, top_cover, dup_cover) where
       extra_chars  chars in occurrences beyond each value's first
       extra_count  number of such extra occurrences
       top_cover    max over values of count * len(value)
       dup_cover    sum over values with count > 1 of count * len(value)
+
+    Two performance rules shaped this form (both measured at sf0.1):
+
+    * SQL strings, not Column-by-Column lambda construction — building the
+      equivalent tree through py4j costs ~0.3s PER FOLD at
+      DataFrame-construction time (the simhash lesson, round 5).
+    * Native array ops over a minimal interpreted fold: HOF lambdas run
+      interpreted, so a 6-field named_struct accumulator per element
+      dominated the wall. extra_count/extra_chars/dup_cover reduce to
+      ``array_distinct`` + ``array_join`` length arithmetic (JVM-native,
+      zero lambdas: dup_cover = extra_chars + chars of the values that
+      recur, and the recurring values are the sorted array's elements that
+      equal their predecessor); only top_cover keeps a fold, with a 3-field
+      accumulator. 1.9s -> 1.1s end-to-end on the gopher_repetition query.
+
+    ``ss_sql`` should name a STAGED pre-sorted column (each stat references
+    it several times; a staged column reference is free, an inlined
+    ``array_sort`` would re-sort per reference).
     """
-    sorted_arr = F.array_sort(arr)
-    init = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("extra_chars"),
-        F.lit(0).cast("long").alias("extra_count"),
-        F.lit(0).cast("long").alias("top_cover"),
-        F.lit(0).cast("long").alias("dup_cover"),
+    d = f"array_distinct({ss_sql})"
+    chars = f"length(array_join({ss_sql}, ''))"
+    dchars = f"length(array_join({d}, ''))"
+    # values occurring >1 time, each once: sorted elements equal to their
+    # predecessor, deduped
+    dupvals = (
+        f"array_distinct(filter({ss_sql},"
+        f" (x, i) -> i > 0 AND x = element_at({ss_sql}, i)))"
     )
+    top = (
+        f"aggregate({ss_sql}, "
+        f"named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+        f"(acc, e) -> named_struct("
+        f"'prev', e, "
+        f"'run', IF(e = acc.prev, acc.run + 1L, 1L), "
+        f"'best', greatest(acc.best, IF(e = acc.prev, acc.run + 1L, 1L) * length(e))), "
+        f"acc -> acc.best)"
+    )
+    return {
+        "extra_count": f"CAST(size({ss_sql}) - size({d}) AS LONG)",
+        "extra_chars": f"CAST({chars} - {dchars} AS LONG)",
+        "dup_cover": f"CAST({chars} - {dchars} + length(array_join({dupvals}, '')) AS LONG)",
+        "top_cover": top,
+    }
 
-    def step(acc: Column, e: Column) -> Column:
-        same = acc["prev"].isNotNull() & (e == acc["prev"])
-        # close the previous run when the value changes
-        closed_cover = acc["run"] * F.length(acc["prev"])
-        top = F.when(
-            ~same & acc["prev"].isNotNull(),
-            F.greatest(acc["top_cover"], closed_cover),
-        ).otherwise(acc["top_cover"])
-        dup = F.when(
-            ~same & acc["prev"].isNotNull() & (acc["run"] > 1),
-            acc["dup_cover"] + closed_cover,
-        ).otherwise(acc["dup_cover"])
-        return F.struct(
-            e.alias("prev"),
-            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
-            F.when(same, acc["extra_chars"] + F.length(e))
-            .otherwise(acc["extra_chars"])
-            .alias("extra_chars"),
-            F.when(same, acc["extra_count"] + 1)
-            .otherwise(acc["extra_count"])
-            .alias("extra_count"),
-            top.alias("top_cover"),
-            dup.alias("dup_cover"),
-        )
 
-    def finish(acc: Column) -> Column:
-        closed_cover = acc["run"] * F.length(acc["prev"])
-        return F.struct(
-            acc["extra_chars"].alias("extra_chars"),
-            acc["extra_count"].alias("extra_count"),
-            F.when(
-                acc["prev"].isNotNull(),
-                F.greatest(acc["top_cover"], closed_cover),
-            )
-            .otherwise(acc["top_cover"])
-            .alias("top_cover"),
-            F.when(
-                acc["prev"].isNotNull() & (acc["run"] > 1),
-                acc["dup_cover"] + closed_cover,
-            )
-            .otherwise(acc["dup_cover"])
-            .alias("dup_cover"),
-        )
-
-    return F.aggregate(sorted_arr, init, step, finish)
+def _dup_run_stats(arr_sql: str) -> str:
+    """SQL text: struct(extra_chars, extra_count, top_cover, dup_cover) of
+    ``_run_stat_exprs`` over ``array_sort(arr_sql)`` — the assembled form
+    the property test exercises against a plain-Python reference. Callers
+    on hot paths should stage the sort and use ``_run_stat_exprs``
+    directly (see gopher_repetition)."""
+    s = _run_stat_exprs(f"array_sort({arr_sql})")
+    return (
+        f"named_struct('extra_chars', {s['extra_chars']}, "
+        f"'extra_count', {s['extra_count']}, "
+        f"'top_cover', {s['top_cover']}, "
+        f"'dup_cover', {s['dup_cover']})"
+    )
 
 
 def gopher_repetition(
@@ -265,40 +276,36 @@ def gopher_repetition(
     staged = _with_tokens(docs, key, text_col).withColumn(
         "lines", _lines_col("text")
     )
-    lines = F.col("lines")
-    toks = F.col("toks")
-    n_chars = F.length(F.col("text"))
-    line_stats = _dup_run_stats(lines)
-    g2 = _dup_run_stats(_word_ngrams(toks, 2))
-    g5 = _dup_run_stats(_word_ngrams(toks, 5))
-    n_lines = F.size(lines)
-    line_chars = F.aggregate(lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l))
-    m = lambda c: F.round(c * 1_000_000).cast("long")  # noqa: E731
-    frac = lambda num, den: F.when(den > 0, F.least(num / den, F.lit(1.0))).otherwise(F.lit(0.0))  # noqa: E731
-    out = staged.select(
+    # stage each sort once: the stats reference their sorted array several
+    # times, and only a staged column makes those references free (the
+    # projections can't collapse — toks/lines/ls are multiply referenced
+    # non-cheap expressions)
+    sorted_stage = staged.selectExpr(
         "doc",
-        n_lines.cast("long").alias("n_lines"),
-        line_stats.alias("_ls"),
-        g2.alias("_g2"),
-        g5.alias("_g5"),
-        line_chars.alias("_line_chars"),
-        n_chars.alias("_n_chars"),
+        "length(text) AS _n_chars",
+        "CAST(size(lines) AS LONG) AS n_lines",
+        "array_sort(lines) AS ls",
+        f"array_sort({_word_ngrams('toks', 2)}) AS g2s",
+        f"array_sort({_word_ngrams('toks', 5)}) AS g5s",
     )
-    return out.select(
+
+    def mfrac(num: str, den: str, name: str) -> str:
+        return (
+            f"CAST(round(IF({den} > 0, least({num} / {den}, 1.0D), 0.0D)"
+            f" * 1000000) AS LONG) AS {name}"
+        )
+
+    sl = _run_stat_exprs("ls")
+    s2 = _run_stat_exprs("g2s")
+    s5 = _run_stat_exprs("g5s")
+    line_chars = "length(array_join(ls, ''))"
+    return sorted_stage.selectExpr(
         "doc",
         "n_lines",
-        m(frac(F.col("_ls.extra_count"), F.col("n_lines"))).alias(
-            "dup_line_frac_micro"
-        ),
-        m(frac(F.col("_ls.extra_chars"), F.col("_line_chars"))).alias(
-            "dup_line_char_frac_micro"
-        ),
-        m(frac(F.col("_g2.top_cover"), F.col("_n_chars"))).alias(
-            "top_2gram_char_frac_micro"
-        ),
-        m(frac(F.col("_g5.dup_cover"), F.col("_n_chars"))).alias(
-            "dup_5gram_char_frac_micro"
-        ),
+        mfrac(sl["extra_count"], "n_lines", "dup_line_frac_micro"),
+        mfrac(sl["extra_chars"], line_chars, "dup_line_char_frac_micro"),
+        mfrac(s2["top_cover"], "_n_chars", "top_2gram_char_frac_micro"),
+        mfrac(s5["dup_cover"], "_n_chars", "dup_5gram_char_frac_micro"),
     )
 
 

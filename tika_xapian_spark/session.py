@@ -47,6 +47,13 @@ def get_spark(
         )
         # keep scans prunable: 128MB split targets (default, made explicit)
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # split small files too: the 4MB default models spinning-disk open
+        # cost and leaves a sub-4MB table as ONE split, serializing
+        # CPU-heavy per-row operators (gopher folds, tokenize) onto one
+        # core. 256KB matches page-cached NVMe; maxSplitBytes becomes
+        # max(256KB, bytes/cores) so small tables parallelize while big
+        # scans still get the full 128MB targets.
+        .config("spark.sql.files.openCostInBytes", "262144")
         .config("spark.ui.enabled", "false")
         # local mode: the driver JVM is the whole cluster — size the heap for
         # 32 concurrent tasks (8g measurably GC-throttled the 32-core runs)
