@@ -134,6 +134,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_substring_spans",  # ExactSubstr spans (round 5)
         "text_simhash",
         "gopher_repetition",  # zero-shuffle per-row folds (round 5)
+        "text_unigram_logppl",  # hot/cold skew-split token join (round 6)
         "url_dedup",  # canonicalize + hash-groupBy (round 5)
         "ann_cosine_topk",
         "ann_multiprobe_topk",  # written-index path: partition-pruned probe

@@ -237,3 +237,66 @@ class TestCurationLibrarySurface:
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         out = curate_docs(docs, gate="gopher")
         assert set(docs.columns) <= set(out.columns)
+
+
+class TestUnigramLogpplSkewSafe:
+    """unigram_logppl's hot/cold split (r5 verdict #3): the Zipf head joins
+    via a bounded broadcast, the tail via a shuffle whose probe side has no
+    hot keys — and every split must agree with a plain-Python reference."""
+
+    def reference(self, texts):
+        import math
+        from collections import Counter
+
+        toks = {i: t.split() for i, t in texts.items()}
+        cnt = Counter(w for ws in toks.values() for w in ws)
+        n = float(sum(cnt.values()))
+        out = {}
+        for i, ws in toks.items():
+            if not ws:
+                continue
+            bits = [math.log2(n) - math.log2(cnt[w]) for w in ws]
+            out[i] = (len(ws), round(sum(bits) / len(ws) * 1_000_000))
+        return out
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        texts = {
+            0: "the the the cat sat on the mat",
+            1: "the dog ate the homework",
+            2: "zebra quark flux",
+            3: "the the the the the",
+            4: "cat cat dog dog mixed bag of words here",
+        }
+        df = spark.createDataFrame(
+            [(k, " ".join(v.split())) for k, v in texts.items()],
+            "doc_id long, text string",
+        )
+        return texts, df
+
+    @pytest.mark.parametrize("hot_vocab", [1, 3, 100_000])
+    def test_matches_reference_for_any_split(self, spark, corpus, hot_vocab):
+        from tika_xapian_spark.operators.textstats import unigram_logppl
+
+        texts, df = corpus
+        got = {
+            r["doc"]: (r["n_tokens"], r["logppl_micro"])
+            for r in unigram_logppl(df, "doc_id", hot_vocab=hot_vocab).collect()
+        }
+        assert got == self.reference(texts)
+
+    def test_plan_has_bounded_broadcasts_no_occurrence_join(self, spark, corpus):
+        from tika_xapian_spark.operators.textstats import unigram_logppl
+
+        _, df = corpus
+        plan = (
+            unigram_logppl(df, "doc_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # hot inner join + hot anti join are broadcasts (bounded top-K side)
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        # the occurrence stream itself is never a join input: tf is
+        # run-length encoded map-side, so no Generate/explode feeds a join
+        assert "Generate explode" not in plan, plan

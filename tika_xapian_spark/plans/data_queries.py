@@ -1084,13 +1084,14 @@ def q_text_unigram_logppl(spark, sf_dir):
 
 ORACLE_UNIGRAM_LOGPPL = f"""
 WITH {_TOK_CTE.lstrip()},
-tot AS (SELECT count(*)::DOUBLE AS n FROM tok),
-cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term)
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+tot AS (SELECT sum(tf)::DOUBLE AS n FROM tf),
+cnt AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term)
 SELECT t.doc_id,
-       count(*)::BIGINT AS n_tokens,
-       CAST(round(avg(log2(tot.n) - log2(cnt.c)) * 1000000) AS BIGINT)
-         AS logppl_micro
-FROM tok t JOIN cnt USING (term) CROSS JOIN tot
+       CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+       CAST(round(sum(t.tf * (log2(tot.n) - log2(cnt.c))) / sum(t.tf)
+                  * 1000000) AS BIGINT) AS logppl_micro
+FROM tf t JOIN cnt USING (term) CROSS JOIN tot
 GROUP BY t.doc_id
 ORDER BY t.doc_id"""
 
