@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from tika_xapian_spark.operators.funnel import funnel_oracle_sql as _funnel_oracle_sql
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -398,64 +400,14 @@ def q_events_funnel(spark, sf_dir):
     signup-to-click gap is ~55h). Three keyed aggregations, each joining
     the previous step's first-timestamp frame — per-user state never
     leaves the executors."""
-    ev = _t(spark, sf_dir, "events")
-    window = F.expr("INTERVAL 24 HOURS")
-    s1 = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    s2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + window))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + window))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
+    from tika_xapian_spark.operators.funnel import conversion_funnel
 
-    def count_step(df, label):
-        return df.agg(
-            F.count(F.lit(1)).cast("long").alias("n_users")
-        ).select(F.lit(label).alias("step"), "n_users")
-
-    return (
-        count_step(s1, "1_signup")
-        .unionByName(count_step(s2, "2_click"))
-        .unionByName(count_step(s3, "3_purchase"))
-        .orderBy("step")
+    return conversion_funnel(
+        _t(spark, sf_dir, "events"), ("signup", "click", "purchase")
     )
 
 
-ORACLE_EVENTS_FUNNEL = """
-WITH s1 AS (
-  SELECT user_id, min(ts) AS t1 FROM events
-  WHERE event_type = 'signup' GROUP BY user_id
-),
-s2 AS (
-  SELECT e.user_id, min(e.ts) AS t2
-  FROM events e JOIN s1 USING (user_id)
-  WHERE e.event_type = 'click' AND e.ts > s1.t1
-    AND e.ts <= s1.t1 + INTERVAL 24 HOUR
-  GROUP BY e.user_id
-),
-s3 AS (
-  SELECT e.user_id, min(e.ts) AS t3
-  FROM events e JOIN s2 USING (user_id)
-  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
-    AND e.ts <= s2.t2 + INTERVAL 24 HOUR
-  GROUP BY e.user_id
-)
-SELECT '1_signup' AS step, count(*)::BIGINT AS n_users FROM s1
-UNION ALL SELECT '2_click', count(*)::BIGINT FROM s2
-UNION ALL SELECT '3_purchase', count(*)::BIGINT FROM s3
-ORDER BY step"""
+ORACLE_EVENTS_FUNNEL = _funnel_oracle_sql(("signup", "click", "purchase"))
 
 
 def q_tpch_local_supplier_volume(spark, sf_dir):
