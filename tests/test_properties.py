@@ -253,3 +253,69 @@ class TestOsaDistanceProperty:
 
         assert osa_distance("teh", "the") == 1  # levenshtein would say 2
         assert osa_distance("ca", "abc") == 3  # true DL would say 2
+
+
+class TestExactSubstrAdversarial:
+    """ExactSubstr at adversarial scale (r5 verdict #8): a doc pair sharing
+    a very long span must produce ONE merged span with linear intermediate
+    row counts — the gaps-and-islands merge may not fragment, and the `top`
+    cutoff must keep the longest span."""
+
+    def test_10k_token_shared_span_merges_to_one(self, spark):
+        from tika_xapian_spark.operators.dedup import (
+            shared_substring_spans,
+            window_gram_positions,
+        )
+
+        L = 10_000
+        shared = " ".join(f"t{i}" for i in range(L))
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta " + shared + " tail"),
+                (2, "x " + shared),
+                (3, "unrelated content entirely different words"),
+            ],
+            "doc_id long, text string",
+        )
+        width = 8
+        out = shared_substring_spans(
+            docs, key="doc_id", width=width, top=5
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["doc_a"], r["doc_b"]) == (1, 2)
+        assert r["span_tokens"] == L
+        assert r["start_a"] == 2 and r["start_b"] == 1
+        # linearity: distinct-token span of L produces exactly L-width+1
+        # gram positions per doc — the join fan is 1 per gram (df == 2
+        # docs, single position each), so the single (pair, diag) window
+        # partition holds L-width+1 rows, linear in span length
+        g = window_gram_positions(docs, "doc_id", "text", width)
+        per_doc = {
+            r["doc"]: r["n"]
+            for r in g.groupBy("doc").count().withColumnRenamed("count", "n").collect()
+        }
+        assert per_doc[1] == (L + 3) - width + 1  # 2 head + L + 1 tail tokens
+        assert per_doc[2] == (L + 1) - width + 1
+
+    def test_top_cutoff_keeps_longest_spans(self, spark):
+        from tika_xapian_spark.operators.dedup import shared_substring_spans
+
+        # three pairs with span lengths 40 > 30 > 20; top=2 keeps the two
+        # longest (deterministic order: longest first)
+        def span(n, tag):
+            return " ".join(f"{tag}{i}" for i in range(n))
+
+        docs = spark.createDataFrame(
+            [
+                (1, span(40, "a")), (2, span(40, "a") + " x"),
+                (3, span(30, "b")), (4, span(30, "b") + " y"),
+                (5, span(20, "c")), (6, span(20, "c") + " z"),
+            ],
+            "doc_id long, text string",
+        )
+        out = shared_substring_spans(docs, key="doc_id", width=8, top=2).collect()
+        assert [(r["doc_a"], r["doc_b"], r["span_tokens"]) for r in out] == [
+            (1, 2, 40),
+            (3, 4, 30),
+        ]

@@ -561,7 +561,27 @@ def shared_substring_spans(
 ) -> DataFrame:
     """(doc_a, doc_b, start_a, start_b, span_tokens): maximal verbatim
     token spans of >= min_tokens (default: width) shared between document
-    pairs, longest first (ties by ids then start)."""
+    pairs, longest first (ties by ids then start).
+
+    Worst-case shapes (r5 verdict #8, pinned by
+    tests/test_properties.py::TestExactSubstrAdversarial):
+
+    * A very long shared span of DISTINCT tokens (10k+) stays linear end
+      to end: a span of L tokens yields L-width+1 gram positions per doc,
+      each gram matches exactly one position on the other side, and all
+      hits land on ONE (pair, diagonal) window partition of L-width+1
+      rows that the gaps-and-islands merge collapses to a single span.
+      Bounded by the longest real span, never by corpus size.
+    * SELF-repetitive documents (the same token repeated k times) are the
+      quadratic hazard: every gram is identical, so the gram equi-join
+      fans k_a * k_b within the pair. ``max_gram_df`` caps cross-document
+      frequency, not within-document position multiplicity — at true
+      adversarial scale, bound it upstream by masking docs whose
+      top-gram multiplicity explodes (gopher_repetition's
+      top_2gram_char_frac flags exactly these) before running span
+      dedup; dropping high-multiplicity grams here instead would
+      silently lose legitimate spans in repetitive-but-honest text.
+    """
     from pyspark.sql import Window
 
     if min_tokens is None:
