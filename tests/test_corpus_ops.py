@@ -1,0 +1,187 @@
+"""Corpus-level curation primitives: skew-safe count joins, deterministic
+stratified sampling, CCNet-style corpus line dedup.
+
+Semantics AND plan shape: these three exist for the 100 TB path, so the
+tests pin the physical properties that make them scale (broadcast head /
+shuffle tail, zero-shuffle sampling) alongside the row-level results.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tika_xapian_spark.operators.dedup import line_dedup_corpus
+from tika_xapian_spark.operators.sampling import (
+    deterministic_sample,
+    sample_hash_micro,
+    stratified_sample,
+)
+from tika_xapian_spark.operators.skewjoin import skew_safe_count_join
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ------------------------------------------------------------- skewjoin
+
+
+class TestSkewSafeCountJoin:
+    @pytest.fixture()
+    def rows_and_counts(self, spark):
+        # Zipf-ish: key 'hot' carries most rows, a long tail of singletons.
+        rows = spark.range(1000).select(
+            F.when(F.col("id") < 800, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), F.col("id")))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        counts = rows.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+        return rows, counts
+
+    def test_matches_naive_join(self, rows_and_counts):
+        rows, counts = rows_and_counts
+        got = skew_safe_count_join(rows, "k", counts, "c", hot_k=4)
+        want = rows.join(counts, "k")
+        assert got.columns == want.columns
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_inner_join_semantics_missing_keys_drop(self, spark):
+        rows = spark.createDataFrame(
+            [("a", 1), ("b", 2), ("zzz", 3)], "k string, payload int"
+        )
+        counts = spark.createDataFrame([("a", 10), ("b", 1)], "k string, c long")
+        got = skew_safe_count_join(rows, "k", counts, "c", hot_k=1)
+        assert sorted(map(tuple, got.collect())) == [("a", 1, 10), ("b", 2, 1)]
+
+    def test_hot_branch_broadcasts_cold_branch_shuffles(
+        self, spark, rows_and_counts
+    ):
+        """The point of the operator: with auto-broadcast OFF (so nothing
+        accidentally broadcasts at toy scale), the head still joins via an
+        explicit BroadcastHashJoin while the tail's count join is a shuffle
+        join — the plan a 10^12-row corpus needs."""
+        rows, counts = rows_and_counts
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = plan_of(skew_safe_count_join(rows, "k", counts, "c", hot_k=4))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+        # two broadcast joins from explicit hints (hot equi-join + anti-join)
+        assert plan.count("BroadcastHashJoin") >= 2
+        # the tail count join stays a shuffle join (no blanket broadcast)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+# ------------------------------------------------------------- sampling
+
+
+class TestDeterministicSampling:
+    def test_membership_invariant_to_partitioning(self, spark):
+        docs = spark.range(500).select(F.col("id").alias("doc_id"))
+        a = deterministic_sample(docs, "doc_id", 0.3, seed="s1")
+        b = deterministic_sample(docs.repartition(17), "doc_id", 0.3, seed="s1")
+        assert sorted(r.doc_id for r in a.collect()) == sorted(
+            r.doc_id for r in b.collect()
+        )
+
+    def test_nested_samples_are_subsets(self, spark):
+        """hash < f2 < f1 => the f2 sample is a subset of the f1 sample —
+        the property that makes train/val splits and ablation subsets
+        consistent across jobs."""
+        docs = spark.range(500).select(F.col("id").alias("doc_id"))
+        big = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.4).collect()}
+        small = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.1).collect()}
+        assert small <= big
+        assert len(small) < len(big)
+
+    def test_seed_changes_membership(self, spark):
+        docs = spark.range(500).select(F.col("id").alias("doc_id"))
+        a = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.3, "s1").collect()}
+        b = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.3, "s2").collect()}
+        assert a != b
+
+    def test_stratified_fractions_and_default(self, spark):
+        docs = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 3 == 0, "en")
+            .when(F.col("id") % 3 == 1, "de")
+            .otherwise("xx")
+            .alias("lang"),
+        )
+        out = stratified_sample(
+            docs, "doc_id", "lang", {"en": 1.0, "de": 0.2},
+            default_fraction=0.0, seed="mix",
+        )
+        by_lang = {
+            r.lang: r.n
+            for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_lang.get("en") == 667          # fraction 1.0 keeps all
+        assert 0 < by_lang.get("de", 0) < 667    # thinned
+        assert "xx" not in by_lang               # default 0.0 drops stratum
+
+    def test_zero_shuffle_plan(self, spark):
+        docs = spark.range(100).select(
+            F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+        )
+        plan = plan_of(
+            stratified_sample(docs, "doc_id", "lang", {"en": 0.5})
+        )
+        assert "Exchange" not in plan
+        assert "Python" not in plan  # pure JVM column algebra
+
+    def test_hash_range(self, spark):
+        docs = spark.range(300).select(F.col("id").alias("doc_id"))
+        mm = docs.select(
+            F.min(sample_hash_micro("doc_id")).alias("lo"),
+            F.max(sample_hash_micro("doc_id")).alias("hi"),
+        ).collect()[0]
+        assert 0 <= mm.lo and mm.hi < 1_000_000
+
+
+# ---------------------------------------------------------- line dedup
+
+
+class TestLineDedupCorpus:
+    @pytest.fixture()
+    def corpus(self, spark):
+        # 6 docs share a banner; doc 5 is ONLY boilerplate; doc 6 unique.
+        rows = [
+            (i, "COOKIE banner!!\nbody %d\n\nfooter common" % i) for i in range(5)
+        ] + [(5, "COOKIE banner!!"), (6, "all mine\nonly here")]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_drops_frequent_lines_keeps_order(self, corpus):
+        out = {
+            r.doc: r
+            for r in line_dedup_corpus(
+                corpus, "doc_id", max_line_df=3
+            ).collect()
+        }
+        # banner df=6 > 3 and footer df=5 > 3 drop; body + blank line stay
+        assert out[0].text_clean == "body 0\n"
+        assert (out[0].n_lines, out[0].n_kept, out[0].n_dropped) == (4, 2, 2)
+        # all-boilerplate doc survives as a row with empty text
+        assert out[5].text_clean == "" and out[5].n_kept == 0
+        # unique doc untouched
+        assert out[6].text_clean == "all mine\nonly here"
+
+    def test_normalization_unifies_variants(self, spark):
+        """Case/punctuation variants of a line count as ONE line for the
+        frequency (CCNet normalizes before hashing)."""
+        rows = [(i, "Accept Cookies!\nbody %d" % i) for i in range(3)]
+        rows += [(3, "ACCEPT   COOKIES\nbody 3"), (4, "accept cookies.\nbody 4")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = line_dedup_corpus(df, "doc_id", max_line_df=4)
+        assert out.filter(F.col("n_dropped") > 0).count() == 5
+
+    def test_blank_lines_never_candidates(self, spark):
+        """Whitespace-only lines appear in every doc but must never be
+        dropped — they carry document structure, not boilerplate signal."""
+        rows = [(i, "a %d\n\n  \nb %d" % (i, i)) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = line_dedup_corpus(df, "doc_id", max_line_df=2)
+        assert out.filter(F.col("n_dropped") > 0).count() == 0
+        assert out.filter(F.col("n_kept") != 4).count() == 0

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .skewjoin import skew_safe_count_join
+
 N_PERMS = 16
 N_BANDS = 4  # 4 bands x 4 rows
 SHINGLE_K = 3
@@ -619,3 +621,90 @@ def shared_substring_spans(
     return spans.orderBy(
         F.desc("span_tokens"), "doc_a", "doc_b", "start_a"
     ).limit(top)
+
+
+# -------------------------------------------- corpus-level line dedup (CCNet)
+
+
+def line_dedup_corpus(
+    docs: DataFrame,
+    key: str,
+    text_col: str = "text",
+    max_line_df: int = 5,
+    hot_k: int = 65536,
+) -> DataFrame:
+    """CCNet-style corpus-level boilerplate-line removal (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data"): a line whose NORMALIZED form (lowercased, non-alnum
+    stripped, whitespace collapsed) appears in more than ``max_line_df``
+    distinct documents is boilerplate (nav bars, cookie banners, footers)
+    and is dropped from every document; remaining lines are stitched back
+    in original order.
+
+    Output: (doc, n_lines, n_kept, n_dropped, text_clean) — one row per
+    input document, text_clean = '' when everything was boilerplate.
+    Lines whose normalized form is empty are never candidates (they carry
+    no content signal) and are always kept.
+
+    Scale shape for 10^12 documents: posexplode + normalize are map-side;
+    the line-frequency table is one groupBy(norm-hash) with map-side
+    combine; the frequency join back goes through the hot/cold split
+    (operators/skewjoin.py — boilerplate lines ARE the hot keys, so the
+    naive join would put every cookie-banner occurrence on one reducer);
+    reconstruction is one groupBy(doc) whose per-key size is bounded by a
+    document's own line count. Lines join on xxhash64(norm) — an internal
+    key choice the oracle does not need to mirror, since the output is
+    the reconstructed text.
+    """
+    lines = docs.selectExpr(
+        f"{key} AS doc",
+        f"posexplode(split({text_col}, '\\n')) AS (pos, line)",
+    ).withColumn(
+        "_norm",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("line")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        ),
+    )
+    keep_always = lines.filter(F.col("_norm") == "").select("doc", "pos", "line")
+    cand = (
+        lines.filter(F.col("_norm") != "")
+        .withColumn("_nh", F.xxhash64("_norm"))
+        .select("doc", "pos", "line", "_nh")
+    )
+    cand = cand.localCheckpoint()  # consumers: df table + both join branches
+    line_df = cand.groupBy("_nh").agg(
+        F.countDistinct("doc").alias("_df")
+    )
+    kept_cand = (
+        skew_safe_count_join(cand, "_nh", line_df, "_df", hot_k=hot_k)
+        .filter(F.col("_df") <= max_line_df)
+        .select("doc", "pos", "line")
+    )
+    kept = kept_cand.unionByName(keep_always)
+    rebuilt = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+    )
+    totals = docs.selectExpr(
+        f"{key} AS doc",
+        f"CAST(size(split({text_col}, '\\n')) AS LONG) AS n_lines",
+    )
+    return totals.join(rebuilt, "doc", "left_outer").select(
+        "doc",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )

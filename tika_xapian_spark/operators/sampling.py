@@ -1,0 +1,73 @@
+"""Deterministic, reproducible sampling for training-data pipelines.
+
+A 100 TB curation run cannot use ``DataFrame.sample`` for its mixture
+weights: rng-based sampling changes membership across retries, partitions
+and Spark versions, which breaks resumable runs (a re-executed task must
+keep the same rows) and makes ablations impossible to reproduce. The
+standard fix is hash-based Bernoulli sampling: a row is kept iff a stable
+hash of its key falls under the per-stratum threshold. Membership is then
+a pure function of (key, seed, fractions) — engine-independent,
+replayable, and joinable (the same (key, seed) always lands in the same
+split, so a doc's features computed in another job agree on membership).
+
+Everything here is map-side column algebra: zero shuffles, fully
+predicate-pushable, and the md5-based hash is reproducible bit-for-bit in
+the DuckDB oracles (the same '0x'||substr(md5(..)) arithmetic).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def sample_hash_micro(key: Column | str, seed: str = "sample") -> Column:
+    """Deterministic uniform draw in [0, 1e6) from md5(seed:key) — the
+    first 15 hex digits as an integer, mod 1e6. 15 hex digits = 60 bits,
+    so the modulo bias is ~2^-40, far below any fraction granularity."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(seed), k.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(MICRO),
+    )
+
+
+def deterministic_sample(
+    docs: DataFrame, key: str, fraction: float, seed: str = "sample"
+) -> DataFrame:
+    """Keep each row iff hash(key) < fraction — same rows every run,
+    every engine, every partition layout."""
+    return docs.filter(sample_hash_micro(key, seed) < int(round(fraction * MICRO)))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    seed: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sample: row kept iff
+    hash(key) < fraction[stratum] (``default_fraction`` for unlisted
+    strata). Adds ``sample_hash_micro`` so downstream jobs can re-derive
+    membership or take nested sub-samples (hash < f2 < f1 is a subset of
+    hash < f1 — nested splits for free)."""
+    pairs: list[Column] = []
+    for stratum, frac in sorted(fractions.items()):
+        pairs += [F.lit(stratum), F.lit(int(round(frac * MICRO)))]
+    threshold = F.coalesce(
+        F.create_map(*pairs)[F.col(strata_col)],
+        F.lit(int(round(default_fraction * MICRO))),
+    )
+    return docs.withColumn(
+        "sample_hash_micro", sample_hash_micro(key, seed).cast("long")
+    ).filter(F.col("sample_hash_micro") < threshold)

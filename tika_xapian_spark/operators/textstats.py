@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import tokens_col
+from .skewjoin import skew_safe_count_join
 
 # Tiny per-language stopword profiles (n-gram-heuristic language ID). Word
 # lists are the most frequent function words of each language — the classic
@@ -410,13 +411,10 @@ def unigram_logppl(
       MAP-SIDE from the sorted token array (run-length boundaries), so
       the join input is one row per (doc, distinct token), not per
       occurrence;
-    * the Zipf head is joined via a BOUNDED broadcast: the ``hot_vocab``
-      highest-count tokens (a top-K, never the full vocab — web vocab is
-      unbounded, a blanket broadcast would be the TPC-H forced-broadcast
-      anti-pattern) carry their counts map-side;
-    * the tail joins by shuffle after a broadcast anti-join removes hot
-      tokens from the probe side — every surviving key has global count
-      <= the K-th hot count, so no reducer can be hot by construction.
+    * the token-count join goes through the hot/cold split
+      (operators/skewjoin.py): the ``hot_vocab`` highest-count tokens
+      carry their counts via a bounded broadcast, the tail shuffles with
+      no hot key left on the probe side.
 
     Shuffles: groupBy(token) for the unigram table, the tail equi-join,
     and the final groupBy(doc). Corpus total rides as a broadcast 1-row
@@ -443,15 +441,10 @@ def unigram_logppl(
         F.sum("tf").alias("_c")
     ).localCheckpoint()  # consumers: total, hot top-K, tail join
     total = F.broadcast(counts.agg(F.sum("_c").cast("double").alias("_total")))
-    hot = F.broadcast(counts.orderBy(F.desc("_c"), "token").limit(hot_vocab))
-    tf_hot = tf.join(hot, "token")
-    tf_cold = tf.join(hot.select("token"), "token", "left_anti").join(
-        counts, "token"
-    )
+    joined = skew_safe_count_join(tf, "token", counts, "_c", hot_k=hot_vocab)
     bits = F.col("tf") * (F.log2(F.col("_total")) - F.log2(F.col("_c")))
     return (
-        tf_hot.unionByName(tf_cold)
-        .crossJoin(total)
+        joined.crossJoin(total)
         .groupBy("doc")
         .agg(
             F.sum("tf").cast("long").alias("n_tokens"),

@@ -1422,6 +1422,128 @@ SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
 FROM documents WHERE doc_id < 100 ORDER BY doc_id"""
 
 
+# --------------------------------------------- corpus line dedup + sampling
+
+_BOILER_HEADER = "Shared Cookie Banner -- Accept ALL cookies!"
+LINE_DEDUP_MAX_DF = 5
+
+
+def _boiler_docs(spark, sf_dir):
+    """documents wrapped in deterministic synthetic boilerplate (a global
+    header line + a per-source footer line) — the corpus is single-line
+    per doc, so the line-dedup signal is synthesized identically in both
+    engines (the url-ops pattern): header df = n_docs, footer df = docs
+    per source, body df = 1."""
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"concat('{_BOILER_HEADER}', chr(10), text, chr(10), "
+        "'footer of ', source) AS text",
+    )
+
+
+def q_dedup_lines(spark, sf_dir):
+    """CCNet-style corpus-level boilerplate-line removal (Wenzek et al.
+    2020): lines recurring in > LINE_DEDUP_MAX_DF distinct docs drop,
+    documents are stitched back in order (operators/dedup.py:
+    line_dedup_corpus — hot/cold skew-split frequency join)."""
+    return (
+        D.line_dedup_corpus(
+            _boiler_docs(spark, sf_dir), key="doc_id",
+            max_line_df=LINE_DEDUP_MAX_DF,
+        )
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_lines", "n_kept", "n_dropped", "text_clean",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DEDUP_LINES = f"""
+WITH aug AS (
+  SELECT doc_id,
+         '{_BOILER_HEADER}' || chr(10) || text || chr(10)
+           || 'footer of ' || source AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, chr(10)), 1) AS BIGINT) AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM aug
+),
+normed AS (
+  SELECT doc_id, pos, line,
+         trim(regexp_replace(regexp_replace(lower(line), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM lines
+),
+dfreq AS (
+  SELECT norm, count(DISTINCT doc_id) AS df FROM normed
+  WHERE norm != '' GROUP BY norm
+),
+kept AS (
+  SELECT n.doc_id, n.pos, n.line
+  FROM normed n LEFT JOIN dfreq USING (norm)
+  WHERE n.norm = '' OR dfreq.df <= {LINE_DEDUP_MAX_DF}
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CAST(len(string_split(a.text, chr(10))) AS BIGINT) AS n_lines,
+       CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(string_split(a.text, chr(10))) - coalesce(g.n_kept, 0) AS BIGINT)
+         AS n_dropped,
+       coalesce(g.text_clean, '') AS text_clean
+FROM aug a LEFT JOIN agg g USING (doc_id)
+ORDER BY a.doc_id"""
+
+
+SAMPLE_FRACTIONS = {"en": 0.25, "de": 0.5, "fr": 0.1, "zh": 1.0}
+SAMPLE_DEFAULT = 0.02
+SAMPLE_SEED = "mix-v1"
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic hash-Bernoulli stratified sample by lang — the
+    reproducible training-mixture primitive (operators/sampling.py):
+    membership is a pure function of (doc_id, seed, fractions), zero
+    shuffles, identical in every engine/run/partitioning."""
+    from ..operators.sampling import stratified_sample
+
+    return (
+        stratified_sample(
+            _docs(spark, sf_dir), key="doc_id", strata_col="lang",
+            fractions=SAMPLE_FRACTIONS, default_fraction=SAMPLE_DEFAULT,
+            seed=SAMPLE_SEED,
+        )
+        .select("doc_id", "lang", "source", "sample_hash_micro")
+        .orderBy("doc_id")
+    )
+
+
+def _sample_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(round(v * 1_000_000))}"
+        for k, v in sorted(SAMPLE_FRACTIONS.items())
+    )
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5('{SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS sample_hash_micro
+  FROM documents
+)
+SELECT doc_id, lang, source, sample_hash_micro
+FROM hashed
+WHERE sample_hash_micro <
+      (CASE lang {cases} ELSE {int(round(SAMPLE_DEFAULT * 1_000_000))} END)
+ORDER BY doc_id"""
+
+
 DATA_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_signature": q_dedup_minhash_signature,
@@ -1453,6 +1575,8 @@ DATA_QUERIES = {
     "multimodal_fake_features": q_multimodal_fake_features,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
+    "dedup_lines": q_dedup_lines,
+    "sample_stratified": q_sample_stratified,
 }
 
 
@@ -1488,4 +1612,6 @@ def data_oracle_sqls() -> dict[str, str]:
         "multimodal_fake_features": ORACLE_MM_FEATURES,
         "multimodal_frames": ORACLE_MM_FRAMES,
         "multimodal_resize": ORACLE_MM_RESIZE,
+        "dedup_lines": ORACLE_DEDUP_LINES,
+        "sample_stratified": _sample_oracle(),
     }
