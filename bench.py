@@ -304,6 +304,7 @@ def bench_scaling(n_rows: int | None = None) -> dict:
         int(x) for x in os.environ.get("BENCH_SCALE_CORES", "4,16").split(",")
     )
     result: dict = {"metric": f"scaling_efficiency_{lo}_to_{hi}", "rows": n, "sf": sf}
+    steal = _StealSampler()  # certify the WHOLE two-session window
     rates = {}
     for cpus in (lo, hi):
         wait_for_quiet()
@@ -336,6 +337,7 @@ def bench_scaling(n_rows: int | None = None) -> dict:
         rates[hi] / rates[lo] / (hi / lo), 3
     )
     result["unit"] = "ratio"
+    result["max_steal_pct"] = steal.max_steal()
     return result
 
 
@@ -440,6 +442,7 @@ def bench_scaling_queries(n_rows: int | None = None) -> dict:
         "batch": QBENCH_BATCH,
         "inflight": QBENCH_INFLIGHT,
     }
+    steal = _StealSampler()  # certify the WHOLE two-session window
     qps = {}
     for cpus in (lo, hi):
         wait_for_quiet()
@@ -514,6 +517,7 @@ def bench_scaling_queries(n_rows: int | None = None) -> dict:
         qps[hi] / qps[lo] / (hi / lo), 3
     )
     result["unit"] = "ratio"
+    result["max_steal_pct"] = steal.max_steal()
     return result
 
 
