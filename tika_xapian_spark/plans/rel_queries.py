@@ -540,6 +540,160 @@ ORDER BY revenue_cents DESC, custkey
 LIMIT 20"""
 
 
+def q_tpch_promo_revenue(spark, sf_dir):
+    """Q14-shape (promotion effect), widened to a per-month series: promo
+    vs total revenue per ship-month over one year. ``part`` scales
+    linearly with SF in TPC-H (200k rows/SF), so the lineitem×part join is
+    hint-free — AQE broadcasts it under the threshold at small sf and
+    falls back to a shuffle join at 100×. The promo share is emitted as
+    the exact (promo_cents, total_cents) pair rather than a ratio: a
+    bigint×bigint division would route through double and lose exactness
+    above 2^53."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(
+            part.select("p_partkey", "p_type"),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            .alias("promo_cents"),
+            F.sum(rev).alias("total_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+ORACLE_TPCH_PROMO = """
+SELECT date_trunc('month', l.l_shipdate)::TIMESTAMP AS ship_month,
+       CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+ORDER BY 1"""
+
+
+def q_tpch_order_priority(spark, sf_dir):
+    """Q4-shape (order-priority checking): orders per priority bucket in a
+    quarter having at least one LATE lineitem — an existential (LEFT SEMI)
+    join, the one relational join type the registry lacked. The reference
+    schema's commit/receipt dates don't exist in the synthetic table, so
+    'late' is l_shipdate > o_orderdate + 60 days (same fact-fact exists
+    shape). Semi joins never materialize match multiplicity, so the probe
+    side stays one row per order through the shuffle — the right plan when
+    each order averages 4+ lineitems."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (li["l_orderkey"] == F.col("o_orderkey"))
+        & (li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_TPCH_ORDER_PRIORITY = """
+SELECT o.o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+ORDER BY 1"""
+
+
+def q_events_asof_attribution(spark, sf_dir):
+    """AS-OF join — the classic time-series operator Spark has no builtin
+    for: attribute every purchase to the same user's most recent click at
+    or before the purchase instant (marketing last-touch attribution).
+
+    Implemented with ZERO join: union the two tagged event streams, one
+    Exchange on user_id, and a running last-click window carries the as-of
+    state into each purchase row. An equi+range join would shuffle both
+    sides on the same key and then pay an extra sort-merge with range
+    dedup; the union form is one shuffle + one sort and never materializes
+    candidate pairs, so it survives users with millions of events. Window
+    order (ts, is_purchase, event_id) makes ties deterministic: a click at
+    exactly the purchase ts counts (sorts first), and among same-ts clicks
+    the highest event_id wins.
+
+    The oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — an independent
+    implementation of the semantics, not a mirror of this plan (the
+    synthetic clicks are (user_id, ts)-unique at every sf, so ASOF's
+    same-ts tie is never exercised and both definitions coincide)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("is_purchase")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("is_purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last(
+        F.when(
+            F.col("is_purchase") == 0,
+            F.struct(
+                F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("_lc", last_click)
+        .filter(F.col("is_purchase") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("_lc.click_id").alias("click_id"),
+            F.col("_lc.click_ts").alias("click_ts"),
+            # ts is TIMESTAMP_NTZ; timestampdiff accepts NTZ where
+            # unix_micros does not, and a wall-clock difference is exactly
+            # what the oracle's epoch_us(p.ts) - epoch_us(c.ts) computes.
+            F.expr("timestampdiff(MICROSECOND, _lc.click_ts, ts)").alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+ORACLE_EVENTS_ASOF = """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       c.event_id AS click_id, c.ts AS click_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY purchase_id"""
+
+
 REL_QUERIES = {
     "events_windowed": q_events_windowed,
     "events_stream_windowed": q_events_stream_windowed,
@@ -555,6 +709,9 @@ REL_QUERIES = {
     "tpch_shipping_priority": q_tpch_shipping_priority,
     "tpch_local_supplier_volume": q_tpch_local_supplier_volume,
     "tpch_returned_items": q_tpch_returned_items,
+    "tpch_promo_revenue": q_tpch_promo_revenue,
+    "tpch_order_priority": q_tpch_order_priority,
+    "events_asof_attribution": q_events_asof_attribution,
 }
 
 
@@ -574,4 +731,7 @@ def rel_oracle_sqls() -> dict[str, str]:
         "tpch_shipping_priority": ORACLE_TPCH_SHIPPING,
         "tpch_local_supplier_volume": ORACLE_TPCH_LOCAL_SUPPLIER,
         "tpch_returned_items": ORACLE_TPCH_RETURNED,
+        "tpch_promo_revenue": ORACLE_TPCH_PROMO,
+        "tpch_order_priority": ORACLE_TPCH_ORDER_PRIORITY,
+        "events_asof_attribution": ORACLE_EVENTS_ASOF,
     }
