@@ -185,3 +185,76 @@ class TestLineDedupCorpus:
         out = line_dedup_corpus(df, "doc_id", max_line_df=2)
         assert out.filter(F.col("n_dropped") > 0).count() == 0
         assert out.filter(F.col("n_kept") != 4).count() == 0
+
+
+# ------------------------------------------------- LSH jumbo-bucket cap
+
+
+class TestLshBucketCap:
+    """lsh_candidates(max_bucket_size=...): an identical-text cluster of n
+    docs puts n rows in the same bucket of every band, so the self-join
+    emits O(n^2) pairs per band — the measured disk-filler at 600k pages.
+    The cap drops such buckets whole; small (discriminative) buckets are
+    untouched."""
+
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        from tika_xapian_spark.operators import dedup as D
+
+        cluster = "the quick brown fox jumps over the lazy dog every day"
+        near_a = "some other english text about a completely different matter"
+        near_b = "some other english text about a completely different topic"
+        rows = [(i, cluster) for i in range(1, 6)]
+        rows += [(10, near_a), (11, near_b)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sh = D.shingles_df(docs, key="doc_id")
+        buckets = D.band_buckets(D.minhash_signatures(sh))
+        return D, buckets
+
+    def test_uncapped_has_cluster_pairs(self, frames):
+        D, buckets = frames
+        pairs = {
+            (r.doc_a, r.doc_b) for r in D.lsh_candidates(buckets).collect()
+        }
+        assert (1, 2) in pairs and (4, 5) in pairs  # quadratic cluster
+        assert (10, 11) in pairs
+
+    def test_cap_drops_jumbo_bucket_keeps_small(self, frames):
+        D, buckets = frames
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in D.lsh_candidates(buckets, max_bucket_size=4).collect()
+        }
+        assert not any(a <= 5 and b <= 5 for a, b in pairs), pairs
+        assert (10, 11) in pairs  # size-2 bucket survives a cap of 4
+
+    def test_bad_cap_raises(self, frames):
+        D, buckets = frames
+        with pytest.raises(ValueError, match="max_bucket_size"):
+            D.lsh_candidates(buckets, max_bucket_size=0)
+
+
+class TestCanonicalNearDup:
+    """curate_docs runs near-dup over exact-dedup canonicals only. The
+    equivalence argument: a non-canonical near-dup partner a (< b) always
+    has a canonical a' <= a with byte-identical text, hence the same
+    shingles, signature, and buckets — so the pair (a', b) still drops b.
+    This pins the mechanism: b's only sub-canonical partner is doc 2, and
+    b is still dropped via canonical doc 1."""
+
+    def test_near_dup_via_non_canonical_still_dropped(self, spark):
+        from tika_xapian_spark.plans.curation import curate_docs
+
+        t = "the quick brown fox jumps over the lazy dog and then sleeps"
+        rows = [(1, t), (2, t), (3, t.replace("dog", "cat"))]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        kept = {
+            r.doc_id
+            for r in curate_docs(
+                docs, gate="classic", quality_min=-(10**9), jaccard_min=400_000
+            ).collect()
+        }
+        # 2 goes to exact dedup (canonical is 1); 3 is near-dup of the
+        # cluster text and must be dropped through pair (1, 3) even though
+        # near-dup candidates never see doc 2
+        assert kept == {1}

@@ -62,6 +62,24 @@ class TestDedupPlans:
         # the md5 group + join should resolve to broadcast (small groups side)
         assert "CartesianProduct" not in plan
 
+    def test_minhash_no_seed_explode_single_exchange(self, docs):
+        """minhash_signatures must aggregate 16 per-seed minima in ONE
+        groupBy(doc) — the naive form explodes every shingle row 16x
+        BEFORE the shuffle, carrying 16x the corpus shingle stream through
+        the Exchange (the simhash r4 lesson, re-learned on the 600k-page
+        curate bench)."""
+        sh = D.shingles_df(docs, "doc_id")
+        plan = plan_of(D.minhash_signatures(sh))
+        # no per-seed explode: the only explode is the shingle generator
+        # (whose input legitimately uses sequence() for positions)
+        assert plan.count("Generate explode") == 1, plan
+        # exactly one aggregation exchange (the groupBy(doc)), partial
+        # min-aggregates combined map-side before it
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "partial_min" in plan, plan
+        # stack() unpivot runs AFTER the aggregate
+        assert "stack" in plan.lower()
+
 
 class TestSimilarityPlans:
     def test_pairwise_dedup_banded_equijoin(self, emb):
@@ -508,6 +526,9 @@ class TestTpchJoinStrategy:
             ("tpch_shipping_priority", 1, 0),    # date-filtered orders
             ("tpch_local_supplier_volume", 2, 3),# orders, customer | supp, nation, region
             ("tpch_returned_items", 2, 1),       # orders, customer | nation
+            ("tpch_promo_revenue", 1, 0),        # part (linear: 200k/SF)
+            ("tpch_order_priority", 1, 0),       # lineitem (semi, hint-free)
+            ("tpch_nation_volume", 3, 2),        # supp, orders, cust | nation x2
         ],
     )
     def test_scaling_relations_not_forced_broadcast(
@@ -531,3 +552,21 @@ class TestTpchJoinStrategy:
                   "tpch_shipping_priority", "tpch_local_supplier_volume",
                   "tpch_returned_items"):
             assert REL_QUERIES[q](spark, self.SF).count() > 0
+
+
+class TestRollupPlan:
+    """tpch_rollup_revenue's docstring claims ONE shuffle: Spark expands
+    the grouping sets (Expand node) BEFORE the exchange and still combines
+    partial aggregates map-side. Pin both — a plan that aggregated each
+    grouping set separately would shuffle once per set."""
+
+    def test_rollup_single_exchange_with_expand(self, spark):
+        from tika_xapian_spark.plans.rel_queries import q_tpch_rollup_revenue
+
+        df = q_tpch_rollup_revenue(spark, "/root/testdata/sf0.001")
+        plan = plan_of(df)
+        assert "Expand" in plan, plan
+        # one aggregation exchange + the final orderBy's range exchange
+        n_ex = plan.count("Exchange hashpartitioning")
+        assert n_ex == 1, plan
+        assert "partial" in plan.lower(), plan  # map-side combine survives

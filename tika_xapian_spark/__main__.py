@@ -49,6 +49,12 @@ def main(argv: list[str] | None = None) -> int:
         "'gopher' (Rae et al. rule set + repetition cap)",
     )
     pd.add_argument("--min-stop", type=int, default=1)
+    pd.add_argument(
+        "--max-bucket-size", type=int, default=None,
+        help="skip LSH buckets larger than this before pair generation "
+        "(default: the library's 1000; pair count per bucket is quadratic, "
+        "so jumbo boilerplate buckets must be capped at scale)",
+    )
     pd.add_argument("--master", default=None)
 
     pq = sub.add_parser("query", help="ranked search over a written index")
@@ -79,11 +85,16 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "curate":
             from pyspark.sql import functions as F
 
-            from .plans.curation import curate_docs
+            from .plans.curation import MAX_BUCKET_SIZE, curate_docs
 
             docs = spark.read.parquet(args.docs)
             kept = curate_docs(
-                docs, key=args.key, gate=args.gate, min_stop=args.min_stop
+                docs, key=args.key, gate=args.gate, min_stop=args.min_stop,
+                max_bucket_size=(
+                    args.max_bucket_size
+                    if args.max_bucket_size is not None
+                    else MAX_BUCKET_SIZE
+                ),
             )
             kept.write.mode("overwrite").parquet(args.out)
             n_in = docs.count()

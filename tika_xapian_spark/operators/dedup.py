@@ -62,14 +62,23 @@ def shingles_df(
     docs: DataFrame, key: str, text_col: str = "text", k: int = SHINGLE_K
 ) -> DataFrame:
     """(doc, shingle): distinct k-word shingles; texts shorter than k words
-    contribute their whole token sequence as one shingle."""
-    toks = tokens_col(text_col)
+    contribute their whole token sequence as one shingle.
+
+    The tokenize-split is STAGED in its own projection before the shingle
+    transform references it (the textstats._with_tokens /
+    window_gram_positions rule): referenced directly inside the lambda,
+    the regex split is inlined into the per-element body and the whole
+    text is re-split once per shingle POSITION — O(len^2) regex work per
+    doc. A jstack of the 600k-page curate bench showed 29/30 executor
+    threads inside java.util.regex for exactly this reason."""
+    staged = docs.select(F.col(key).alias("doc"), tokens_col(text_col).alias("toks"))
+    toks = F.col("toks")
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
     return (
-        docs.select(F.col(key).alias("doc"), F.explode(F.array_distinct(sh)).alias("shingle"))
+        staged.select("doc", F.explode(F.array_distinct(sh)).alias("shingle"))
         .filter(F.col("shingle") != "")
     )
 
@@ -79,18 +88,26 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc, seed, minhash): minhash = lexicographic min of md5('<seed>:'||shingle)
     over the doc's shingles. A fixed-width hex string is an order-isomorphic
-    128-bit hash — engine-portable."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("seed")
-    return (
-        shingles.select("doc", "shingle", seeds)
-        .select(
-            "doc",
-            "seed",
-            F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc", "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
+    128-bit hash — engine-portable.
+
+    Plan shape: ONE wide groupBy(doc) of n_perms min-aggregates, then a
+    post-aggregation unpivot — the simhash lesson applied to minhash. The
+    naive form explodes every shingle row n_perms times BEFORE its
+    groupBy(doc, seed), so the aggregation shuffle carries 16x the corpus
+    shingle stream; here the shuffle input is the (doc, shingle) rows
+    themselves and the unpivot runs on docs x n_perms rows (post-agg,
+    negligible). Values are IDENTICAL to the naive form — min per seed
+    commutes with how rows are laid out — so the SQL oracle keeps the
+    readable CROSS JOIN formulation."""
+    mins = [
+        F.min(F.md5(F.concat_ws(":", F.lit(s), F.col("shingle")))).alias(f"m{s}")
+        for s in range(n_perms)
+    ]
+    wide = shingles.groupBy("doc").agg(*mins)
+    pairs = ", ".join(f"{s}, m{s}" for s in range(n_perms))
+    return wide.select(
+        "doc", F.expr(f"stack({n_perms}, {pairs}) AS (seed, minhash)")
+    ).select("doc", F.col("seed").cast("int").alias("seed"), "minhash")
 
 
 def band_buckets(signatures: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
@@ -105,8 +122,32 @@ def band_buckets(signatures: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     )
 
 
-def lsh_candidates(buckets: DataFrame) -> DataFrame:
-    """(doc_a, doc_b): pairs sharing at least one band bucket."""
+def lsh_candidates(
+    buckets: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """(doc_a, doc_b): pairs sharing at least one band bucket.
+
+    ``max_bucket_size``: skip buckets holding more than this many docs
+    before the self-join. The pair count of a bucket is quadratic in its
+    size, so one boilerplate-template cluster of 10k docs emits ~5*10^7
+    pairs per band and the shuffle diverges — the curation CLI measured
+    exactly that (disk-full at 600k pages). A jumbo bucket means the band
+    signature stopped discriminating (shared boilerplate dominates the
+    minhash), so its pairs carry ~no near-dup signal; dropping the whole
+    bucket is the same published cap discipline as the hot-gram df cap in
+    ``substring_dup_spans`` (Lee et al. 2022) and bounds the join at
+    n_buckets * cap^2. ``None`` (the default) keeps the exact behavior."""
+    if max_bucket_size is not None and max_bucket_size < 1:
+        raise ValueError(f"max_bucket_size must be >= 1, got {max_bucket_size}")
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        buckets = (
+            buckets.join(sizes, ["band", "band_key"])
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
     a = buckets.select(F.col("doc").alias("doc_a"), "band", "band_key")
     b = buckets.select(F.col("doc").alias("doc_b"), "band", "band_key")
     return (

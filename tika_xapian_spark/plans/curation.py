@@ -7,8 +7,15 @@ Stages (each an independently oracle-checked operator):
     -> quality gate ('classic' composite score, or 'gopher' rule set +
        top-2-gram repetition cap)
     -> exact-duplicate canonical only (md5 groups, min-id canonical)
-    -> near-duplicate removal (minhash-LSH banded candidates, exact
+    -> near-duplicate removal (minhash-LSH banded candidates over the
+       exact-dedup canonicals — provably the same kept set, see the
+       inline note — with a jumbo-bucket cap (default 1000), exact
        Jaccard verify, drop the higher doc id of each pair)
+
+The cap never fires at the oracle scales (max observed bucket is 4 docs
+at sf0.001), so CLI output == the driver queries' kept ids there; at web
+scale it bounds the candidate join at n_buckets * cap^2 instead of
+letting one boilerplate cluster go quadratic.
 
 Returns the KEPT rows of the input frame, all original columns intact, so
 the output parquet is a drop-in curated corpus.
@@ -27,6 +34,9 @@ JACCARD_MIN = 500_000
 TOP2_MAX = 250_000
 
 
+MAX_BUCKET_SIZE = 1000
+
+
 def curate_docs(
     docs: DataFrame,
     key: str = "doc_id",
@@ -36,6 +46,7 @@ def curate_docs(
     quality_min: int = QUALITY_MIN,
     jaccard_min: int = JACCARD_MIN,
     top2_max: int = TOP2_MAX,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE,
 ) -> DataFrame:
     if gate not in ("classic", "gopher"):
         raise ValueError(f"gate must be 'classic' or 'gopher', got {gate!r}")
@@ -79,13 +90,26 @@ def curate_docs(
         .filter(F.col(key) == F.col("canonical_id"))
         .drop("canonical_id")
     )
+    # Near-dup runs over exact-dedup CANONICALS only — provably the same
+    # kept set as running it over all docs: if a non-canonical a < b is a
+    # near-dup of b, a's canonical a' <= a < b has *identical* text, hence
+    # identical shingles, identical minhash signature and the same band
+    # buckets, so the pair (a', b) is generated with the same jaccard and
+    # still drops b. What the restriction buys is that an identical-text
+    # cluster of 10k docs contributes ONE bucket row instead of 10k —
+    # at 600k synthetic pages the unrestricted self-join emitted ~10^10
+    # pair rows (7 clusters of ~10.7k docs each) and filled the disk.
+    canon = docs.join(
+        exact.filter(F.col(key) == F.col("canonical_id")).select(key), key
+    )
     # localCheckpoint, not persist: both frames have multiple consumers
     # (exact_jaccard reads sh twice, cand twice), but a per-call persist in
     # a reusable library entry leaks cached partitions for the session's
     # lifetime — checkpoint blocks are released when the RDD is GC'd
-    sh = D.shingles_df(docs, key=key, text_col=text_col).localCheckpoint()
+    sh = D.shingles_df(canon, key=key, text_col=text_col).localCheckpoint()
     cand = D.lsh_candidates(
-        D.band_buckets(D.minhash_signatures(sh))
+        D.band_buckets(D.minhash_signatures(sh)),
+        max_bucket_size=max_bucket_size,
     ).localCheckpoint()
     nd_drop = (
         D.exact_jaccard(cand, sh)

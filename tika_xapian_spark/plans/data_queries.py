@@ -131,6 +131,53 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     )
 
 
+MINHASH_CAP = 2  # max bucket at sf0.001 is 4 docs, at sf0.01 is 3 — a cap
+# of 2 excludes real buckets at BOTH oracle scales, so the gate actually
+# exercises the exclusion path
+
+
+def q_dedup_minhash_pairs_capped(spark, sf_dir):
+    """The jumbo-bucket-capped variant of dedup_minhash_pairs — the form a
+    web-scale run uses (operators/dedup.py::lsh_candidates max_bucket_size):
+    buckets holding more docs than the cap are skipped before the
+    quadratic self-join. Cap=2 here so the exclusion is live at the oracle
+    scales; production default is 1000 (plans/curation.py)."""
+    sh = _shingles(spark, sf_dir)
+    ck = f"{sf_dir}#cap{MINHASH_CAP}"
+    if ck not in _MINHASH_CAND_CACHE:
+        _MINHASH_CAND_CACHE[ck] = D.lsh_candidates(
+            D.band_buckets(D.minhash_signatures(sh)),
+            max_bucket_size=MINHASH_CAP,
+        ).persist()
+    return D.exact_jaccard(_MINHASH_CAND_CACHE[ck], sh).orderBy("doc_a", "doc_b")
+
+
+_CAND_CTE = """cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),"""
+
+
+def _oracle_minhash_pairs_capped() -> str:
+    """Derived from ORACLE_MINHASH_PAIRS by swapping in the capped cand
+    CTE — single source of truth for everything except the cap itself."""
+    assert _CAND_CTE in ORACLE_MINHASH_PAIRS, "cand CTE text drifted"
+    return ORACLE_MINHASH_PAIRS.replace(_CAND_CTE, _CAND_CTE_CAPPED, 1)
+
+
+_CAND_CTE_CAPPED = f"""bsize AS (
+  SELECT band, band_key FROM bands
+  GROUP BY band, band_key HAVING count(*) <= {MINHASH_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  JOIN bsize s ON s.band = a.band AND s.band_key = a.band_key
+  WHERE a.doc_id < b.doc_id
+),"""
+
+
 ORACLE_MINHASH_PAIRS = f"""
 WITH {_TOK_CTE},
 toks AS (SELECT doc_id, list(term ORDER BY pos) AS ts FROM tok GROUP BY doc_id),
@@ -1548,6 +1595,7 @@ DATA_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_signature": q_dedup_minhash_signature,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_minhash_pairs_capped": q_dedup_minhash_pairs_capped,
     "dedup_components": q_dedup_components,
     "decontaminate": q_decontaminate,
     "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -1585,6 +1633,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_minhash_signature": ORACLE_MINHASH_SIG,
         "dedup_minhash_pairs": ORACLE_MINHASH_PAIRS,
+        "dedup_minhash_pairs_capped": _oracle_minhash_pairs_capped(),
         "dedup_components": _components_oracle(),
         "decontaminate": ORACLE_DECONTAM,
         "boilerplate_ngrams": ORACLE_BOILERPLATE,

@@ -694,6 +694,137 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 ORDER BY purchase_id"""
 
 
+def q_events_stream_interval_join(spark, sf_dir):
+    """Stream-STREAM interval join (streaming/joins.py): same-user
+    (click, purchase) pairs with the purchase within 1 hour of the click,
+    run as a watermarked two-stream Structured Streaming join over
+    time-ordered micro-batches. Inner interval joins emit eagerly, so one
+    availableNow pass yields the complete pair set == the batch range
+    join, which is what the SQL oracle computes."""
+    from ..streaming.joins import run_stream_interval_join
+    from .workdirs import work_dir
+
+    work = work_dir("stream_interval_join", f"{sf_dir}/events.parquet", fresh=True)
+    return (
+        run_stream_interval_join(spark, f"{sf_dir}/events.parquet", work)
+        .orderBy("purchase_id", "click_id")
+        .localCheckpoint()
+    )
+
+
+ORACLE_EVENTS_INTERVAL_JOIN = """
+SELECT p.user_id, c.event_id AS click_id, c.ts AS click_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+ORDER BY purchase_id, click_id"""
+
+
+def q_tpch_nation_volume(spark, sf_dir):
+    """Q7-shape (volume shipping): revenue flowing between two nations per
+    ship-year, in both directions. The two nation lookups broadcast (25
+    rows, genuinely bounded); ``supplier``, ``orders`` and ``customer``
+    scale with SF and are hint-free — AQE picks broadcast at toy sf and a
+    shuffle join at 100x. The nation-pair filter is applied right after
+    the two (tiny) dimension joins so the fact-fact joins that follow see
+    only the ~8% of lineitem rows in scope."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(supp, li["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders, li["l_orderkey"] == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+ORACLE_TPCH_NATION_VOLUME = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate)::INT AS ship_year,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3"""
+
+
+def q_tpch_rollup_revenue(spark, sf_dir):
+    """ROLLUP / grouping-sets — the OLAP subtotal operator the registry
+    lacked: revenue at (returnflag, linestatus), per-returnflag subtotal,
+    and grand total in ONE pass. Spark expands the grouping sets before
+    the exchange, so partial aggregation still combines map-side and the
+    plan stays one shuffle — the right shape at any scale (output rows =
+    grouping-set count x group cardinality, independent of input size).
+    grouping_id disambiguates a real NULL group from a subtotal row."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        # grouping_id() is only resolvable INSIDE the aggregate — the
+        # analyzer rejects it in a post-agg projection
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.sum(cents("l_extendedprice")).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "gid", "revenue_cents", "n_items"
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_TPCH_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus)::INT AS gid,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus"""
+
+
 REL_QUERIES = {
     "events_windowed": q_events_windowed,
     "events_stream_windowed": q_events_stream_windowed,
@@ -712,6 +843,9 @@ REL_QUERIES = {
     "tpch_promo_revenue": q_tpch_promo_revenue,
     "tpch_order_priority": q_tpch_order_priority,
     "events_asof_attribution": q_events_asof_attribution,
+    "tpch_nation_volume": q_tpch_nation_volume,
+    "events_stream_interval_join": q_events_stream_interval_join,
+    "tpch_rollup_revenue": q_tpch_rollup_revenue,
 }
 
 
@@ -734,4 +868,7 @@ def rel_oracle_sqls() -> dict[str, str]:
         "tpch_promo_revenue": ORACLE_TPCH_PROMO,
         "tpch_order_priority": ORACLE_TPCH_ORDER_PRIORITY,
         "events_asof_attribution": ORACLE_EVENTS_ASOF,
+        "tpch_nation_volume": ORACLE_TPCH_NATION_VOLUME,
+        "events_stream_interval_join": ORACLE_EVENTS_INTERVAL_JOIN,
+        "tpch_rollup_revenue": ORACLE_TPCH_ROLLUP,
     }
