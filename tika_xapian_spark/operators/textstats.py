@@ -182,20 +182,25 @@ def _lines_col(text_col: str) -> Column:
 
 def _word_ngrams(toks_sql: str, n: int) -> str:
     """SQL text: space-joined word n-grams as a string array (empty when
-    < n tokens). Grams are built with n O(1) ``element_at`` probes +
-    one ``concat`` — NOT ``slice``+``concat_ws``, which allocates a
-    throwaway sub-array per position (measured 1.75x slower on the gram
-    generation leg; HOF lambdas run interpreted, so per-element
-    allocations dominate)."""
-    parts = ", ' ', ".join(
-        f"element_at({toks_sql}, i + {j})" for j in range(1, n + 1)
-    )
-    return (
-        f"IF(size({toks_sql}) >= {n}, "
-        f"transform(sequence(0, size({toks_sql}) - {n}), "
-        f"i -> concat({parts})), "
-        f"CAST(array() AS ARRAY<STRING>))"
-    )
+    < n tokens).
+
+    The lambda must NEVER reference the tokens array itself — grams are
+    built by arrays_zip-ping n shifted slices, so the transform lambda
+    touches only its own element. The previous form probed
+    ``element_at({toks_sql}, i + j)`` inside the lambda; when Catalyst
+    collapses the staging projection into the consumer (it does in the
+    composed curation plan even though it does not standalone — column
+    pruning rebuilds the Projects and the duplicate-expression guard
+    stops protecting references inside lambda bodies), {toks_sql} becomes
+    the raw tokenize-split and the full text regex re-runs PER GRAM
+    POSITION: O(len^2) per doc, 29/30 executor threads in java.util.regex
+    on the 600k-page curate bench. With the zip form the array expression
+    sits only in outer (once-per-row) positions, so even a collapsed plan
+    evaluates the split O(n) times per row."""
+    ll = f"greatest(size({toks_sql}) - {n - 1}, 0)"
+    slices = ", ".join(f"slice({toks_sql}, {j}, {ll})" for j in range(1, n + 1))
+    parts = ", ' ', ".join(f"x['{j}']" for j in range(n))
+    return f"transform(arrays_zip({slices}), x -> concat({parts}))"
 
 
 def _run_stat_exprs(ss_sql: str) -> dict[str, str]:
@@ -358,10 +363,14 @@ def gopher_quality(
     )
     ellipsis_end = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
     alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    # distinct stopwords present = |profile ∩ toks| (profile is distinct).
+    # NOT filter(profile, w -> array_contains(toks, w)): a lambda that
+    # references ``toks`` re-evaluates the tokenize-split once per profile
+    # word when Catalyst collapses the staging projection into the
+    # composed curation plan (see _word_ngrams) — array_intersect keeps
+    # the array in a once-per-row position.
     stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
-    n_stop = F.size(
-        F.filter(stop_arr, lambda w: F.array_contains(toks, w))
-    )
+    n_stop = F.size(F.array_intersect(stop_arr, toks))
     frac = lambda num, den: F.when(den > 0, num / den).otherwise(F.lit(0.0))  # noqa: E731
     m = lambda c: F.round(c * 1_000_000).cast("long")  # noqa: E731
     bullet_frac = frac(bullet, n_lines)

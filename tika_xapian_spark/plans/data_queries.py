@@ -1301,6 +1301,46 @@ FROM documents d LEFT JOIN tok ON tok.doc_id = d.doc_id
 GROUP BY d.doc_id ORDER BY d.doc_id"""
 
 
+def q_doc_length_quantiles(spark, sf_dir):
+    """Corpus length-distribution profile — the summary a curation run
+    reports before picking its Gopher word-count band: exact interpolated
+    percentiles of per-doc token counts. ``F.percentile`` (exact, linear
+    interpolation — the same definition as DuckDB's quantile_cont) rather
+    than percentile_approx: approx sketches are the right call at 10^12
+    rows but their outputs are engine-specific, so the oracle-gated form
+    is the exact one; at scale swap in percentile_approx with a documented
+    error bound. One row out, so the final aggregation collapses to a
+    single partition after the per-doc count shuffle."""
+    counts = T.token_counts(_docs(spark, sf_dir), key="doc_id").select(
+        F.col("ws_tokens").cast("double").alias("n")
+    )
+    qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9}
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.round(F.percentile("n", F.lit(p)) * 1_000_000)
+            .cast("long")
+            .alias(f"{name}_micro")
+            for name, p in qs.items()
+        ],
+    )
+
+
+ORACLE_DOC_LENGTH_QUANTILES = f"""
+WITH {_TOK_CTE},
+counts AS (
+  SELECT d.doc_id, count(tok.term)::DOUBLE AS n
+  FROM documents d LEFT JOIN tok ON tok.doc_id = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT count(*) AS n_docs,
+       CAST(round(quantile_cont(n, 0.25) * 1000000) AS BIGINT) AS p25_micro,
+       CAST(round(quantile_cont(n, 0.5)  * 1000000) AS BIGINT) AS p50_micro,
+       CAST(round(quantile_cont(n, 0.75) * 1000000) AS BIGINT) AS p75_micro,
+       CAST(round(quantile_cont(n, 0.9)  * 1000000) AS BIGINT) AS p90_micro
+FROM counts"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     return (
         T.fingerprints(_docs(spark, sf_dir), key="doc_id")
@@ -1618,6 +1658,7 @@ DATA_QUERIES = {
     "dedup_substring_spans": q_dedup_substring_spans,
     "text_unigram_logppl": q_text_unigram_logppl,
     "token_count": q_token_count,
+    "doc_length_quantiles": q_doc_length_quantiles,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_fake_features": q_multimodal_fake_features,
@@ -1656,6 +1697,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "dedup_substring_spans": ORACLE_SUBSTR_SPANS,
         "text_unigram_logppl": ORACLE_UNIGRAM_LOGPPL,
         "token_count": ORACLE_TOKEN_COUNT,
+        "doc_length_quantiles": ORACLE_DOC_LENGTH_QUANTILES,
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "multimodal_meta": ORACLE_MM_META,
         "multimodal_fake_features": ORACLE_MM_FEATURES,

@@ -724,6 +724,53 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
 ORDER BY purchase_id, click_id"""
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark, sf_dir):
+    """PIVOT — long-to-wide reshaping: per-user event counts, one column
+    per event type, plus purchase spend. The pivot VALUES ARE LISTED
+    EXPLICITLY: an unlisted ``pivot()`` first runs a driver-side distinct
+    collect over the pivot column to discover the keys — an extra job and
+    an unbounded driver list at web scale. Listed, the pivot compiles to
+    one conditional aggregation (a single groupBy(user_id) shuffle), which
+    is exactly the SQL oracle's shape."""
+    ev = _t(spark, sf_dir, "events")
+    agged = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("value")).alias("spend_cents"),
+        )
+    )
+    return agged.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+        F.coalesce(F.col("purchase_spend_cents"), F.lit(0)).alias(
+            "purchase_spend_cents"
+        ),
+    ).orderBy("user_id")
+
+
+ORACLE_EVENTS_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'error')    AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup')   AS n_signup,
+       count(*) FILTER (event_type = 'view')     AS n_view,
+       CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+              FILTER (event_type = 'purchase'), 0) AS BIGINT)
+         AS purchase_spend_cents
+FROM events
+GROUP BY user_id
+ORDER BY user_id"""
+
+
 def q_tpch_nation_volume(spark, sf_dir):
     """Q7-shape (volume shipping): revenue flowing between two nations per
     ship-year, in both directions. The two nation lookups broadcast (25
@@ -845,6 +892,7 @@ REL_QUERIES = {
     "events_asof_attribution": q_events_asof_attribution,
     "tpch_nation_volume": q_tpch_nation_volume,
     "events_stream_interval_join": q_events_stream_interval_join,
+    "events_pivot": q_events_pivot,
     "tpch_rollup_revenue": q_tpch_rollup_revenue,
 }
 
@@ -870,5 +918,6 @@ def rel_oracle_sqls() -> dict[str, str]:
         "events_asof_attribution": ORACLE_EVENTS_ASOF,
         "tpch_nation_volume": ORACLE_TPCH_NATION_VOLUME,
         "events_stream_interval_join": ORACLE_EVENTS_INTERVAL_JOIN,
+        "events_pivot": ORACLE_EVENTS_PIVOT,
         "tpch_rollup_revenue": ORACLE_TPCH_ROLLUP,
     }
