@@ -228,10 +228,26 @@ class TestLshBucketCap:
         assert not any(a <= 5 and b <= 5 for a, b in pairs), pairs
         assert (10, 11) in pairs  # size-2 bucket survives a cap of 4
 
+    def test_star_dedupes_jumbo_at_linear_cost(self, frames):
+        """star_above: the 5-doc identical cluster emits exactly its 4
+        star pairs (min=1 vs 2..5) — the cluster still gets deduped, at
+        n-1 candidates instead of n(n-1)/2 — while the small near-dup
+        bucket keeps its all-pairs form."""
+        D, buckets = frames
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in D.lsh_candidates(buckets, star_above=4).collect()
+        }
+        cluster = {p for p in pairs if p[0] <= 5 and p[1] <= 5}
+        assert cluster == {(1, 2), (1, 3), (1, 4), (1, 5)}, pairs
+        assert (10, 11) in pairs
+
     def test_bad_cap_raises(self, frames):
         D, buckets = frames
         with pytest.raises(ValueError, match="max_bucket_size"):
             D.lsh_candidates(buckets, max_bucket_size=0)
+        with pytest.raises(ValueError, match="star_above"):
+            D.lsh_candidates(buckets, star_above=0)
 
 
 class TestCanonicalNearDup:

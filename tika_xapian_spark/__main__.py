@@ -51,9 +51,14 @@ def main(argv: list[str] | None = None) -> int:
     pd.add_argument("--min-stop", type=int, default=1)
     pd.add_argument(
         "--max-bucket-size", type=int, default=None,
-        help="skip LSH buckets larger than this before pair generation "
-        "(default: the library's 1000; pair count per bucket is quadratic, "
-        "so jumbo boilerplate buckets must be capped at scale)",
+        help="drop LSH buckets larger than this outright (safety valve; "
+        "default none — jumbo buckets are star-paired instead)",
+    )
+    pd.add_argument(
+        "--star-above", type=int, default=None,
+        help="buckets larger than this emit linear star pairs (member vs "
+        "bucket min) instead of the quadratic all-pairs join "
+        "(default: the library's 100)",
     )
     pd.add_argument("--master", default=None)
 
@@ -85,15 +90,14 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "curate":
             from pyspark.sql import functions as F
 
-            from .plans.curation import MAX_BUCKET_SIZE, curate_docs
+            from .plans.curation import STAR_ABOVE, curate_docs
 
             docs = spark.read.parquet(args.docs)
             kept = curate_docs(
                 docs, key=args.key, gate=args.gate, min_stop=args.min_stop,
-                max_bucket_size=(
-                    args.max_bucket_size
-                    if args.max_bucket_size is not None
-                    else MAX_BUCKET_SIZE
+                max_bucket_size=args.max_bucket_size,
+                star_above=(
+                    args.star_above if args.star_above is not None else STAR_ABOVE
                 ),
             )
             kept.write.mode("overwrite").parquet(args.out)

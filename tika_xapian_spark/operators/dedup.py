@@ -123,39 +123,64 @@ def band_buckets(signatures: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
 
 
 def lsh_candidates(
-    buckets: DataFrame, max_bucket_size: int | None = None
+    buckets: DataFrame,
+    max_bucket_size: int | None = None,
+    star_above: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b): pairs sharing at least one band bucket.
 
-    ``max_bucket_size``: skip buckets holding more than this many docs
-    before the self-join. The pair count of a bucket is quadratic in its
-    size, so one boilerplate-template cluster of 10k docs emits ~5*10^7
-    pairs per band and the shuffle diverges — the curation CLI measured
-    exactly that (disk-full at 600k pages). A jumbo bucket means the band
-    signature stopped discriminating (shared boilerplate dominates the
-    minhash), so its pairs carry ~no near-dup signal; dropping the whole
-    bucket is the same published cap discipline as the hot-gram df cap in
-    ``substring_dup_spans`` (Lee et al. 2022) and bounds the join at
-    n_buckets * cap^2. ``None`` (the default) keeps the exact behavior."""
-    if max_bucket_size is not None and max_bucket_size < 1:
-        raise ValueError(f"max_bucket_size must be >= 1, got {max_bucket_size}")
-    if max_bucket_size is not None:
-        sizes = buckets.groupBy("band", "band_key").agg(
-            F.count(F.lit(1)).alias("_n")
+    The pair count of a bucket is quadratic in its size, so one
+    boilerplate-template cluster of 10k docs emits ~5*10^7 pairs per band
+    and the shuffle diverges — the curation CLI measured exactly that
+    (disk-full at 600k pages). Two scale controls:
+
+    ``star_above``: buckets holding more than this many docs emit STAR
+    pairs — every member against the bucket's min doc id — instead of all
+    pairs: n-1 candidates per bucket, linear. The candidates are still
+    exact-Jaccard-verified downstream, so precision is untouched; the
+    recall trade is that two non-min members of a jumbo bucket are never
+    compared directly (they usually meet again in another band, and for
+    drop-the-higher-id dedup everything similar to the representative is
+    caught). This is how a giant near-identical cluster actually gets
+    DEDUPED at scale, where a hard cap would silently keep all of it.
+
+    ``max_bucket_size``: drop buckets above this size outright (the
+    hot-gram-df-cap discipline of ``substring_dup_spans``, Lee et al.
+    2022) — the safety valve when even linear star pairs are unwanted.
+    Applied after star_above when both are set.
+
+    ``None`` (the defaults) keeps the exact all-pairs behavior."""
+    for name, v in (("max_bucket_size", max_bucket_size), ("star_above", star_above)):
+        if v is not None and v < 1:
+            raise ValueError(f"{name} must be >= 1, got {v}")
+    stats = None
+    if max_bucket_size is not None or star_above is not None:
+        stats = buckets.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("_n"), F.min("doc").alias("_min_doc")
         )
-        buckets = (
-            buckets.join(sizes, ["band", "band_key"])
-            .filter(F.col("_n") <= max_bucket_size)
-            .drop("_n")
+        buckets = buckets.join(stats, ["band", "band_key"])
+        if max_bucket_size is not None:
+            buckets = buckets.filter(F.col("_n") <= max_bucket_size)
+    star = None
+    if star_above is not None:
+        jumbo = buckets.filter(F.col("_n") > star_above)
+        star = (
+            jumbo.filter(F.col("doc") != F.col("_min_doc"))
+            .select(F.col("_min_doc").alias("doc_a"), F.col("doc").alias("doc_b"))
         )
+        buckets = buckets.filter(F.col("_n") <= star_above)
+    if stats is not None:
+        buckets = buckets.drop("_n", "_min_doc")
     a = buckets.select(F.col("doc").alias("doc_a"), "band", "band_key")
     b = buckets.select(F.col("doc").alias("doc_b"), "band", "band_key")
-    return (
+    pairs = (
         a.join(b, ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def exact_jaccard(candidates: DataFrame, shingles: DataFrame) -> DataFrame:

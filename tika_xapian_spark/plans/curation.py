@@ -9,13 +9,19 @@ Stages (each an independently oracle-checked operator):
     -> exact-duplicate canonical only (md5 groups, min-id canonical)
     -> near-duplicate removal (minhash-LSH banded candidates over the
        exact-dedup canonicals — provably the same kept set, see the
-       inline note — with a jumbo-bucket cap (default 1000), exact
-       Jaccard verify, drop the higher doc id of each pair)
+       inline note — with STAR pairing for jumbo buckets (default
+       star_above=100), exact Jaccard verify, drop the higher doc id of
+       each pair)
 
-The cap never fires at the oracle scales (max observed bucket is 4 docs
-at sf0.001), so CLI output == the driver queries' kept ids there; at web
-scale it bounds the candidate join at n_buckets * cap^2 instead of
-letting one boilerplate cluster go quadratic.
+Jumbo buckets (boilerplate-template clusters) emit linear star pairs
+(member vs bucket-min) instead of the quadratic all-pairs join, so a
+36k-doc template cluster costs 36k verified candidates, not 6*10^8 —
+and still gets DEDUPED down to its representative (a hard bucket drop
+would silently keep the whole cluster; measured on the 600k-page corpus:
+cap mode kept all 75 000 gate survivors, star mode keeps the cluster
+representatives). Neither control fires at the oracle scales (max bucket
+is 4 docs at sf0.001), so CLI output == the driver queries' kept ids
+there.
 
 Returns the KEPT rows of the input frame, all original columns intact, so
 the output parquet is a drop-in curated corpus.
@@ -34,7 +40,7 @@ JACCARD_MIN = 500_000
 TOP2_MAX = 250_000
 
 
-MAX_BUCKET_SIZE = 1000
+STAR_ABOVE = 100
 
 
 def curate_docs(
@@ -46,7 +52,8 @@ def curate_docs(
     quality_min: int = QUALITY_MIN,
     jaccard_min: int = JACCARD_MIN,
     top2_max: int = TOP2_MAX,
-    max_bucket_size: int | None = MAX_BUCKET_SIZE,
+    max_bucket_size: int | None = None,
+    star_above: int | None = STAR_ABOVE,
 ) -> DataFrame:
     if gate not in ("classic", "gopher"):
         raise ValueError(f"gate must be 'classic' or 'gopher', got {gate!r}")
@@ -110,6 +117,7 @@ def curate_docs(
     cand = D.lsh_candidates(
         D.band_buckets(D.minhash_signatures(sh)),
         max_bucket_size=max_bucket_size,
+        star_above=star_above,
     ).localCheckpoint()
     nd_drop = (
         D.exact_jaccard(cand, sh)

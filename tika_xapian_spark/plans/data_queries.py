@@ -178,6 +178,47 @@ cand AS (
 ),"""
 
 
+def q_dedup_minhash_pairs_star(spark, sf_dir):
+    """Star-pairing for jumbo LSH buckets — the form that still DEDUPES a
+    giant boilerplate cluster at linear cost (operators/dedup.py::
+    lsh_candidates star_above): buckets above the threshold pair every
+    member against the bucket min instead of all-pairs. Threshold=2 here
+    so starring is live at the oracle scales (buckets of 3-4 exist);
+    production default is 100 (plans/curation.py)."""
+    sh = _shingles(spark, sf_dir)
+    ck = f"{sf_dir}#star{MINHASH_CAP}"
+    if ck not in _MINHASH_CAND_CACHE:
+        _MINHASH_CAND_CACHE[ck] = D.lsh_candidates(
+            D.band_buckets(D.minhash_signatures(sh)),
+            star_above=MINHASH_CAP,
+        ).persist()
+    return D.exact_jaccard(_MINHASH_CAND_CACHE[ck], sh).orderBy("doc_a", "doc_b")
+
+
+_CAND_CTE_STAR = f"""bstat AS (
+  SELECT band, band_key, count(*) AS n, min(doc_id) AS min_doc
+  FROM bands GROUP BY band, band_key
+),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+    JOIN bstat s ON s.band = a.band AND s.band_key = a.band_key
+    WHERE s.n <= {MINHASH_CAP} AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT s.min_doc AS doc_a, b.doc_id AS doc_b
+    FROM bands b JOIN bstat s ON s.band = b.band AND s.band_key = b.band_key
+    WHERE s.n > {MINHASH_CAP} AND b.doc_id <> s.min_doc
+  )
+),"""
+
+
+def _oracle_minhash_pairs_star() -> str:
+    """ORACLE_MINHASH_PAIRS with the star-aware cand CTE spliced in."""
+    assert _CAND_CTE in ORACLE_MINHASH_PAIRS, "cand CTE text drifted"
+    return ORACLE_MINHASH_PAIRS.replace(_CAND_CTE, _CAND_CTE_STAR, 1)
+
+
 ORACLE_MINHASH_PAIRS = f"""
 WITH {_TOK_CTE},
 toks AS (SELECT doc_id, list(term ORDER BY pos) AS ts FROM tok GROUP BY doc_id),
@@ -1636,6 +1677,7 @@ DATA_QUERIES = {
     "dedup_minhash_signature": q_dedup_minhash_signature,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_minhash_pairs_capped": q_dedup_minhash_pairs_capped,
+    "dedup_minhash_pairs_star": q_dedup_minhash_pairs_star,
     "dedup_components": q_dedup_components,
     "decontaminate": q_decontaminate,
     "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -1675,6 +1717,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "dedup_minhash_signature": ORACLE_MINHASH_SIG,
         "dedup_minhash_pairs": ORACLE_MINHASH_PAIRS,
         "dedup_minhash_pairs_capped": _oracle_minhash_pairs_capped(),
+        "dedup_minhash_pairs_star": _oracle_minhash_pairs_star(),
         "dedup_components": _components_oracle(),
         "decontaminate": ORACLE_DECONTAM,
         "boilerplate_ngrams": ORACLE_BOILERPLATE,
