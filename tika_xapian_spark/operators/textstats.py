@@ -234,10 +234,17 @@ def _run_stat_exprs(ss_sql: str) -> dict[str, str]:
     chars = f"length(array_join({ss_sql}, ''))"
     dchars = f"length(array_join({d}, ''))"
     # values occurring >1 time, each once: sorted elements equal to their
-    # predecessor, deduped
+    # predecessor, deduped. Built by zipping the array against its shifted
+    # self — NOT `(x, i) -> x = element_at({ss_sql}, i)`, whose lambda
+    # references the array and re-evaluates the whole upstream expression
+    # per element if a composed plan ever collapses the staging projection
+    # (the _word_ngrams hazard class).
+    ll = f"greatest(size({ss_sql}) - 1, 0)"
     dupvals = (
-        f"array_distinct(filter({ss_sql},"
-        f" (x, i) -> i > 0 AND x = element_at({ss_sql}, i)))"
+        f"array_distinct(filter("
+        f"zip_with(slice({ss_sql}, 2, {ll}), slice({ss_sql}, 1, {ll}),"
+        f" (x, p) -> IF(x = p, x, CAST(NULL AS STRING))),"
+        f" v -> v IS NOT NULL))"
     )
     top = (
         f"aggregate({ss_sql}, "

@@ -59,6 +59,18 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------- dedup
 
 
+def _ordered_perdoc(df, *cols):
+    """Deterministic result order for per-doc signal queries WITHOUT the
+    global-sort range-sampling job: a zero-shuffle query has no
+    materialized stage for the sampler to reuse, so ``orderBy`` re-executes
+    the entire upstream (measured 2x on gopher_repetition). repartition(1)
+    keeps the compute parallel, moves only the (small) result through one
+    exchange, and sorts it in place. The ordering is a driver-gate/display
+    nicety — at 10^12 rows a per-doc signal table would not be
+    total-ordered at all."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 def q_dedup_exact(spark, sf_dir):
     return (
         D.exact_duplicates(_docs(spark, sf_dir), key="doc_id")
@@ -598,7 +610,7 @@ def q_text_langid(spark, sf_dir):
     return (
         T.lang_id(_docs(spark, sf_dir), key="doc_id")
         .select(F.col("doc").alias("doc_id"), "predicted_lang", "lang_hits")
-        .orderBy("doc_id")
+        .transform(lambda d: _ordered_perdoc(d, "doc_id"))
     )
 
 
@@ -640,7 +652,7 @@ def q_text_quality(spark, sf_dir):
             "alnum_ratio_micro",
             "quality_micro",
         )
-        .orderBy("doc_id")
+        .transform(lambda d: _ordered_perdoc(d, "doc_id"))
     )
 
 
@@ -691,7 +703,7 @@ def q_gopher_repetition(spark, sf_dir):
             "top_2gram_char_frac_micro",
             "dup_5gram_char_frac_micro",
         )
-        .orderBy("doc_id")
+        .transform(lambda d: _ordered_perdoc(d, "doc_id"))
     )
 
 
@@ -782,7 +794,7 @@ def q_gopher_quality(spark, sf_dir):
             "n_stop_hits",
             "passes",
         )
-        .orderBy("doc_id")
+        .transform(lambda d: _ordered_perdoc(d, "doc_id"))
     )
 
 
@@ -1329,7 +1341,7 @@ def q_token_count(spark, sf_dir):
     return (
         T.token_counts(_docs(spark, sf_dir), key="doc_id")
         .select(F.col("doc").alias("doc_id"), "ws_tokens", "subword_est")
-        .orderBy("doc_id")
+        .transform(lambda d: _ordered_perdoc(d, "doc_id"))
     )
 
 
@@ -1386,7 +1398,7 @@ def q_doc_fingerprint(spark, sf_dir):
     return (
         T.fingerprints(_docs(spark, sf_dir), key="doc_id")
         .select(F.col("doc").alias("doc_id"), "fp_full", "fp_shape", "fp_bucket")
-        .orderBy("doc_id")
+        .transform(lambda d: _ordered_perdoc(d, "doc_id"))
     )
 
 
@@ -1415,7 +1427,7 @@ def q_multimodal_meta(spark, sf_dir):
     return (
         M.binary_metadata(docs, key="doc_id", payload_col="payload")
         .select(F.col("doc").alias("doc_id"), "n_bytes", "md5_hex", "magic")
-        .orderBy("doc_id")
+        .transform(lambda d: _ordered_perdoc(d, "doc_id"))
     )
 
 
@@ -1540,7 +1552,7 @@ def q_multimodal_resize(spark, sf_dir):
         .select(
             F.col("doc").alias("doc_id"), "width", "height", "resized_md5", "n_bytes"
         )
-        .orderBy("doc_id")
+        .transform(lambda d: _ordered_perdoc(d, "doc_id"))
     )
 
 
