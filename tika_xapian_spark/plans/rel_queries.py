@@ -724,6 +724,46 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
 ORDER BY purchase_id, click_id"""
 
 
+def q_events_trailing_window(spark, sf_dir):
+    """RANGE-frame window — the time-based sliding frame ROWS frames can't
+    express: per event, the same user's event count and spend over the
+    trailing hour INCLUDING this event. Ordering key is integer epoch
+    micros via ``timestampdiff`` from a literal epoch (``ts`` is
+    TIMESTAMP_NTZ, which unix_micros rejects; integer keys also make the
+    3600s frame bound exact in both engines — DuckDB's ``epoch()`` returns
+    fractional-second doubles whose frame edges could disagree). RANGE
+    aggregates are peer-order independent, so exact integer outputs are
+    deterministic without any tiebreak column."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us.alias("_us"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count(F.lit(1)).over(w).alias("trailing_n"),
+            F.sum(cents("value")).over(w).alias("trailing_sum_cents"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_EVENTS_TRAILING = """
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS trailing_n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS trailing_sum_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id"""
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -893,6 +933,7 @@ REL_QUERIES = {
     "tpch_nation_volume": q_tpch_nation_volume,
     "events_stream_interval_join": q_events_stream_interval_join,
     "events_pivot": q_events_pivot,
+    "events_trailing_window": q_events_trailing_window,
     "tpch_rollup_revenue": q_tpch_rollup_revenue,
 }
 
@@ -919,5 +960,6 @@ def rel_oracle_sqls() -> dict[str, str]:
         "tpch_nation_volume": ORACLE_TPCH_NATION_VOLUME,
         "events_stream_interval_join": ORACLE_EVENTS_INTERVAL_JOIN,
         "events_pivot": ORACLE_EVENTS_PIVOT,
+        "events_trailing_window": ORACLE_EVENTS_TRAILING,
         "tpch_rollup_revenue": ORACLE_TPCH_ROLLUP,
     }
