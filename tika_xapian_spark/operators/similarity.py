@@ -67,6 +67,34 @@ def cosine_topk(
     )
 
 
+def cosine_range(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    min_cos_micro: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine RANGE search: every (vec_id, cos_micro) with similarity
+    at or above the threshold — the \"all neighbors within radius\" dual of
+    top-k. Unlike top-k there is no bounded heap: the plan is a pure
+    whole-stage-codegen scan+filter whose output size is data-dependent, so
+    at 10^12 rows the caller bounds it by threshold choice (or composes
+    ``.limit``). The threshold compares on the ROUNDED integer micro value,
+    the same quantity both engines materialize — a raw-double cutoff could
+    disagree across engines on a boundary row."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    emb = _as_double(vec_col)
+    cos = _dot(emb, q) / (_norm(emb) * _norm(q))
+    return (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cos * 1_000_000).cast("long").alias("cos_micro"),
+        )
+        .filter(F.col("cos_micro") >= int(min_cos_micro))
+        .orderBy(F.desc("cos_micro"), F.asc("vec_id"))
+    )
+
+
 def sign_bucket(vec_col: str | Column, dims: tuple[int, ...] = LSH_DIMS) -> Column:
     """Deterministic sign-LSH bucket id: bit i set iff vec[dims[i]] >= 0.
     (element_at is 1-based.)"""

@@ -1337,6 +1337,71 @@ GROUP BY host, tot.n
 ORDER BY n_pages DESC, host"""
 
 
+# --------------------------------------------------------------- PII scrub
+# documents carries no PII (fixed lowercase vocab), so the driver query
+# appends deterministic PII from doc_id arithmetic — one email always, a
+# second on doc_id%3==0, a phone except on doc_id%5==0, an IPv4 always —
+# and the oracle builds the EXPECTED scrubbed text structurally from the
+# same arithmetic (no SQL regex at all): a regex bug in the engine cannot
+# cancel against the oracle.
+
+
+def _synth_pii(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    s = lambda c: c.cast("string")  # noqa: E731
+    did = F.col("doc_id")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" Contact p"), s(did),
+        F.lit("@m"), s(did % 7), F.lit(".example.org"),
+        F.when(did % 3 == 0, F.concat(F.lit(" cc q"), s(did), F.lit("@n.example.net"))).otherwise(F.lit("")),
+        F.when(did % 5 != 0, F.concat(F.lit(" or 555-"), F.lpad(s(did % 10000), 4, "0"))).otherwise(F.lit("")),
+        F.lit(" from 10."), s(did % 254), F.lit("."), s(did % 253), F.lit("."), s(did % 252), F.lit("."),
+    )
+    return docs.select("doc_id", pii.alias("text"))
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    """Email/phone/IPv4 redaction with per-kind counts over synthesized
+    PII-bearing documents (operators/pii.py) — map-only JVM regex pass."""
+    from ..operators.pii import pii_scrub
+
+    return (
+        pii_scrub(_synth_pii(spark, sf_dir), "text")
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "scrubbed")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_PII_SCRUB = """
+SELECT doc_id,
+       (1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_emails,
+       1::BIGINT AS n_ips,
+       (CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_phones,
+       text || ' Contact <EMAIL>'
+            || CASE WHEN doc_id % 3 = 0 THEN ' cc <EMAIL>' ELSE '' END
+            || CASE WHEN doc_id % 5 <> 0 THEN ' or <PHONE>' ELSE '' END
+            || ' from <IP>.' AS scrubbed
+FROM documents
+ORDER BY doc_id"""
+
+
+def q_ann_range_search(spark, sf_dir):
+    """Cosine RANGE search (all vectors with cos >= 0.15 of the query) —
+    the radius dual of top-k; scan+filter, no bounded heap
+    (operators/similarity.py cosine_range)."""
+    qv = _query_vec(spark, sf_dir)
+    return SIM.cosine_range(_emb(spark, sf_dir), qv, min_cos_micro=150_000)
+
+
+ORACLE_ANN_RANGE = f"""
+WITH {_COS_CTE.strip()}
+SELECT vec_id, CAST(round(dot / (na * nq) * 1000000) AS BIGINT) AS cos_micro
+FROM pairs
+WHERE CAST(round(dot / (na * nq) * 1000000) AS BIGINT) >= 150000
+ORDER BY cos_micro DESC, vec_id"""
+
+
 def q_token_count(spark, sf_dir):
     return (
         T.token_counts(_docs(spark, sf_dir), key="doc_id")
@@ -1720,6 +1785,8 @@ DATA_QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "dedup_lines": q_dedup_lines,
     "sample_stratified": q_sample_stratified,
+    "text_pii_scrub": q_text_pii_scrub,
+    "ann_range_search": q_ann_range_search,
 }
 
 
@@ -1760,4 +1827,6 @@ def data_oracle_sqls() -> dict[str, str]:
         "multimodal_resize": ORACLE_MM_RESIZE,
         "dedup_lines": ORACLE_DEDUP_LINES,
         "sample_stratified": _sample_oracle(),
+        "text_pii_scrub": ORACLE_PII_SCRUB,
+        "ann_range_search": ORACLE_ANN_RANGE,
     }

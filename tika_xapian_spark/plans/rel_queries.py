@@ -912,6 +912,197 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY gid, l_returnflag, l_linestatus"""
 
 
+def q_tpch_small_qty_revenue(spark, sf_dir):
+    """Q17-shape (small-quantity-order revenue), widened per brand: revenue
+    from lineitems whose quantity is below 20% of the average quantity for
+    their part — the correlated-scalar-aggregate pattern, planned as an
+    aggregate SELF-JOIN. Both sides shuffle on ``l_partkey`` (the pre-agg
+    and the probe), so Spark reuses one Exchange for both and the join is
+    co-partitioned — no second fact shuffle at any scale. The 20%-of-avg
+    comparison is done in exact integers: with ``ql = round(qty*100)``,
+    ``qty < 0.2 * sum/cnt  ⇔  5*ql*cnt < sum_ql`` — no float average whose
+    summation order could flip a boundary row between engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    ql = F.round(F.col("l_quantity") * 100).cast("long")
+    per_part = (
+        li.groupBy(F.col("l_partkey").alias("pp_partkey"))
+        .agg(F.sum(ql).alias("sum_ql"), F.count(F.lit(1)).alias("cnt"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(per_part, li["l_partkey"] == F.col("pp_partkey"))
+        .filter(F.lit(5) * ql * F.col("cnt") < F.col("sum_ql"))
+        .join(part, li["l_partkey"] == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(cents("l_extendedprice")).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_TPCH_SMALL_QTY = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_ql,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1
+)
+SELECT p.p_brand,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem l
+JOIN per_part pp ON l.l_partkey = pp.l_partkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE 5 * CAST(round(l.l_quantity * 100) AS BIGINT) * pp.cnt < pp.sum_ql
+GROUP BY 1
+ORDER BY 1"""
+
+
+def q_tpch_cust_order_distribution(spark, sf_dir):
+    """Q13-shape (customer order-count distribution): how many customers
+    placed exactly N qualifying orders, INCLUDING the zero bucket — the
+    outer-join histogram. Planned scale-first: orders pre-aggregate to one
+    row per customer (map-side combine collapses the fact before its
+    shuffle), then ``customer`` LEFT-joins the counts and ``coalesce(0)``
+    fills the zero bucket — the alternative (LEFT join raw orders, then
+    count) shuffles every order row. The second groupBy is on the tiny
+    histogram domain."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        cust.join(per_cust, F.col("c_custkey") == F.col("ck"), "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+ORACLE_TPCH_CUST_DIST = """
+SELECT n_orders, count(*) AS n_customers
+FROM (
+  SELECT c.c_custkey,
+         count(o.o_orderkey) AS n_orders
+  FROM customer c
+  LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus <> 'F') o
+    ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+GROUP BY 1
+ORDER BY n_customers DESC, n_orders DESC"""
+
+
+def q_tpch_large_volume_customers(spark, sf_dir):
+    """Q18-shape (large-volume customers): orders whose total lineitem
+    quantity exceeds 250, joined back to orders+customer. The HAVING filter
+    runs on the pre-aggregated (one row per order) frame, so the join-back
+    probe is the filtered ~3% of orders, not the fact table; ``orders`` and
+    ``customer`` stay hint-free (AQE broadcasts the tiny filtered build
+    side at any sf). Quantities compare in exact integer centi-units."""
+    li = _t(spark, sf_dir, "lineitem")
+    ql = F.round(F.col("l_quantity") * 100).cast("long")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("lk"))
+        .agg(F.sum(ql).alias("sum_ql"))
+        .filter(F.col("sum_ql") > 250 * 100)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("lk") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("long").alias("custkey"),
+            F.col("o_orderkey").cast("long").alias("orderkey"),
+            "o_orderdate",
+            cents("o_totalprice").alias("totalprice_cents"),
+            "sum_ql",
+        )
+        .orderBy(F.desc("totalprice_cents"), "orderkey")
+        .limit(100)
+    )
+
+
+ORACLE_TPCH_LARGE_VOLUME = """
+SELECT c.c_name, c.c_custkey::BIGINT AS custkey,
+       o.o_orderkey::BIGINT AS orderkey, o.o_orderdate,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       big.sum_ql
+FROM (
+  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_ql
+  FROM lineitem GROUP BY 1 HAVING sum_ql > 25000
+) big
+JOIN orders o ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY totalprice_cents DESC, orderkey
+LIMIT 100"""
+
+
+def q_tpch_sales_opportunity(spark, sf_dir):
+    """Q22-shape (global sales opportunity): per market segment, the count
+    and balance of above-average-balance customers with NO order since
+    2000-06-01 — the scalar-subquery + ANTI-join pattern. The global
+    average is a broadcast 1-row aggregate crossJoined in (one extra tiny
+    stage, no second pass over customer); the anti join probes ``customer``
+    against the date-filtered orders projection — LEFT ANTI never
+    materializes match multiplicity, so the probe side stays one row per
+    customer through the shuffle. The avg-balance cutoff compares in exact
+    integer cents (sum_cents * 1 vs bal_cents * n avoids a float average):
+    ``bal > sum/n  ⇔  bal_cents * n > sum_cents``."""
+    cust = _t(spark, sf_dir, "customer")
+    bal_cents = cents("c_acctbal")
+    avg_pos = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(bal_cents).alias("sum_cents"),
+            F.count(F.lit(1)).alias("n_pos"),
+        )
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-06-01"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .filter(bal_cents * F.col("n_pos") > F.col("sum_cents"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(bal_cents).alias("acctbal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_TPCH_SALES_OPPORTUNITY = """
+WITH avg_pos AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+         count(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer c, avg_pos a
+WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * a.n_pos > a.sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+GROUP BY 1
+ORDER BY 1"""
+
+
 REL_QUERIES = {
     "events_windowed": q_events_windowed,
     "events_stream_windowed": q_events_stream_windowed,
@@ -935,6 +1126,10 @@ REL_QUERIES = {
     "events_pivot": q_events_pivot,
     "events_trailing_window": q_events_trailing_window,
     "tpch_rollup_revenue": q_tpch_rollup_revenue,
+    "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
+    "tpch_cust_order_distribution": q_tpch_cust_order_distribution,
+    "tpch_large_volume_customers": q_tpch_large_volume_customers,
+    "tpch_sales_opportunity": q_tpch_sales_opportunity,
 }
 
 
@@ -962,4 +1157,8 @@ def rel_oracle_sqls() -> dict[str, str]:
         "events_pivot": ORACLE_EVENTS_PIVOT,
         "events_trailing_window": ORACLE_EVENTS_TRAILING,
         "tpch_rollup_revenue": ORACLE_TPCH_ROLLUP,
+        "tpch_small_qty_revenue": ORACLE_TPCH_SMALL_QTY,
+        "tpch_cust_order_distribution": ORACLE_TPCH_CUST_DIST,
+        "tpch_large_volume_customers": ORACLE_TPCH_LARGE_VOLUME,
+        "tpch_sales_opportunity": ORACLE_TPCH_SALES_OPPORTUNITY,
     }
