@@ -529,6 +529,10 @@ class TestTpchJoinStrategy:
             ("tpch_promo_revenue", 1, 0),        # part (linear: 200k/SF)
             ("tpch_order_priority", 1, 0),       # lineitem (semi, hint-free)
             ("tpch_nation_volume", 3, 2),        # supp, orders, cust | nation x2
+            ("tpch_small_qty_revenue", 1, 0),    # part (hint-free)
+            ("tpch_cust_order_distribution", 1, 0),  # customer LEFT join
+            ("tpch_large_volume_customers", 2, 0),   # orders, customer
+            ("tpch_sales_opportunity", 1, 0),    # anti join vs orders
         ],
     )
     def test_scaling_relations_not_forced_broadcast(
@@ -552,6 +556,17 @@ class TestTpchJoinStrategy:
                   "tpch_shipping_priority", "tpch_local_supplier_volume",
                   "tpch_returned_items"):
             assert REL_QUERIES[q](spark, self.SF).count() > 0
+
+    def test_small_qty_revenue_scans_fact_once(self, spark):
+        """Q17's window form must scan lineitem ONCE and shuffle it ONCE
+        (the window exchange on l_partkey) — the aggregate self-join
+        alternative scans the fact twice and shuffles both sides."""
+        from tika_xapian_spark.plans.rel_queries import REL_QUERIES
+
+        plan = self._plan("tpch_small_qty_revenue", spark)
+        assert plan.count("lineitem.parquet") == 1, plan
+        assert plan.count("hashpartitioning(l_partkey") == 1, plan
+        assert "Window" in plan, plan
 
 
 class TestRollupPlan:

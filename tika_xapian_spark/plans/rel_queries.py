@@ -915,24 +915,30 @@ ORDER BY gid, l_returnflag, l_linestatus"""
 def q_tpch_small_qty_revenue(spark, sf_dir):
     """Q17-shape (small-quantity-order revenue), widened per brand: revenue
     from lineitems whose quantity is below 20% of the average quantity for
-    their part — the correlated-scalar-aggregate pattern, planned as an
-    aggregate SELF-JOIN. Both sides shuffle on ``l_partkey`` (the pre-agg
-    and the probe), so Spark reuses one Exchange for both and the join is
-    co-partitioned — no second fact shuffle at any scale. The 20%-of-avg
-    comparison is done in exact integers: with ``ql = round(qty*100)``,
-    ``qty < 0.2 * sum/cnt  ⇔  5*ql*cnt < sum_ql`` — no float average whose
-    summation order could flip a boundary row between engines."""
-    li = _t(spark, sf_dir, "lineitem")
-    ql = F.round(F.col("l_quantity") * 100).cast("long")
-    per_part = (
-        li.groupBy(F.col("l_partkey").alias("pp_partkey"))
-        .agg(F.sum(ql).alias("sum_ql"), F.count(F.lit(1)).alias("cnt"))
+    their part — the correlated-scalar-aggregate pattern. Planned as a
+    WINDOW aggregate over ``l_partkey`` rather than the textbook aggregate
+    self-join: the fact is scanned ONCE and shuffled ONCE (the window
+    exchange), where the self-join form scans lineitem twice and shuffles
+    both the raw probe and the pre-agg. The window's hash partitioning on
+    ``l_partkey`` survives the filter, so the follow-up join to ``part``
+    (hint-free; linear at 200k/SF, AQE broadcasts it while it fits)
+    re-exchanges only the part side even when it degrades to a shuffle
+    join. The 20%-of-avg comparison is done in exact integers: with
+    ``ql = round(qty*100)``, ``qty < 0.2 * sum/cnt  ⇔  5*ql*cnt < sum_ql``
+    — no float average whose summation order could flip a boundary row
+    between engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
     )
+    ql = F.round(F.col("l_quantity") * 100).cast("long")
+    w = Window.partitionBy("l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
-        li.join(per_part, li["l_partkey"] == F.col("pp_partkey"))
-        .filter(F.lit(5) * ql * F.col("cnt") < F.col("sum_ql"))
-        .join(part, li["l_partkey"] == F.col("p_partkey"))
+        li.withColumn("ql", ql)
+        .withColumn("sum_ql", F.sum("ql").over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .filter(F.lit(5) * F.col("ql") * F.col("cnt") < F.col("sum_ql"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             F.sum(cents("l_extendedprice")).alias("revenue_cents"),
