@@ -886,6 +886,28 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """Same decontamination result through a BLOOM prefilter
+    (operators/bloom.py): the corpus shingle stream is tested against the
+    probe set's ~2-byte-per-key bitmap via k broadcast word-joins (map-side
+    only), and only survivors reach the exact verify join — the scale path
+    for probe sets too large to broadcast as a string hash relation. The
+    verify join removes bloom false positives, so the oracle is
+    ORACLE_DECONTAM verbatim."""
+    from ..operators.bloom import contamination_hits_bloom
+
+    docs = _docs(spark, sf_dir)
+    corpus_sh = _shingles(spark, sf_dir)
+    probe_sh = D.shingles_df(
+        docs.filter(F.col("doc_id") < DECONTAM_PROBE_DOCS), key="doc_id"
+    )
+    return (
+        contamination_hits_bloom(corpus_sh, probe_sh)
+        .select(F.col("doc").alias("doc_id"), "n_probe_hits", "first_hit")
+        .orderBy("doc_id")
+    )
+
+
 def _shingle_cte(k: int = D.SHINGLE_K) -> str:
     """(doc_id, shingle) CTE for k-word shingles — SQL mirror of
     operators/dedup.py::shingles_df."""
@@ -1757,6 +1779,7 @@ DATA_QUERIES = {
     "dedup_minhash_pairs_star": q_dedup_minhash_pairs_star,
     "dedup_components": q_dedup_components,
     "decontaminate": q_decontaminate,
+    "decontaminate_bloom": q_decontaminate_bloom,
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1799,6 +1822,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "dedup_minhash_pairs_star": _oracle_minhash_pairs_star(),
         "dedup_components": _components_oracle(),
         "decontaminate": ORACLE_DECONTAM,
+        "decontaminate_bloom": ORACLE_DECONTAM,
         "boilerplate_ngrams": ORACLE_BOILERPLATE,
         "dedup_ngram_pairs": ORACLE_NGRAM_PAIRS,
         "dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
