@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from tika_xapian_spark.operators.dedup import line_dedup_corpus
 from tika_xapian_spark.operators.sampling import (
     deterministic_sample,
+    group_holdout_split,
     sample_hash_micro,
     stratified_sample,
 )
@@ -274,3 +275,66 @@ class TestCanonicalNearDup:
         # cluster text and must be dropped through pair (1, 3) even though
         # near-dup candidates never see doc 2
         assert kept == {1}
+
+
+class TestGroupHoldoutSplit:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [(i, f"host{i % 37}") for i in range(500)]
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_groups_never_straddle_the_split(self, docs):
+        out = group_holdout_split(docs, "source", train_frac=0.7)
+        sides = (
+            out.groupBy("source")
+            .agg(F.countDistinct("split").alias("n"))
+            .collect()
+        )
+        assert all(r.n == 1 for r in sides)
+
+    def test_both_sides_populated_and_frac_sane(self, docs):
+        out = group_holdout_split(docs, "source", train_frac=0.7)
+        by = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert set(by) == {"train", "holdout"}
+        # group-level assignment: expect ~70% of GROUPS, loose band
+        assert 0.4 * 500 < by["train"] < 0.95 * 500
+
+    def test_nested_fracs_are_subsets(self, docs):
+        t50 = {r.source for r in group_holdout_split(docs, "source", 0.5)
+               .filter("split = 'train'").select("source").distinct().collect()}
+        t80 = {r.source for r in group_holdout_split(docs, "source", 0.8)
+               .filter("split = 'train'").select("source").distinct().collect()}
+        assert t50 <= t80 and len(t50) < len(t80)
+
+    def test_zero_shuffle(self, docs):
+        plan = (group_holdout_split(docs, "source")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestEncodingAnomalies:
+    def _one(self, spark, text):
+        from tika_xapian_spark.operators.textstats import encoding_anomalies
+
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        return encoding_anomalies(df, key="doc_id").collect()[0]
+
+    def test_clean_ascii(self, spark):
+        r = self._one(spark, "plain ascii text with tabs\tand\nnewlines\r")
+        assert (r.n_replacement, r.n_control, r.n_mojibake, r.n_nonascii,
+                r.clean) == (0, 0, 0, 0, 1)
+
+    def test_replacement_and_control(self, spark):
+        r = self._one(spark, "bad � bytes \x07 bell \x1b esc")
+        assert r.n_replacement == 1 and r.n_control == 2 and r.clean == 0
+
+    def test_mojibake_pairs(self, spark):
+        # UTF-8 'été' re-decoded as Latin-1 → two Ã-pairs
+        r = self._one(spark, "screenshot Ã©tÃ© here")
+        assert r.n_mojibake == 2 and r.n_nonascii == 4 and r.clean == 0
+
+    def test_legit_nonascii_stays_clean(self, spark):
+        r = self._one(spark, "naïve café 東京")
+        assert r.n_mojibake == 0 and r.clean == 1
+        assert r.n_nonascii == 4  # ï, é, 東, 京

@@ -71,3 +71,27 @@ def stratified_sample(
     return docs.withColumn(
         "sample_hash_micro", sample_hash_micro(key, seed).cast("long")
     ).filter(F.col("sample_hash_micro") < threshold)
+
+
+def group_holdout_split(
+    docs: DataFrame,
+    group_col: str,
+    train_frac: float = 0.9,
+    seed: str = "split",
+) -> DataFrame:
+    """Leakage-aware train/holdout split: the unit of assignment is the
+    GROUP (host, domain, source feed), not the document. Web corpora are
+    full of near-duplicates WITHIN a site (templated pages, mirrored
+    articles); a row-level split leaks them across the boundary and the
+    holdout stops measuring generalization. Hashing the group key instead
+    guarantees every document of a group lands on the same side.
+
+    Same contract as the samplers: membership is a pure function of
+    (group, seed, train_frac) — map-side, zero shuffle, reproducible
+    across engines and re-executed tasks, and nested (a smaller
+    train_frac's train set is a subset of a larger one's)."""
+    thr = int(round(train_frac * MICRO))
+    h = sample_hash_micro(group_col, seed)
+    return docs.withColumn(
+        "split", F.when(h < thr, F.lit("train")).otherwise(F.lit("holdout"))
+    )

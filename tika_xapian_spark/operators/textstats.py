@@ -469,3 +469,42 @@ def unigram_logppl(
             .alias("logppl_micro"),
         )
     )
+
+
+def encoding_anomalies(
+    docs: DataFrame, key: str, text_col: str = "text"
+) -> DataFrame:
+    """Encoding-anomaly profile: the mechanical signals every web-corpus
+    hygiene pass screens before training (broken decoders are a top source
+    of garbage text in Common-Crawl-derived corpora):
+
+    - ``n_replacement``: U+FFFD replacement characters — a decoder already
+      gave up on those bytes;
+    - ``n_control``: C0 control characters other than tab/newline/CR —
+      binary junk that survived text extraction;
+    - ``n_mojibake``: 'Ã' followed by a Latin-1 supplement character, the
+      signature of UTF-8 bytes re-decoded as Latin-1/cp1252 (every 2-byte
+      UTF-8 sequence for Latin letters turns into exactly that pair);
+    - ``n_nonascii``: total non-ASCII codepoints (legitimate for most
+      languages — a *rate* signal, not a defect by itself);
+    - ``clean``: 1 iff the three defect counters are all zero.
+
+    Map-only JVM ``regexp_count`` passes, zero shuffle, pipeline-fused with
+    whatever scan feeds it at any scale."""
+    c = F.col(text_col)
+    n_repl = F.regexp_count(c, F.lit("�")).cast("long")
+    n_ctrl = F.regexp_count(
+        c, F.lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    ).cast("long")
+    n_moji = F.regexp_count(c, F.lit("Ã[\\x80-\\xBF]")).cast("long")
+    n_nonascii = F.regexp_count(c, F.lit("[^\\x00-\\x7F]")).cast("long")
+    return docs.select(
+        F.col(key).alias("doc"),
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_control"),
+        n_moji.alias("n_mojibake"),
+        n_nonascii.alias("n_nonascii"),
+        ((n_repl == 0) & (n_ctrl == 0) & (n_moji == 0))
+        .cast("int")
+        .alias("clean"),
+    )

@@ -1752,6 +1752,84 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+SPLIT_TRAIN_FRAC = 0.9
+SPLIT_SEED = "split"
+
+
+def q_split_train_holdout(spark, sf_dir):
+    """Leakage-aware train/holdout split by SOURCE (the host analog on
+    this corpus): every doc of a source lands on the same side, so
+    near-duplicate pages within a site can't straddle the split
+    (operators/sampling.py group_holdout_split — map-side, zero shuffle,
+    reproducible across engines and re-executed tasks)."""
+    from ..operators.sampling import group_holdout_split
+
+    return (
+        group_holdout_split(
+            _docs(spark, sf_dir), group_col="source",
+            train_frac=SPLIT_TRAIN_FRAC, seed=SPLIT_SEED,
+        )
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SPLIT = f"""
+SELECT doc_id, source,
+       CASE WHEN ('0x' || substr(md5('{SPLIT_SEED}:' || source), 1, 15))::BIGINT
+                 % 1000000 < {int(SPLIT_TRAIN_FRAC * 1_000_000)}
+            THEN 'train' ELSE 'holdout' END AS split
+FROM documents
+ORDER BY doc_id"""
+
+
+# ------------------------------------------------------- encoding anomalies
+# documents is pure-ASCII by construction, so the driver query appends
+# deterministic anomalies from doc_id arithmetic — U+FFFD pairs, a BEL
+# control char, a mojibake 'Ã©tÃ©' run, a legitimate non-ASCII word — and
+# the oracle computes the expected counters STRUCTURALLY from the same
+# arithmetic (the PII-scrub pattern: an engine regex bug cannot cancel).
+
+
+def _synth_encoding(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    noisy = F.concat(
+        F.col("text"),
+        F.when(did % 4 == 0, F.lit(" ��")).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit("\x07")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit(" Ã©tÃ©")).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit(" naïve")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", noisy.alias("text"))
+
+
+def q_text_encoding_anomaly(spark, sf_dir):
+    """Encoding-anomaly profile (replacement chars, control chars,
+    UTF-8-as-Latin-1 mojibake pairs, non-ASCII rate) over synthesized
+    anomaly-bearing docs — map-only JVM regexp_count passes
+    (operators/textstats.py encoding_anomalies)."""
+    return (
+        T.encoding_anomalies(_synth_encoding(spark, sf_dir), key="doc_id")
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_ENCODING = """
+SELECT doc_id,
+       (CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END)::BIGINT AS n_replacement,
+       (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_control,
+       (CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END)::BIGINT AS n_mojibake,
+       (CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END
+        + CASE WHEN doc_id % 5 = 0 THEN 4 ELSE 0 END
+        + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_nonascii,
+       (CASE WHEN doc_id % 4 <> 0 AND doc_id % 7 <> 0 AND doc_id % 5 <> 0
+             THEN 1 ELSE 0 END)::INT AS clean
+FROM documents
+ORDER BY doc_id"""
+
+
 def _sample_oracle() -> str:
     cases = " ".join(
         f"WHEN '{k}' THEN {int(round(v * 1_000_000))}"
@@ -1810,6 +1888,8 @@ DATA_QUERIES = {
     "sample_stratified": q_sample_stratified,
     "text_pii_scrub": q_text_pii_scrub,
     "ann_range_search": q_ann_range_search,
+    "split_train_holdout": q_split_train_holdout,
+    "text_encoding_anomaly": q_text_encoding_anomaly,
 }
 
 
@@ -1853,4 +1933,6 @@ def data_oracle_sqls() -> dict[str, str]:
         "sample_stratified": _sample_oracle(),
         "text_pii_scrub": ORACLE_PII_SCRUB,
         "ann_range_search": ORACLE_ANN_RANGE,
+        "split_train_holdout": ORACLE_SPLIT,
+        "text_encoding_anomaly": ORACLE_ENCODING,
     }
