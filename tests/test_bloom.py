@@ -106,3 +106,77 @@ class TestPlanShape:
         out.collect()
         final = out._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in final.split("== Initial Plan ==")[0], final
+
+
+class TestBloomFlag:
+    """Keep-side form: bloom_flag must never flag a true member false
+    (no false negatives), and a saturated bitmap plus exact anti-join
+    must still equal the plain anti-join."""
+
+    def test_members_always_flagged(self, spark):
+        members = spark.createDataFrame(
+            [(f"k{i}",) for i in range(50)], "key string"
+        )
+        m = B.next_pow2(B.BITS_PER_KEY * 50)
+        bloom = B.bloom_words(members, "key", m)
+        flagged = B.bloom_flag(members, "key", bloom, m)
+        assert flagged.filter(~F.col("might_contain")).count() == 0
+
+    def test_miss_is_definite(self, spark):
+        """A row flagged False is guaranteed absent from the probe set —
+        the property that makes the fast-keep branch sound."""
+        members = spark.createDataFrame(
+            [(f"k{i}",) for i in range(40)], "key string"
+        )
+        others = spark.createDataFrame(
+            [(f"x{i}",) for i in range(200)], "key string"
+        )
+        m = B.next_pow2(B.BITS_PER_KEY * 40)
+        bloom = B.bloom_words(members, "key", m)
+        fast_dropped = (
+            B.bloom_flag(others, "key", bloom, m)
+            .filter(~F.col("might_contain"))
+        )
+        # none of the definite-miss rows may actually be a member
+        assert fast_dropped.join(members, "key").count() == 0
+        # and the bitmap is sized so most non-members miss fast
+        assert fast_dropped.count() > 150
+
+    def test_blocklist_filter_equals_plain_anti_join(self, spark):
+        from tika_xapian_spark.operators.weburl import host_blocklist_filter, host_of
+
+        pages = spark.createDataFrame(
+            [(i, f"https://h{i % 31}.example.com/p{i}") for i in range(300)],
+            "doc_id long, url string",
+        )
+        block = spark.createDataFrame(
+            [(f"h{i}.example.com",) for i in range(0, 31, 3)], "host string"
+        )
+        got = sorted(
+            r.doc_id for r in host_blocklist_filter(pages, block).collect()
+        )
+        want = sorted(
+            r.doc_id
+            for r in pages.withColumn("host", host_of("url"))
+            .join(block, "host", "left_anti")
+            .collect()
+        )
+        assert got == want and 0 < len(want) < 300
+
+    def test_flag_stage_is_map_side(self, spark):
+        """The per-seed word joins must all be broadcast LEFT joins — the
+        corpus never shuffles to be tested."""
+        corpus = spark.createDataFrame(
+            [(f"k{i}",) for i in range(100)], "key string"
+        )
+        probe = spark.createDataFrame(
+            [(f"k{i}",) for i in range(10)], "key string"
+        )
+        m = B.next_pow2(B.BITS_PER_KEY * 10)
+        bloom = B.bloom_words(probe, "key", m)
+        plan = (
+            B.bloom_flag(corpus, "key", bloom, m)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("BroadcastHashJoin") == len(B.DEFAULT_SEEDS), plan
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

@@ -456,6 +456,22 @@ class TestCorpusHygiene:
         assert all(df >= 6 for df in top.values())  # 0.3 * 20 docs
 
 
+class TestTfidfPlan:
+    def test_pure_jvm_no_cartesian_single_doc_shuffle(self, spark, docs):
+        """tfidf_top_terms: no Python anywhere, no cartesian, and the only
+        by-doc exchange is the ranking window's — the tf table itself is
+        built map-side (run-length over the sorted token array), so
+        occurrences never shuffle."""
+        from tika_xapian_spark.operators.textstats import tfidf_top_terms
+
+        plan = plan_of(tfidf_top_terms(docs, key="doc_id", k=3))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan or "BuildRight" in plan
+        assert plan.count("hashpartitioning(doc#") == 1, plan
+        assert "Window" in plan, plan
+
+
 class TestDenormalizedDoclen:
     def test_score_plan_has_no_docstats_join(self, spark, docs):
         """BM25 scoring over the denormalized layout is one postings scan +
@@ -533,6 +549,9 @@ class TestTpchJoinStrategy:
             ("tpch_cust_order_distribution", 1, 0),  # customer LEFT join
             ("tpch_large_volume_customers", 2, 0),   # orders, customer
             ("tpch_sales_opportunity", 1, 0),    # anti join vs orders
+            ("tpch_discounted_brand_revenue", 1, 0),  # part (hint-free)
+            ("tpch_market_share", 2, 4),  # orders, cust | nat x2, region, supp
+            ("tpch_late_shipments", 1, 0),       # orders
         ],
     )
     def test_scaling_relations_not_forced_broadcast(
@@ -556,6 +575,39 @@ class TestTpchJoinStrategy:
                   "tpch_shipping_priority", "tpch_local_supplier_volume",
                   "tpch_returned_items"):
             assert REL_QUERIES[q](spark, self.SF).count() > 0
+
+    def test_revenue_forecast_is_pure_scan(self, spark):
+        """Q6's plan must be a single pushed-down parquet scan feeding a
+        partial+final aggregate: all three predicates in PushedFilters, a
+        4-column ReadSchema, and the only exchange the 1-row final agg's
+        SinglePartition — at 10^12 rows this query is exactly as fast as
+        the scan layout allows, and anything more in the plan is a bug."""
+        from tika_xapian_spark.plans.rel_queries import q_tpch_revenue_forecast
+
+        plan = plan_of(q_tpch_revenue_forecast(spark, self.SF))
+        scan = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+        for col in ("l_shipdate", "l_discount", "l_quantity"):
+            assert col in scan.split("PushedFilters")[-1], scan
+        assert "[l_quantity#" in scan and "l_shipdate#" in scan, scan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SinglePartition" in plan, plan
+
+    def test_discounted_brand_pushes_disjunction_to_both_scans(self, spark):
+        """Q19's OR-of-ANDs must not defeat pushdown: Catalyst extracts the
+        per-side projection of the disjunction, so the brand/size OR lands
+        in part's PushedFilters and the quantity envelope in lineitem's —
+        the fact arrives at the join pre-cut, not post-filtered."""
+        from tika_xapian_spark.plans.rel_queries import (
+            q_tpch_discounted_brand_revenue,
+        )
+
+        plan = plan_of(q_tpch_discounted_brand_revenue(spark, self.SF))
+        scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+        li = next(s for s in scans if "lineitem" in s)
+        pt = next(s for s in scans if "part.parquet" in s)
+        assert "Or(" in li.split("PushedFilters")[-1], li
+        assert "l_quantity" in li.split("PushedFilters")[-1], li
+        assert "p_brand" in pt.split("PushedFilters")[-1], pt
 
     def test_small_qty_revenue_scans_fact_once(self, spark):
         """Q17's window form must scan lineitem ONCE and shuffle it ONCE

@@ -110,6 +110,43 @@ def bloom_prefilter(
     return out
 
 
+def bloom_flag(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    m_bits: int,
+    seeds: Sequence[int] = DEFAULT_SEEDS,
+    flag: str = "might_contain",
+) -> DataFrame:
+    """Like ``bloom_prefilter`` but NON-destructive: adds a boolean
+    ``flag`` column instead of dropping misses — the form a DROP-list
+    needs (a definite bloom MISS means "keep immediately"; only bloom
+    hits need the exact membership check). k broadcast LEFT word-joins;
+    a missing word row means no bit set, i.e. false."""
+    out = df
+    per_seed = []
+    for s in seeds:
+        pos = _pos(col, s, m_bits)
+        w, ww, bb = f"__bw{s}", f"__bwj{s}", f"__bits{s}"
+        side = bloom.filter(F.col("seed") == int(s)).select(
+            F.col("word").alias(ww), F.col("bits").alias(bb)
+        )
+        out = (
+            out.withColumn(w, F.shiftright(pos, 6))
+            .join(F.broadcast(side), F.col(w) == F.col(ww), "left")
+            .withColumn(
+                f"__hit{s}",
+                F.coalesce(F.col(bb).bitwiseAND(_mask(pos)) != 0, F.lit(False)),
+            )
+            .drop(w, ww, bb)
+        )
+        per_seed.append(f"__hit{s}")
+    might = F.lit(True)
+    for h in per_seed:
+        might = might & F.col(h)
+    return out.withColumn(flag, might).drop(*per_seed)
+
+
 def contamination_hits_bloom(
     corpus_shingles: DataFrame,
     probe_shingles: DataFrame,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .dedup import tokens_col
 from .skewjoin import skew_safe_count_join
@@ -407,6 +408,85 @@ def gopher_quality(
     )
 
 
+def doc_term_tf(docs: DataFrame, key: str, text_col: str = "text") -> DataFrame:
+    """(doc, token, tf) — the per-doc term-frequency table, built entirely
+    MAP-SIDE so occurrences never shuffle: tokens are sorted per row and
+    run-length encoded (boundary indices → (start, end) pairs → one struct
+    per distinct token). The output is one row per (doc, distinct token),
+    the minimal join/aggregate input for any downstream frequency op —
+    at web scale this is the difference between shuffling 10^12 occurrence
+    rows and ~10^11 (doc, term) rows.
+
+    localCheckpoint'ed: every caller fans it into ≥2 consumers (a
+    corpus-count aggregate plus one or two join probes), and a
+    multi-consumer frame re-executes per reference otherwise."""
+    staged = _with_tokens(docs, key, text_col).selectExpr(
+        "doc", "array_sort(toks) AS ts"
+    )
+    # run-length encode the sorted tokens: (token, tf) pairs, map-side
+    bounded = staged.selectExpr(
+        "doc",
+        "ts",
+        "IF(size(ts) = 0, CAST(array() AS ARRAY<INT>), "
+        "filter(sequence(0, size(ts) - 1), "
+        "i -> i = 0 OR element_at(ts, i + 1) != element_at(ts, i))) AS bounds",
+    )
+    return bounded.selectExpr(
+        "doc",
+        "inline(zip_with(bounds, "
+        "concat(slice(bounds, 2, size(bounds)), array(size(ts))), "
+        "(st, en) -> named_struct("
+        "'token', element_at(ts, st + 1), 'tf', CAST(en - st AS BIGINT))))",
+    ).localCheckpoint()
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    key: str,
+    text_col: str = "text",
+    k: int = 3,
+    hot_vocab: int = 65536,
+) -> DataFrame:
+    """(doc, token, tf, tfidf_micro, rank): the top-``k`` TF-IDF terms per
+    document — the per-doc keyword signal curation pipelines use for topic
+    profiling and cluster labeling.
+
+      tfidf(d, t) = tf(d, t) * (log2 N_docs − log2 df(t))
+
+    Scale shape mirrors ``unigram_logppl``: the (doc, token, tf) input is
+    built map-side (``doc_term_tf`` — no occurrence shuffle), document
+    frequency is one row per token (``count(*)`` over the tf table, which
+    is already distinct per (doc, token)), the df join goes through the
+    hot/cold split so stop-tokens can't skew a reducer, and N_docs rides
+    as a broadcast 1-row aggregate. Ranking is a row_number window over
+    ``doc`` — the one unavoidable by-doc shuffle — ordered by the ROUNDED
+    integer micro score (then token) so the cutoff between rank k and k+1
+    can never depend on sub-micro float noise that could differ across
+    engines."""
+    tf = doc_term_tf(docs, key, text_col)
+    dfreq = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .localCheckpoint()  # consumers: hot top-K + tail join
+    )
+    n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).cast("double").alias("_nd")))
+    joined = skew_safe_count_join(tf, "token", dfreq, "_df", hot_k=hot_vocab)
+    score = (
+        F.round(
+            F.col("tf") * (F.log2(F.col("_nd")) - F.log2(F.col("_df"))) * 1_000_000
+        ).cast("long")
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.desc("tfidf_micro"), F.asc("token")
+    )
+    return (
+        joined.crossJoin(n_docs)
+        .select("doc", "token", "tf", score.alias("tfidf_micro"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def unigram_logppl(
     docs: DataFrame, key: str, text_col: str = "text", hot_vocab: int = 65536
 ) -> DataFrame:
@@ -435,24 +515,7 @@ def unigram_logppl(
     Shuffles: groupBy(token) for the unigram table, the tail equi-join,
     and the final groupBy(doc). Corpus total rides as a broadcast 1-row
     aggregate — no eager count, no Python."""
-    staged = _with_tokens(docs, key, text_col).selectExpr(
-        "doc", "array_sort(toks) AS ts"
-    )
-    # run-length encode the sorted tokens: (token, tf) pairs, map-side
-    bounded = staged.selectExpr(
-        "doc",
-        "ts",
-        "IF(size(ts) = 0, CAST(array() AS ARRAY<INT>), "
-        "filter(sequence(0, size(ts) - 1), "
-        "i -> i = 0 OR element_at(ts, i + 1) != element_at(ts, i))) AS bounds",
-    )
-    tf = bounded.selectExpr(
-        "doc",
-        "inline(zip_with(bounds, "
-        "concat(slice(bounds, 2, size(bounds)), array(size(ts))), "
-        "(st, en) -> named_struct("
-        "'token', element_at(ts, st + 1), 'tf', CAST(en - st AS BIGINT))))",
-    ).localCheckpoint()  # consumers: counts, hot probe, cold probe
+    tf = doc_term_tf(docs, key, text_col)
     counts = tf.groupBy("token").agg(
         F.sum("tf").alias("_c")
     ).localCheckpoint()  # consumers: total, hot top-K, tail join
@@ -468,6 +531,45 @@ def unigram_logppl(
             .cast("long")
             .alias("logppl_micro"),
         )
+    )
+
+
+def ppl_buckets(
+    docs: DataFrame, key: str, text_col: str = "text", hot_vocab: int = 65536
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): every doc
+    assigned to the ``head`` / ``middle`` / ``tail`` tercile of the
+    corpus's own perplexity distribution — the partitioning CCNet uses to
+    stratify Common Crawl by LM quality before sampling. Here the LM is
+    the transparent corpus-unigram model of ``unigram_logppl``, so the
+    whole op is oracle-checkable with no external artifacts.
+
+    Shape: the per-doc logppl frame computes ONCE (localCheckpoint — it
+    feeds both the tercile aggregate and the output rows), the two
+    thresholds ride as a broadcast 1-row aggregate (exact interpolated
+    ``F.percentile``; at 10^12 rows swap percentile_approx with a
+    documented error bound), and bucket assignment is a map-side
+    comparison of the ROUNDED integer micro values — no float boundary
+    can disagree across engines."""
+    lp = unigram_logppl(docs, key, text_col, hot_vocab).localCheckpoint()
+    thr = F.broadcast(
+        lp.agg(
+            *[
+                F.round(
+                    F.percentile(F.col("logppl_micro").cast("double"), F.lit(p))
+                ).cast("long").alias(name)
+                for name, p in (("_t1", 1 / 3), ("_t2", 2 / 3))
+            ]
+        )
+    )
+    return lp.crossJoin(thr).select(
+        "doc",
+        "n_tokens",
+        "logppl_micro",
+        F.when(F.col("logppl_micro") <= F.col("_t1"), F.lit("head"))
+        .when(F.col("logppl_micro") <= F.col("_t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )
 
 

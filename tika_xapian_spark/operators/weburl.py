@@ -151,3 +151,45 @@ def host_profile(
         )
         .orderBy(F.desc("n_pages"), "host")
     )
+
+
+def host_blocklist_filter(
+    pages: DataFrame, blocklist: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Drop every page whose host is on a blocklist (the UT1/adult-domains
+    pass every Common-Crawl curation pipeline runs) — keep-side bloom
+    composition:
+
+    - the blocklist's hosts compress to an ``m/8``-byte bloom bitmap
+      (operators/bloom.py), so a list far past the broadcast threshold
+      still rides map-side;
+    - every page gets a ``might_contain`` flag from k broadcast LEFT
+      word-joins (``bloom_flag``) — a bloom MISS is a definite keep, no
+      shuffle, and that's ~all rows when the blocklist hits a small
+      corpus fraction;
+    - only the bloom-HIT sliver takes the exact ``left_anti`` join that
+      removes false positives, so the anti-join shuffles a fraction of
+      the corpus bounded by (true hit rate + fpp ≈ 0.5%).
+
+    The two branches each re-run the map-only scan+flag (pipelined,
+    no materialization); the alternatives are strictly worse at 10^12
+    rows — a localCheckpoint materializes the full corpus, a plain
+    anti-join shuffles it.
+
+    ``blocklist`` must have a ``host`` column. Returns the kept pages
+    with their ``host`` appended."""
+    from .bloom import BITS_PER_KEY, bloom_flag, bloom_words, next_pow2
+
+    hosts = blocklist.select("host").distinct().localCheckpoint()
+    m_bits = next_pow2(BITS_PER_KEY * max(hosts.count(), 1))
+    bloom = bloom_words(hosts, "host", m_bits).localCheckpoint()
+    flagged = bloom_flag(
+        pages.withColumn("host", host_of(url_col)), "host", bloom, m_bits
+    )
+    fast_keep = flagged.filter(~F.col("might_contain")).drop("might_contain")
+    verified_keep = (
+        flagged.filter(F.col("might_contain"))
+        .drop("might_contain")
+        .join(hosts, "host", "left_anti")
+    )
+    return fast_keep.unionByName(verified_keep)

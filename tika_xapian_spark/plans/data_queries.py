@@ -1218,6 +1218,128 @@ GROUP BY t.doc_id
 ORDER BY t.doc_id"""
 
 
+_THIRD, _TWO_THIRDS = 1 / 3, 2 / 3
+
+
+def q_text_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity terciles over the corpus's own
+    unigram LM (operators/textstats.py ppl_buckets): the stratification
+    CCNet applies to Common Crawl before quality-weighted sampling."""
+    return (
+        T.ppl_buckets(_docs(spark, sf_dir), key="doc_id")
+        .select(
+            F.col("doc").alias("doc_id"), "n_tokens", "logppl_micro", "bucket"
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_PPL_BUCKETS = f"""
+WITH {_TOK_CTE.lstrip()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+tot AS (SELECT sum(tf)::DOUBLE AS n FROM tf),
+cnt AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term),
+lp AS (
+  SELECT t.doc_id,
+         CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+         CAST(round(sum(t.tf * (log2(tot.n) - log2(cnt.c))) / sum(t.tf)
+                    * 1000000) AS BIGINT) AS logppl_micro
+  FROM tf t JOIN cnt USING (term) CROSS JOIN tot
+  GROUP BY t.doc_id
+),
+thr AS (
+  SELECT CAST(round(quantile_cont(logppl_micro::DOUBLE, {_THIRD!r})) AS BIGINT) AS t1,
+         CAST(round(quantile_cont(logppl_micro::DOUBLE, {_TWO_THIRDS!r})) AS BIGINT) AS t2
+  FROM lp
+)
+SELECT lp.doc_id, lp.n_tokens, lp.logppl_micro,
+       CASE WHEN lp.logppl_micro <= thr.t1 THEN 'head'
+            WHEN lp.logppl_micro <= thr.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM lp CROSS JOIN thr
+ORDER BY lp.doc_id"""
+
+
+TFIDF_TOP_K = 3
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 TF-IDF keywords (operators/textstats.py
+    tfidf_top_terms — map-side tf, hot/cold-split df join, rank on the
+    rounded integer score)."""
+    return (
+        T.tfidf_top_terms(_docs(spark, sf_dir), key="doc_id", k=TFIDF_TOP_K)
+        .select(
+            F.col("doc").alias("doc_id"), "token", "tf", "tfidf_micro", "rank"
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+ORACLE_TFIDF = f"""
+WITH {_TOK_CTE.lstrip()},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term AS token, CAST(t.tf AS BIGINT) AS tf,
+         CAST(round(t.tf * (log2(nd.n) - log2(dfc.df)) * 1000000) AS BIGINT)
+           AS tfidf_micro
+  FROM tf t JOIN dfc USING (term) CROSS JOIN nd
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf_micro DESC, token) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, tfidf_micro, rank
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+ORDER BY doc_id, rank"""
+
+
+BLOCKLIST_SEED = "blocklist"
+BLOCKLIST_FRAC_MICRO = 200_000  # ~20% of hosts land on the drop-list
+
+
+def q_url_blocklist_filter(spark, sf_dir):
+    """Host-blocklist pass (the UT1/adult-domains drop every web-corpus
+    pipeline runs) over the synthesized crawl URLs: the blocklist is a
+    deterministic ~20% of hosts (hash-draw, so the oracle derives
+    membership structurally), compressed to a bloom bitmap; pages whose
+    host bloom-misses keep map-side, bloom-hits take the exact anti-join
+    (operators/weburl.py host_blocklist_filter). Output: per-host kept
+    page counts."""
+    from ..operators import weburl as W
+    from ..operators.sampling import sample_hash_micro
+
+    urls = _synth_urls(spark, sf_dir)
+    block = (
+        urls.select(W.host_of("url").alias("host"))
+        .distinct()
+        .filter(
+            sample_hash_micro("host", BLOCKLIST_SEED) < BLOCKLIST_FRAC_MICRO
+        )
+    )
+    return (
+        W.host_blocklist_filter(urls, block)
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
+        .orderBy("host")
+    )
+
+
+ORACLE_URL_BLOCKLIST = f"""
+WITH hosts AS (
+  SELECT doc_id, source || '.example.com' AS host FROM documents
+)
+SELECT host, count(*)::BIGINT AS n_pages
+FROM hosts
+WHERE ('0x' || substr(md5('{BLOCKLIST_SEED}:' || host), 1, 15))::BIGINT
+      % 1000000 >= {BLOCKLIST_FRAC_MICRO}
+GROUP BY host
+ORDER BY host"""
+
+
 SUBSTR_WIDTH = 8
 
 
@@ -1890,6 +2012,9 @@ DATA_QUERIES = {
     "ann_range_search": q_ann_range_search,
     "split_train_holdout": q_split_train_holdout,
     "text_encoding_anomaly": q_text_encoding_anomaly,
+    "text_ppl_buckets": q_text_ppl_buckets,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "url_blocklist_filter": q_url_blocklist_filter,
 }
 
 
@@ -1935,4 +2060,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "ann_range_search": ORACLE_ANN_RANGE,
         "split_train_holdout": ORACLE_SPLIT,
         "text_encoding_anomaly": ORACLE_ENCODING,
+        "text_ppl_buckets": ORACLE_PPL_BUCKETS,
+        "tfidf_top_terms": ORACLE_TFIDF,
+        "url_blocklist_filter": ORACLE_URL_BLOCKLIST,
     }

@@ -1109,6 +1109,214 @@ GROUP BY 1
 ORDER BY 1"""
 
 
+def q_tpch_revenue_forecast(spark, sf_dir):
+    """Q6-shape (forecasting revenue change): one year of shipments in a
+    narrow discount band and below a quantity cap, summed — the pure
+    scan-shape query. The whole predicate is sargable and every referenced
+    column is projected, so the plan must be a single parquet scan with
+    ALL THREE filters in ``PushedFilters`` and a 4-column ``ReadSchema``
+    feeding a partial+final aggregate — zero shuffle beyond the 1-row
+    final agg exchange. At 10^12 rows this query is exactly as fast as the
+    scan layout allows (row-group min/max skip on ``l_shipdate`` if the
+    writer sorted by it); anything more in the plan is a bug, and
+    test_plan_shapes pins that. Revenue is ``extendedprice * discount``
+    per TPC-H Q6 (the discount amount itself, not the discounted price),
+    rounded to cents per row before the exact integer sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * F.col("l_discount")))
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_TPCH_REVENUE_FORECAST = """
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24"""
+
+
+def q_tpch_discounted_brand_revenue(spark, sf_dir):
+    """Q19-shape (discounted revenue, disjunctive predicate): revenue from
+    three (brand, size-range, quantity-range) bands OR'ed together — the
+    classic join-with-residual-disjunction. Planned so the disjunction
+    does NOT defeat pushdown: Catalyst factors the common
+    ``p_brand IN (...)`` / ``p_size <= 15`` / quantity bounds out of the
+    OR (constraint propagation), so ``part`` arrives at the join already
+    cut to the three brands (~12% of rows) and ``lineitem`` to the
+    quantity envelope — the OR itself evaluates as the join residual, not
+    as a post-join filter over the full fact. ``part`` is hint-free:
+    linear at 200k/SF, AQE broadcasts the filtered slice while it fits."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    bands = (
+        ((brand == "Brand#12") & size.between(1, 5) & qty.between(1, 11))
+        | ((brand == "Brand#2") & size.between(1, 10) & qty.between(10, 20))
+        | ((brand == "Brand#23") & size.between(1, 15) & qty.between(20, 30))
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .filter(bands)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_TPCH_DISCOUNTED_BRAND = """
+SELECT p.p_brand,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+GROUP BY 1
+ORDER BY 1"""
+
+
+MARKET_SHARE_REGION = "ASIA"
+MARKET_SHARE_NATION = "NATION_7"
+
+
+def q_tpch_market_share(spark, sf_dir):
+    """Q8-shape (national market share): within one customer region, the
+    share of revenue supplied by one nation, per order year — the
+    two-role-dimension join (``nation`` joins twice: once as the
+    customer's nation restricted through ``region``, once as the
+    supplier's). Join order is fact-first: lineitem⋈orders is the one
+    genuine big-big shuffle, customer joins hint-free (AQE), and both
+    nation roles + region + supplier ride explicit broadcasts (O(25), O(5)
+    and O(10k/SF) rows — ``supplier`` is TPC-H's smallest linear table,
+    10k/SF ≈ 1M rows at SF100 ≈ tens of MB, still broadcastable; the
+    VERDICT-r5 rule of thumb: hint only what stays under the threshold at
+    100×). Share is emitted as the exact (nation_cents, total_cents) pair
+    — no bigint/bigint division through double."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(
+        F.col("r_name") == MARKET_SHARE_REGION
+    )
+    cust_nat = (
+        nat.join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nat = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(cust_nat), cust["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(supp_nat), supp["s_nationkey"] == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == MARKET_SHARE_NATION, rev)
+                .otherwise(F.lit(0))
+            ).alias("nation_cents"),
+            F.sum(rev).alias("total_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("order_year")
+    )
+
+
+ORACLE_TPCH_MARKET_SHARE = f"""
+SELECT year(o.o_orderdate)::BIGINT AS order_year,
+       CAST(sum(CASE WHEN sn.n_name = '{MARKET_SHARE_NATION}'
+                THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS nation_cents,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = '{MARKET_SHARE_REGION}'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+GROUP BY 1
+ORDER BY 1"""
+
+
+LATE_SHIP_DAYS = 60
+
+
+def q_tpch_late_shipments(spark, sf_dir):
+    """Q12-shape (shipping-mode lateness, re-keyed to ``o_orderpriority``
+    since this corpus carries no shipmode column): per priority bucket,
+    items shipped more than LATE_SHIP_DAYS days after the order date vs
+    total, plus the exact total delay in days. One big-big shuffle
+    (lineitem⋈orders on orderkey) feeding a conditional aggregate over a
+    5-value group domain — map-side partial aggregation collapses each
+    task to ≤5 rows before the final exchange. Delay math stays in whole
+    days (``datediff`` on date-truncated timestamps), so the sum is an
+    exact bigint at any scale."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum((delay > LATE_SHIP_DAYS).cast("long")).alias("n_late"),
+            F.sum(delay.cast("long")).alias("delay_days_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_TPCH_LATE_SHIPMENTS = f"""
+SELECT o.o_orderpriority,
+       count(*) AS n_items,
+       CAST(sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                          > {LATE_SHIP_DAYS} THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(sum(date_diff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
+         AS delay_days_total
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+ORDER BY 1"""
+
+
 REL_QUERIES = {
     "events_windowed": q_events_windowed,
     "events_stream_windowed": q_events_stream_windowed,
@@ -1136,6 +1344,10 @@ REL_QUERIES = {
     "tpch_cust_order_distribution": q_tpch_cust_order_distribution,
     "tpch_large_volume_customers": q_tpch_large_volume_customers,
     "tpch_sales_opportunity": q_tpch_sales_opportunity,
+    "tpch_revenue_forecast": q_tpch_revenue_forecast,
+    "tpch_discounted_brand_revenue": q_tpch_discounted_brand_revenue,
+    "tpch_market_share": q_tpch_market_share,
+    "tpch_late_shipments": q_tpch_late_shipments,
 }
 
 
@@ -1167,4 +1379,8 @@ def rel_oracle_sqls() -> dict[str, str]:
         "tpch_cust_order_distribution": ORACLE_TPCH_CUST_DIST,
         "tpch_large_volume_customers": ORACLE_TPCH_LARGE_VOLUME,
         "tpch_sales_opportunity": ORACLE_TPCH_SALES_OPPORTUNITY,
+        "tpch_revenue_forecast": ORACLE_TPCH_REVENUE_FORECAST,
+        "tpch_discounted_brand_revenue": ORACLE_TPCH_DISCOUNTED_BRAND,
+        "tpch_market_share": ORACLE_TPCH_MARKET_SHARE,
+        "tpch_late_shipments": ORACLE_TPCH_LATE_SHIPMENTS,
     }
