@@ -16,10 +16,17 @@ has to be built from registered builtins. This module does exactly that:
   row, which is the correct bloom answer.
 
 Why not just broadcast the distinct probe keys and semi-join? Memory: a
-hash relation of n strings costs tens of bytes per key; the bloom costs
-``m/8`` bytes TOTAL (m ≈ 16n bits → ~2 bytes per key at fpp ≈ 0.5%), so
-probe sets far past the broadcast threshold still fit. The price is false
-positives — callers MUST re-verify survivors with an exact join (hint-free:
+hash relation of n strings costs tens of bytes per key PLUS the key bytes
+themselves (a 40-char shingle ≈ 80 UTF-16 bytes). The bitmap's
+information content is ``m/8`` bytes (m ≈ 16n bits → ~2 bytes/key at
+fpp ≈ 0.5%), but it ships row-encoded as (word, bits) pairs in k
+broadcast hash relations — at 16 bits/key most words are populated, so
+the realized footprint is ~0.75n rows/seed × two longs + relation
+overhead ≈ tens of bytes per key. The honest win over broadcasting the
+keys is therefore the KEY BYTES (a few× for long shingles, not 20×) plus
+key-length independence; a packed-array bitmap in a scalar UDF would
+realize the full m/8 but leave the JVM. The price is false positives —
+callers MUST re-verify survivors with an exact join (hint-free:
 AQE broadcasts it while the probe side fits, shuffles only the surviving
 fraction otherwise). ``contamination_hits_bloom`` composes both halves and
 is therefore exactly equal to ``dedup.contamination_hits`` — the oracle is
@@ -54,6 +61,15 @@ def next_pow2(n: int) -> int:
     return 1 << max(6, (int(n) - 1).bit_length())
 
 
+def _check_m(m_bits: int) -> None:
+    """Build AND probe must agree on a power-of-two m: a mismatched or
+    non-pow2 probe m computes different word/bit positions than the build
+    did, and the word-join then silently drops TRUE members (false
+    negatives) — the one failure mode a bloom must never have."""
+    if m_bits & (m_bits - 1) or m_bits <= 0:
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+
+
 def bloom_words(
     probe: DataFrame,
     col: str,
@@ -64,8 +80,7 @@ def bloom_words(
     1-bit masks every probe key sets in that 64-bit word. Single scan of
     the probe side (the per-seed entries fan out in one explode) + one
     tiny groupBy."""
-    if m_bits & (m_bits - 1):
-        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    _check_m(m_bits)
     entries = [
         F.struct(
             F.lit(int(s)).alias("seed"),
@@ -93,6 +108,7 @@ def bloom_prefilter(
     a map-side hash probe + one bitwise AND. Never drops a true member
     (same hash family as the build); passes a false-positive fraction the
     caller's exact verify join removes."""
+    _check_m(m_bits)
     out = df
     for s in seeds:
         pos = _pos(col, s, m_bits)
@@ -123,6 +139,7 @@ def bloom_flag(
     needs (a definite bloom MISS means "keep immediately"; only bloom
     hits need the exact membership check). k broadcast LEFT word-joins;
     a missing word row means no bit set, i.e. false."""
+    _check_m(m_bits)
     out = df
     per_seed = []
     for s in seeds:

@@ -81,18 +81,16 @@ def cosine_range(
     at 10^12 rows the caller bounds it by threshold choice (or composes
     ``.limit``). The threshold compares on the ROUNDED integer micro value,
     the same quantity both engines materialize — a raw-double cutoff could
-    disagree across engines on a boundary row."""
+    disagree across engines on a boundary row. Output is UNORDERED (a
+    global orderBy here would range-sample and re-execute the whole scan;
+    callers that need an order sort the bounded result)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     emb = _as_double(vec_col)
     cos = _dot(emb, q) / (_norm(emb) * _norm(q))
-    return (
-        embeddings.select(
-            F.col(id_col).alias("vec_id"),
-            F.round(cos * 1_000_000).cast("long").alias("cos_micro"),
-        )
-        .filter(F.col("cos_micro") >= int(min_cos_micro))
-        .orderBy(F.desc("cos_micro"), F.asc("vec_id"))
-    )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(cos * 1_000_000).cast("long").alias("cos_micro"),
+    ).filter(F.col("cos_micro") >= int(min_cos_micro))
 
 
 def sign_bucket(vec_col: str | Column, dims: tuple[int, ...] = LSH_DIMS) -> Column:

@@ -1510,10 +1510,10 @@ def q_text_pii_scrub(spark, sf_dir):
     PII-bearing documents (operators/pii.py) — map-only JVM regex pass."""
     from ..operators.pii import pii_scrub
 
-    return (
+    return _ordered_perdoc(
         pii_scrub(_synth_pii(spark, sf_dir), "text")
-        .select("doc_id", "n_emails", "n_ips", "n_phones", "scrubbed")
-        .orderBy("doc_id")
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "scrubbed"),
+        "doc_id",
     )
 
 
@@ -1535,7 +1535,10 @@ def q_ann_range_search(spark, sf_dir):
     the radius dual of top-k; scan+filter, no bounded heap
     (operators/similarity.py cosine_range)."""
     qv = _query_vec(spark, sf_dir)
-    return SIM.cosine_range(_emb(spark, sf_dir), qv, min_cos_micro=150_000)
+    return _ordered_perdoc(
+        SIM.cosine_range(_emb(spark, sf_dir), qv, min_cos_micro=150_000),
+        F.desc("cos_micro"), F.asc("vec_id"),
+    )
 
 
 ORACLE_ANN_RANGE = f"""
@@ -1886,13 +1889,12 @@ def q_split_train_holdout(spark, sf_dir):
     reproducible across engines and re-executed tasks)."""
     from ..operators.sampling import group_holdout_split
 
-    return (
+    return _ordered_perdoc(
         group_holdout_split(
             _docs(spark, sf_dir), group_col="source",
             train_frac=SPLIT_TRAIN_FRAC, seed=SPLIT_SEED,
-        )
-        .select("doc_id", "source", "split")
-        .orderBy("doc_id")
+        ).select("doc_id", "source", "split"),
+        "doc_id",
     )
 
 
@@ -1931,10 +1933,10 @@ def q_text_encoding_anomaly(spark, sf_dir):
     UTF-8-as-Latin-1 mojibake pairs, non-ASCII rate) over synthesized
     anomaly-bearing docs — map-only JVM regexp_count passes
     (operators/textstats.py encoding_anomalies)."""
-    return (
+    return _ordered_perdoc(
         T.encoding_anomalies(_synth_encoding(spark, sf_dir), key="doc_id")
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy("doc_id")
+        .withColumnRenamed("doc", "doc_id"),
+        "doc_id",
     )
 
 

@@ -1243,7 +1243,7 @@ def q_tpch_market_share(spark, sf_dir):
         .join(F.broadcast(cust_nat), cust["c_nationkey"] == F.col("cn_key"))
         .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(supp_nat), supp["s_nationkey"] == F.col("sn_key"))
-        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
         .agg(
             F.sum(
                 F.when(F.col("supp_nation") == MARKET_SHARE_NATION, rev)
