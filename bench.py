@@ -140,7 +140,9 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "ann_multiprobe_topk",  # written-index path: partition-pruned probe
         "spelling_suggest",  # persistent trigram table point lookup
         "text_quality",
+        "tfidf_top_terms",  # map-side tf + hot/cold df join + rank window (round 6)
         "tpch_pricing_summary",
+        "tpch_revenue_forecast",  # Q6 pure pushed-down scan baseline (round 6)
         "events_sessionized",
     ):
         fn = registry[name]
