@@ -338,3 +338,82 @@ class TestEncodingAnomalies:
         r = self._one(spark, "naïve café 東京")
         assert r.n_mojibake == 0 and r.clean == 1
         assert r.n_nonascii == 4  # ï, é, 東, 京
+
+
+class TestWithinDocLineDedup:
+    def test_drops_repeats_keeps_order_and_empties(self, spark):
+        from tika_xapian_spark.operators.dedup import within_doc_line_dedup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b\nDup Line!\na b\ndup line\n\ntail"),
+                (2, ""),
+                (3, "only"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc: r for r in within_doc_line_dedup(docs, "doc_id").collect()}
+        # doc 1: 'a b' repeat and normalized 'dup line' repeat drop; the
+        # empty line survives; order preserved
+        assert rows[1].text_clean == "a b\nDup Line!\n\ntail"
+        assert (rows[1].n_lines, rows[1].n_kept, rows[1].n_dropped) == (6, 4, 2)
+        # empty text is one empty line, kept
+        assert (rows[2].n_lines, rows[2].n_kept) == (1, 1)
+        assert rows[3].text_clean == "only"
+
+    def test_zero_shuffle_no_python(self, spark):
+        from tika_xapian_spark.operators.dedup import within_doc_line_dedup
+
+        docs = spark.createDataFrame(
+            [(i, f"l{i}\nl{i}") for i in range(10)], "doc_id long, text string"
+        )
+        plan = (
+            within_doc_line_dedup(docs, "doc_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestLabelCentroidSimilarity:
+    def test_identical_and_opposite_clusters(self, spark):
+        from tika_xapian_spark.operators.similarity import (
+            label_centroid_similarity,
+        )
+
+        def vec(sign, jitter):
+            return [sign * (1.0 + jitter * (j % 3) / 10.0) for j in range(8)]
+
+        rows = (
+            [(i, vec(+1, i % 2), 0) for i in range(4)]
+            + [(i + 10, vec(+1, (i + 1) % 2), 1) for i in range(4)]
+            + [(i + 20, vec(-1, i % 2), 2) for i in range(4)]
+        )
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        got = {
+            (r.label_a, r.label_b): r.cos_micro
+            for r in label_centroid_similarity(emb, dim=8).collect()
+        }
+        assert got[(0, 1)] == 1_000_000        # same direction
+        assert got[(0, 2)] == -1_000_000       # opposite direction
+        assert set(got) == {(0, 1), (0, 2), (1, 2)}
+
+    def test_single_label_shuffle(self, spark):
+        from tika_xapian_spark.operators.similarity import (
+            label_centroid_similarity,
+        )
+
+        emb = spark.createDataFrame(
+            [(i, [float(i + j) for j in range(8)], i % 3) for i in range(30)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        plan = (
+            label_centroid_similarity(emb, dim=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the centroid groupBy is checkpointed before the self-join, so the
+        # executed plan of the final frame joins two checkpoint scans —
+        # no re-aggregation, no shuffle join of the k-row table
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

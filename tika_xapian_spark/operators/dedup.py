@@ -774,3 +774,56 @@ def line_dedup_corpus(
         .alias("n_dropped"),
         F.coalesce("text_clean", F.lit("")).alias("text_clean"),
     )
+
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({x}), '[^a-z0-9 ]', ''),"
+    " ' +', ' '))"
+)
+
+
+def within_doc_line_dedup(
+    docs: DataFrame, key: str, text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition removal (the Gopher/Dolma in-doc pass,
+    complementing the corpus-level ``line_dedup_corpus``): every line whose
+    NORMALIZED form already appeared earlier in the SAME document is
+    dropped; first occurrences and empty-norm lines keep, order preserved.
+
+    Zero shuffle at any scale: the whole pass is one per-row ``aggregate``
+    fold over the split lines. The fold's lambda references ONLY its
+    accumulator and element (the round-6 HOF rule: an outer array-valued
+    expression inside a lambda gets re-inlined per element by column
+    pruning in composed plans — ``dedup.py`` module note), and the seen-set
+    scan is bounded by the document's own distinct-line count.
+
+    Output: (doc, n_lines, n_kept, n_dropped, text_clean).
+    """
+    norm_x = _NORM_SQL.format(x="x")
+    staged = docs.selectExpr(
+        f"{key} AS doc", f"split({text_col}, '\\n') AS _lines"
+    )
+    fold = f"""
+aggregate(
+  _lines,
+  named_struct('seen', cast(array() as array<string>),
+               'kept', cast(array() as array<string>)),
+  (acc, x) -> CASE
+    WHEN {norm_x} = '' THEN
+      named_struct('seen', acc.seen, 'kept', array_append(acc.kept, x))
+    WHEN array_contains(acc.seen, {norm_x}) THEN acc
+    ELSE named_struct('seen', array_append(acc.seen, {norm_x}),
+                      'kept', array_append(acc.kept, x)) END,
+  acc -> acc.kept
+)"""
+    return staged.selectExpr(
+        "doc",
+        "size(_lines) AS _n",
+        f"{fold} AS _kept",
+    ).selectExpr(
+        "doc",
+        "CAST(_n AS BIGINT) AS n_lines",
+        "CAST(size(_kept) AS BIGINT) AS n_kept",
+        "CAST(_n - size(_kept) AS BIGINT) AS n_dropped",
+        "array_join(_kept, '\\n') AS text_clean",
+    )

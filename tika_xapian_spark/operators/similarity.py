@@ -408,3 +408,57 @@ def pairwise_cosine_dedup(
         .agg(F.max("cos_micro").alias("cos_micro"))
         .orderBy("id_a", "id_b")
     )
+
+
+def label_centroid_similarity(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(label_a, label_b, cos_micro): pairwise cosine similarity between
+    per-label embedding CENTROIDS — the cluster-coherence profile a
+    curation run consults before mixing sources ("are these two topic
+    labels actually distinct in embedding space?").
+
+    Exact-integer until the final division, so both engines compute
+    bit-identical values: each centroid dimension is the rounded-micro
+    mean of rounded-micro components (bigint sums — float avg is
+    summation-order-dependent and would flake the oracle), and the
+    dot/norm accumulations are explicit left-to-right chains of bigint
+    products (≤ 64·10^12, exactly representable) cast to double only for
+    the sqrt/divide.
+
+    Scale shape: ONE shuffle (groupBy(label), map-side combined, 64
+    sum-expressions built as expr strings — the wide-agg py4j lesson),
+    then an O(k²) broadcast self-join over the k-row centroid table —
+    trivial for any real label cardinality."""
+    dims = range(1, dim + 1)
+    aggs = [
+        F.expr(
+            f"CAST(round(sum(CAST(round(CAST(element_at({vec_col}, {i}) AS DOUBLE)"
+            f" * 1000000) AS BIGINT)) / count(1)) AS BIGINT)"
+        ).alias(f"c{i}")
+        for i in dims
+    ]
+    cent = embeddings.groupBy(label_col).agg(*aggs).localCheckpoint()
+    dot = " + ".join(f"(a.c{i} * b.c{i})" for i in dims)
+    na2 = " + ".join(f"(a.c{i} * a.c{i})" for i in dims)
+    nb2 = " + ".join(f"(b.c{i} * b.c{i})" for i in dims)
+    a, b = cent.alias("a"), cent.alias("b")
+    return (
+        a.join(
+            F.broadcast(b),
+            F.col(f"a.{label_col}") < F.col(f"b.{label_col}"),
+        )
+        .select(
+            F.col(f"a.{label_col}").alias("label_a"),
+            F.col(f"b.{label_col}").alias("label_b"),
+            F.expr(
+                f"CAST(round(CAST({dot} AS DOUBLE) / "
+                f"(sqrt(CAST({na2} AS DOUBLE)) * sqrt(CAST({nb2} AS DOUBLE)))"
+                f" * 1000000) AS BIGINT)"
+            ).alias("cos_micro"),
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -1218,6 +1218,110 @@ GROUP BY t.doc_id
 ORDER BY t.doc_id"""
 
 
+# -------------------------------------------------- within-doc line dedup
+# documents is single-line, so the driver query synthesizes within-doc
+# repetition deterministically: line 3 always repeats line 1, line 4
+# repeats line 2's NORMALIZED form on even doc_ids ('dup line' vs 'Dup
+# Line!' — exercising the normalizer), and every third doc gains two
+# empty lines (always kept). The oracle mirrors the dedup itself
+# structurally (first-occurrence window), not the synthesis.
+
+
+def _repeat_docs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"),
+        F.lit("\nDup Line!\n"),
+        F.col("text"),
+        F.when(did % 2 == 0, F.lit("\ndup line")).otherwise(
+            F.concat(F.lit("\nunique "), did.cast("string"))
+        ),
+        F.when(did % 3 == 0, F.lit("\n\n")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", txt.alias("text"))
+
+
+def q_dedup_within_doc_lines(spark, sf_dir):
+    """Within-document repetition removal (Gopher/Dolma in-doc pass):
+    repeated normalized lines drop, first occurrences keep, order
+    preserved — one zero-shuffle per-row fold (operators/dedup.py
+    within_doc_line_dedup)."""
+    return _ordered_perdoc(
+        D.within_doc_line_dedup(_repeat_docs(spark, sf_dir), key="doc_id")
+        .withColumnRenamed("doc", "doc_id"),
+        "doc_id",
+    )
+
+
+ORACLE_WITHIN_DOC_LINES = """
+WITH aug AS (
+  SELECT doc_id,
+         text || chr(10) || 'Dup Line!' || chr(10) || text
+         || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'dup line'
+                 ELSE chr(10) || 'unique ' || doc_id END
+         || CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) ELSE '' END
+           AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, chr(10)), 1) AS BIGINT) AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM aug
+),
+normed AS (
+  SELECT doc_id, pos, line,
+         trim(regexp_replace(regexp_replace(lower(line), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM lines
+),
+kept AS (
+  SELECT doc_id, pos, line FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id, norm ORDER BY pos) AS rn
+    FROM normed
+  ) WHERE norm = '' OR rn = 1
+),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM lines GROUP BY 1),
+reb AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text_clean
+  FROM kept GROUP BY 1
+)
+SELECT t.doc_id, t.n_lines, r.n_kept,
+       t.n_lines - r.n_kept AS n_dropped, r.text_clean
+FROM tot t JOIN reb r USING (doc_id)
+ORDER BY t.doc_id"""
+
+
+def q_embedding_label_similarity(spark, sf_dir):
+    """Pairwise cosine between per-label embedding centroids
+    (operators/similarity.py label_centroid_similarity — exact-integer
+    centroid micros, one groupBy(label) shuffle, O(k²) broadcast
+    self-join)."""
+    return SIM.label_centroid_similarity(_emb(spark, sf_dir))
+
+
+def _label_sim_oracle(dim: int = 64) -> str:
+    d = range(1, dim + 1)
+    cols = ",\n       ".join(
+        f"CAST(round(sum(CAST(round(CAST(embedding[{i}] AS DOUBLE) * 1000000)"
+        f" AS BIGINT)) / count(*)) AS BIGINT) AS c{i}"
+        for i in d
+    )
+    dot = " + ".join(f"(a.c{i} * b.c{i})" for i in d)
+    na2 = " + ".join(f"(a.c{i} * a.c{i})" for i in d)
+    nb2 = " + ".join(f"(b.c{i} * b.c{i})" for i in d)
+    return f"""
+WITH cent AS (SELECT label, {cols} FROM embeddings GROUP BY label)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(round(CAST({dot} AS DOUBLE) /
+            (sqrt(CAST({na2} AS DOUBLE)) * sqrt(CAST({nb2} AS DOUBLE)))
+            * 1000000) AS BIGINT) AS cos_micro
+FROM cent a JOIN cent b ON a.label < b.label
+ORDER BY label_a, label_b"""
+
+
 _THIRD, _TWO_THIRDS = 1 / 3, 2 / 3
 
 
@@ -2017,6 +2121,8 @@ DATA_QUERIES = {
     "text_ppl_buckets": q_text_ppl_buckets,
     "tfidf_top_terms": q_tfidf_top_terms,
     "url_blocklist_filter": q_url_blocklist_filter,
+    "dedup_within_doc_lines": q_dedup_within_doc_lines,
+    "embedding_label_similarity": q_embedding_label_similarity,
 }
 
 
@@ -2065,4 +2171,6 @@ def data_oracle_sqls() -> dict[str, str]:
         "text_ppl_buckets": ORACLE_PPL_BUCKETS,
         "tfidf_top_terms": ORACLE_TFIDF,
         "url_blocklist_filter": ORACLE_URL_BLOCKLIST,
+        "dedup_within_doc_lines": ORACLE_WITHIN_DOC_LINES,
+        "embedding_label_similarity": _label_sim_oracle(),
     }
