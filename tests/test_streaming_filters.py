@@ -103,3 +103,68 @@ def test_canonical_url_streams(spark, tmp_path):
             f"https://h{i % 3}.com/p{i}?a={i}",
             f"h{i % 3}.com",
         )
+
+
+def test_pii_scrub_streams_equal_batch(spark, tmp_path):
+    from tika_xapian_spark.operators.pii import pii_scrub
+
+    rows = [
+        (i, f"call 555-{i:04d} or mail a{i}@ex{i % 3}.example.org "
+            f"from 10.0.0.{i % 250} about doc {i}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "pii_docs")
+    df.repartition(3).write.parquet(src)
+
+    stream_in = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        pii_scrub(stream_in, "text")
+        .writeStream.format("memory")
+        .queryName("pii_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: tuple(r) for r in spark.table("pii_out").collect()}
+    want = {r.doc_id: tuple(r) for r in pii_scrub(df, "text").collect()}
+    assert got == want
+    assert all(r[-4:-1] == (1, 1, 1) for r in want.values())  # counts found
+
+
+def test_encoding_anomalies_streams_equal_batch(spark, tmp_path):
+    from tika_xapian_spark.operators.textstats import encoding_anomalies
+
+    rows = [
+        (i, ("clean ascii text %d" % i) if i % 2 else "bad � ch\x07unk Ã©")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "enc_docs")
+    df.repartition(2).write.parquet(src)
+
+    stream_in = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        encoding_anomalies(stream_in, key="doc_id")
+        .writeStream.format("memory")
+        .queryName("enc_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc: tuple(r) for r in spark.table("enc_out").collect()}
+    want = {r.doc: tuple(r) for r in encoding_anomalies(df, key="doc_id").collect()}
+    assert got == want
+    assert {r[-1] for r in want.values()} == {0, 1}  # both classes present

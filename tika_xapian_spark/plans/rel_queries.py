@@ -1317,6 +1317,59 @@ GROUP BY 1
 ORDER BY 1"""
 
 
+def q_tpch_top_supplier(spark, sf_dir):
+    """Q15-shape (top supplier): the supplier(s) whose revenue over one
+    quarter equals the maximum — the view + scalar-max pattern. The
+    per-supplier revenue aggregates ONCE (localCheckpoint: it feeds both
+    the max aggregate and the filter — a view referenced twice re-executes
+    per reference otherwise), the max rides as a broadcast 1-row
+    aggregate, and the equality filter compares exact integer cents so
+    "ties for the top" is well-defined in both engines (TPC-H's own Q15
+    wording anticipates ties). ``supplier`` is the bounded hinted
+    broadcast (10k/SF — smallest linear table, tens of MB at SF100)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("total_revenue_cents")
+        )
+        .localCheckpoint()
+    )
+    mx = F.broadcast(rev.agg(F.max("total_revenue_cents").alias("_mx")))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(mx)
+        .filter(F.col("total_revenue_cents") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("sk") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("suppkey"),
+            "s_name",
+            "total_revenue_cents",
+        )
+        .orderBy("suppkey")
+    )
+
+
+ORACLE_TPCH_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey::BIGINT AS suppkey, s.s_name, r.total_revenue_cents
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
+ORDER BY suppkey"""
+
+
 REL_QUERIES = {
     "events_windowed": q_events_windowed,
     "events_stream_windowed": q_events_stream_windowed,
@@ -1348,6 +1401,7 @@ REL_QUERIES = {
     "tpch_discounted_brand_revenue": q_tpch_discounted_brand_revenue,
     "tpch_market_share": q_tpch_market_share,
     "tpch_late_shipments": q_tpch_late_shipments,
+    "tpch_top_supplier": q_tpch_top_supplier,
 }
 
 
@@ -1383,4 +1437,5 @@ def rel_oracle_sqls() -> dict[str, str]:
         "tpch_discounted_brand_revenue": ORACLE_TPCH_DISCOUNTED_BRAND,
         "tpch_market_share": ORACLE_TPCH_MARKET_SHARE,
         "tpch_late_shipments": ORACLE_TPCH_LATE_SHIPMENTS,
+        "tpch_top_supplier": ORACLE_TPCH_TOP_SUPPLIER,
     }
