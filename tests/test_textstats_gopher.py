@@ -223,6 +223,19 @@ class TestCurationLibrarySurface:
         want = {r["doc_id"] for r in q_curate_corpus(spark, sf).collect()}
         assert kept == want
 
+    def test_ccnet_gate_matches_driver_query(self, spark):
+        from tika_xapian_spark.plans.curation import curate_docs
+        from tika_xapian_spark.plans.data_queries import q_curate_corpus_ccnet
+
+        sf = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        kept = {r["doc_id"] for r in curate_docs(docs, gate="ccnet").collect()}
+        want = {r["doc_id"] for r in q_curate_corpus_ccnet(spark, sf).collect()}
+        assert kept == want
+        # the tercile cut actually discriminates (roughly a third drops)
+        n_in = docs.count()
+        assert 0 < len(kept) < n_in
+
     def test_bad_gate_raises(self, spark):
         from tika_xapian_spark.plans.curation import curate_docs
 

@@ -44,9 +44,10 @@ def main(argv: list[str] | None = None) -> int:
     pd.add_argument("--out", required=True, help="curated output parquet dir")
     pd.add_argument("--key", default="doc_id")
     pd.add_argument(
-        "--gate", choices=["classic", "gopher"], default="gopher",
-        help="quality gate: 'classic' (length/stopword composite) or "
-        "'gopher' (Rae et al. rule set + repetition cap)",
+        "--gate", choices=["classic", "gopher", "ccnet"], default="gopher",
+        help="quality gate: 'classic' (length/stopword composite), "
+        "'gopher' (Rae et al. rule set + repetition cap), or 'ccnet' "
+        "(exact dedup + corpus-LM perplexity terciles, no minhash stage)",
     )
     pd.add_argument("--min-stop", type=int, default=1)
     pd.add_argument(

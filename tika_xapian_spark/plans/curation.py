@@ -55,8 +55,10 @@ def curate_docs(
     max_bucket_size: int | None = None,
     star_above: int | None = STAR_ABOVE,
 ) -> DataFrame:
-    if gate not in ("classic", "gopher"):
-        raise ValueError(f"gate must be 'classic' or 'gopher', got {gate!r}")
+    if gate not in ("classic", "gopher", "ccnet"):
+        raise ValueError(
+            f"gate must be 'classic', 'gopher' or 'ccnet', got {gate!r}"
+        )
     lang = T.lang_id(docs, key=key, text_col=text_col).select(
         F.col("doc").alias(key), "predicted_lang"
     )
@@ -65,6 +67,25 @@ def curate_docs(
         .filter(F.col("predicted_lang") == "en")
         .drop("predicted_lang")
     )
+    if gate == "ccnet":
+        # CCNet (Wenzek et al. 2020): exact-dup canonical only, then keep
+        # the head/middle perplexity terciles of the corpus-own unigram LM
+        # (terciles over the FULL input — the standalone ppl_buckets
+        # semantics). No minhash stage: CCNet's dedup is exact.
+        exact = D.exact_duplicates(docs, key=key, text_col=text_col).select(
+            F.col("doc").alias(key), "canonical_id"
+        )
+        ppl = T.ppl_buckets(docs, key=key, text_col=text_col).select(
+            F.col("doc").alias(key), "bucket"
+        )
+        return (
+            kept.join(exact, key)
+            .filter(F.col(key) == F.col("canonical_id"))
+            .drop("canonical_id")
+            .join(ppl, key)
+            .filter(F.col("bucket") != "tail")
+            .drop("bucket")
+        )
     if gate == "classic":
         qual = T.quality_features(docs, key=key, text_col=text_col).select(
             F.col("doc").alias(key), "quality_micro"

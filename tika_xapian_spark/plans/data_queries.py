@@ -1218,6 +1218,75 @@ GROUP BY t.doc_id
 ORDER BY t.doc_id"""
 
 
+def q_curate_corpus_ccnet(spark, sf_dir):
+    """Curation v3 — the CCNet composition (Wenzek et al. 2020): language
+    filter (en) -> exact-dup canonical only -> keep the head/middle
+    perplexity terciles of the corpus-own unigram LM (drop the tail,
+    CCNet's quality cut). No minhash stage — CCNet's dedup is exact
+    (paragraph hashes); near-dup removal is the Gopher/classic gates'
+    job. Terciles are computed over the FULL corpus (the standalone
+    ``text_ppl_buckets`` semantics), so every stage remains an
+    independently oracle-checked operator and the composed oracle splices
+    the standalone oracle texts."""
+    docs = _docs(spark, sf_dir)
+    lang = T.lang_id(docs, key="doc_id").select(
+        F.col("doc").alias("doc_id"), "predicted_lang"
+    )
+    exact = D.exact_duplicates(docs, key="doc_id").select(
+        F.col("doc").alias("doc_id"), "canonical_id"
+    )
+    ppl = T.ppl_buckets(docs, key="doc_id").select(
+        F.col("doc").alias("doc_id"), "logppl_micro", "bucket"
+    )
+    return (
+        docs.select("doc_id")
+        .join(lang, "doc_id")
+        .filter(F.col("predicted_lang") == "en")
+        .join(exact, "doc_id")
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .join(ppl, "doc_id")
+        .filter(F.col("bucket") != "tail")
+        .select("doc_id", "logppl_micro", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+def _curate_ccnet_oracle() -> str:
+    """Spliced from the standalone langid / ppl-bucket oracle texts (same
+    machinery as _curate_oracle — single source of truth)."""
+    tokc = _TOK_CTE.strip()
+
+    def split_parts(sql: str, select_marker: str):
+        rest = sql.split(tokc, 1)[1].lstrip(",\n")
+        ctes, sel = rest.rsplit(select_marker, 1)
+        sel = (select_marker.lstrip("\n") + sel).rsplit("ORDER BY", 1)[0]
+        return ctes.rstrip().rstrip(","), sel
+
+    lang_ctes, lang_sel = split_parts(_langid_oracle(), "\nSELECT doc_id,")
+    ppl_ctes, ppl_sel = split_parts(ORACLE_PPL_BUCKETS, "\nSELECT lp.doc_id,")
+    return f"""
+WITH {_TOK_CTE.lstrip()},
+{lang_ctes},
+lang AS ({lang_sel}),
+{ppl_ctes},
+ppl AS ({ppl_sel}),
+exact_h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+exact_g AS (
+  SELECT content_hash, min(doc_id) AS canonical_id
+  FROM exact_h GROUP BY content_hash
+)
+SELECT d.doc_id, p.logppl_micro, p.bucket
+FROM documents d
+JOIN lang l ON l.doc_id = d.doc_id
+JOIN ppl p ON p.doc_id = d.doc_id
+JOIN exact_h h ON h.doc_id = d.doc_id
+JOIN exact_g g ON g.content_hash = h.content_hash
+WHERE l.predicted_lang = 'en'
+  AND g.canonical_id = d.doc_id
+  AND p.bucket <> 'tail'
+ORDER BY d.doc_id"""
+
+
 # -------------------------------------------------- within-doc line dedup
 # documents is single-line, so the driver query synthesizes within-doc
 # repetition deterministically: line 3 always repeats line 1, line 4
@@ -2123,6 +2192,7 @@ DATA_QUERIES = {
     "url_blocklist_filter": q_url_blocklist_filter,
     "dedup_within_doc_lines": q_dedup_within_doc_lines,
     "embedding_label_similarity": q_embedding_label_similarity,
+    "curate_corpus_ccnet": q_curate_corpus_ccnet,
 }
 
 
@@ -2173,4 +2243,5 @@ def data_oracle_sqls() -> dict[str, str]:
         "url_blocklist_filter": ORACLE_URL_BLOCKLIST,
         "dedup_within_doc_lines": ORACLE_WITHIN_DOC_LINES,
         "embedding_label_similarity": _label_sim_oracle(),
+        "curate_corpus_ccnet": _curate_ccnet_oracle(),
     }
