@@ -319,3 +319,57 @@ class TestExactSubstrAdversarial:
             (1, 2, 40),
             (3, 4, 30),
         ]
+
+
+class TestWithinDocLineDedupProperty:
+    """The zero-shuffle aggregate fold must equal a transparent Python
+    reference on arbitrary multi-line inputs (empty lines, repeated
+    normalized forms, punctuation-only lines, trailing newlines)."""
+
+    @staticmethod
+    def _ref(text: str):
+        lines = text.split("\n")
+        seen, kept = set(), []
+        for ln in lines:
+            norm = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", "", ln.lower())).strip()
+            if norm == "" or norm not in seen:
+                if norm != "":
+                    seen.add(norm)
+                kept.append(ln)
+        return len(lines), len(kept), "\n".join(kept)
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.text(
+                    alphabet="aAbB cC!.-12\t", min_size=0, max_size=12
+                ),
+                min_size=1,
+                max_size=8,
+            ).map("\n".join),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def test_fold_equals_python_reference(self, texts):
+        import tests.conftest  # noqa: F401  (session fixture owner)
+        from pyspark.sql import SparkSession
+
+        from tika_xapian_spark.operators.dedup import within_doc_line_dedup
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:  # property test may run before any spark fixture
+            from tika_xapian_spark.session import get_spark
+
+            spark = get_spark(master="local[2]", shuffle_partitions=2)
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r.doc: (r.n_lines, r.n_kept, r.text_clean)
+            for r in within_doc_line_dedup(docs, "doc_id").collect()
+        }
+        for i, t in enumerate(texts):
+            nl, nk, clean = self._ref(t)
+            assert got[i] == (nl, nk, clean), (t, got[i])
