@@ -417,3 +417,16 @@ class TestLabelCentroidSimilarity:
         # executed plan of the final frame joins two checkpoint scans —
         # no re-aggregation, no shuffle join of the k-row table
         assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_within_doc_line_dedup_null_text(spark):
+    """A NULL text row behaves as empty text (1 empty line kept) — not
+    NULL-propagated -1 counters."""
+    from tika_xapian_spark.operators.dedup import within_doc_line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a\na")], "doc_id long, text string"
+    )
+    rows = {r.doc: r for r in within_doc_line_dedup(docs, "doc_id").collect()}
+    assert (rows[1].n_lines, rows[1].n_kept, rows[1].text_clean) == (1, 1, "")
+    assert (rows[2].n_lines, rows[2].n_kept) == (2, 1)

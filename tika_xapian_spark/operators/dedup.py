@@ -692,6 +692,12 @@ def shared_substring_spans(
 # -------------------------------------------- corpus-level line dedup (CCNet)
 
 
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({x}), '[^a-z0-9 ]', ''),"
+    " ' +', ' '))"
+)
+
+
 def line_dedup_corpus(
     docs: DataFrame,
     key: str,
@@ -725,16 +731,7 @@ def line_dedup_corpus(
     lines = docs.selectExpr(
         f"{key} AS doc",
         f"posexplode(split({text_col}, '\\n')) AS (pos, line)",
-    ).withColumn(
-        "_norm",
-        F.trim(
-            F.regexp_replace(
-                F.regexp_replace(F.lower(F.col("line")), "[^a-z0-9 ]", ""),
-                " +",
-                " ",
-            )
-        ),
-    )
+    ).withColumn("_norm", F.expr(_NORM_SQL.format(x="line")))
     keep_always = lines.filter(F.col("_norm") == "").select("doc", "pos", "line")
     cand = (
         lines.filter(F.col("_norm") != "")
@@ -776,12 +773,6 @@ def line_dedup_corpus(
     )
 
 
-_NORM_SQL = (
-    "trim(regexp_replace(regexp_replace(lower({x}), '[^a-z0-9 ]', ''),"
-    " ' +', ' '))"
-)
-
-
 def within_doc_line_dedup(
     docs: DataFrame, key: str, text_col: str = "text"
 ) -> DataFrame:
@@ -801,19 +792,25 @@ def within_doc_line_dedup(
     """
     norm_x = _NORM_SQL.format(x="x")
     staged = docs.selectExpr(
-        f"{key} AS doc", f"split({text_col}, '\\n') AS _lines"
+        f"{key} AS doc",
+        # coalesce: a NULL text row must behave as empty text, not
+        # propagate NULL through the fold into size()=-1 counters
+        f"split(coalesce({text_col}, ''), '\\n') AS _lines",
     )
+    # pre-normalize ONCE per line (the fold's CASE would otherwise
+    # re-evaluate the regexp chain up to 3x per line); the transform
+    # lambda touches only its own element, per the module HOF rule
     fold = f"""
 aggregate(
-  _lines,
+  transform(_lines, x -> named_struct('line', x, 'norm', {norm_x})),
   named_struct('seen', cast(array() as array<string>),
                'kept', cast(array() as array<string>)),
   (acc, x) -> CASE
-    WHEN {norm_x} = '' THEN
-      named_struct('seen', acc.seen, 'kept', array_append(acc.kept, x))
-    WHEN array_contains(acc.seen, {norm_x}) THEN acc
-    ELSE named_struct('seen', array_append(acc.seen, {norm_x}),
-                      'kept', array_append(acc.kept, x)) END,
+    WHEN x.norm = '' THEN
+      named_struct('seen', acc.seen, 'kept', array_append(acc.kept, x.line))
+    WHEN array_contains(acc.seen, x.norm) THEN acc
+    ELSE named_struct('seen', array_append(acc.seen, x.norm),
+                      'kept', array_append(acc.kept, x.line)) END,
   acc -> acc.kept
 )"""
     return staged.selectExpr(
