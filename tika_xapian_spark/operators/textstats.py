@@ -437,7 +437,9 @@ def doc_term_tf(docs: DataFrame, key: str, text_col: str = "text") -> DataFrame:
         "concat(slice(bounds, 2, size(bounds)), array(size(ts))), "
         "(st, en) -> named_struct("
         "'token', element_at(ts, st + 1), 'tf', CAST(en - st AS BIGINT))))",
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # lazy: materializes inside the first
+    # consuming job instead of as its own construct-time job (serving
+    # latency), still evaluated once for all consumers
 
 
 def tfidf_top_terms(
@@ -467,7 +469,7 @@ def tfidf_top_terms(
     dfreq = (
         tf.groupBy("token")
         .agg(F.count(F.lit(1)).alias("_df"))
-        .localCheckpoint()  # consumers: hot top-K + tail join
+        .localCheckpoint(eager=False)  # consumers: hot top-K + tail join
     )
     n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).cast("double").alias("_nd")))
     joined = skew_safe_count_join(tf, "token", dfreq, "_df", hot_k=hot_vocab)
@@ -518,7 +520,7 @@ def unigram_logppl(
     tf = doc_term_tf(docs, key, text_col)
     counts = tf.groupBy("token").agg(
         F.sum("tf").alias("_c")
-    ).localCheckpoint()  # consumers: total, hot top-K, tail join
+    ).localCheckpoint(eager=False)  # consumers: total, hot top-K, tail join
     total = F.broadcast(counts.agg(F.sum("_c").cast("double").alias("_total")))
     joined = skew_safe_count_join(tf, "token", counts, "_c", hot_k=hot_vocab)
     bits = F.col("tf") * (F.log2(F.col("_total")) - F.log2(F.col("_c")))
@@ -551,7 +553,7 @@ def ppl_buckets(
     documented error bound), and bucket assignment is a map-side
     comparison of the ROUNDED integer micro values — no float boundary
     can disagree across engines."""
-    lp = unigram_logppl(docs, key, text_col, hot_vocab).localCheckpoint()
+    lp = unigram_logppl(docs, key, text_col, hot_vocab).localCheckpoint(eager=False)
     thr = F.broadcast(
         lp.agg(
             *[
