@@ -1317,6 +1317,63 @@ GROUP BY 1
 ORDER BY 1"""
 
 
+def q_events_retention_cohorts(spark, sf_dir):
+    """Weekly retention-cohort matrix: users grouped by first-activity
+    week, counted at each week offset — the standard product-analytics
+    triangle. Shapes: one distinct over (user, week) (the activity grid —
+    already the minimal row set, so the per-cell count needs NO
+    countDistinct), a per-user min to pin the cohort, and the offset
+    aggregate; the activity grid is localCheckpoint'ed because it feeds
+    both the cohort aggregate and the join probe. Week offsets floor()
+    in BOTH engines (a bare double→int cast truncates in Spark but
+    ROUNDS in DuckDB — a half-week boundary row would land in different
+    cells)."""
+    ev = _t(spark, sf_dir, "events")
+    uw = (
+        ev.select("user_id", F.date_trunc("week", "ts").alias("week"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    first = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    size = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    offset = F.floor(
+        F.datediff(F.col("week"), F.col("cohort_week")) / 7
+    ).cast("int")
+    return (
+        uw.join(first, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .join(size, "cohort_week")
+        .select("cohort_week", "week_offset", "n_active", "cohort_size")
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+ORACLE_EVENTS_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+first_wk AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1
+),
+csize AS (
+  SELECT cohort_week, count(*)::BIGINT AS cohort_size FROM first_wk GROUP BY 1
+),
+act AS (
+  SELECT f.cohort_week,
+         CAST(floor(date_diff('day', f.cohort_week, u.week) / 7.0) AS INT)
+           AS week_offset
+  FROM uw u JOIN first_wk f USING (user_id)
+)
+SELECT a.cohort_week, a.week_offset,
+       count(*)::BIGINT AS n_active, s.cohort_size
+FROM act a JOIN csize s USING (cohort_week)
+GROUP BY 1, 2, s.cohort_size
+ORDER BY 1, 2"""
+
+
 def q_tpch_top_supplier(spark, sf_dir):
     """Q15-shape (top supplier): the supplier(s) whose revenue over one
     quarter equals the maximum — the view + scalar-max pattern. The
@@ -1402,6 +1459,7 @@ REL_QUERIES = {
     "tpch_market_share": q_tpch_market_share,
     "tpch_late_shipments": q_tpch_late_shipments,
     "tpch_top_supplier": q_tpch_top_supplier,
+    "events_retention_cohorts": q_events_retention_cohorts,
 }
 
 
@@ -1438,4 +1496,5 @@ def rel_oracle_sqls() -> dict[str, str]:
         "tpch_market_share": ORACLE_TPCH_MARKET_SHARE,
         "tpch_late_shipments": ORACLE_TPCH_LATE_SHIPMENTS,
         "tpch_top_supplier": ORACLE_TPCH_TOP_SUPPLIER,
+        "events_retention_cohorts": ORACLE_EVENTS_RETENTION,
     }
