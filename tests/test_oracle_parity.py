@@ -93,6 +93,28 @@ def test_query_matches_oracle(spark, ddb, name):
     ns, no = strict_rows(spdf), strict_rows(opdf)
     mismatches = [(a, b) for a, b in zip(ns, no) if a != b]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+    # Second leg: BOTH sides RAW-fetched (no pandas conversion on either).
+    # The pandas legs each apply the same widenings (DATE -> datetime64,
+    # nullable int -> float64), so a drift they share is invisible there:
+    # duckdb's .df() renders a DATE like a TIMESTAMP, and a date_trunc
+    # oracle missing the ::TIMESTAMP cast sails through — but stringifies
+    # differently under a raw fetch ('2024-01-01' vs
+    # '2024-01-01 00:00:00'; caught live on events_retention_cohorts in
+    # round 6). Raw-vs-raw keeps the compare symmetric (Spark collect()
+    # keeps longs int and nulls None, exactly like fetchall()).
+    cur = ddb.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    oorder = [ocols.index(c) for c in sorted(ocols)]
+    raw_o = sorted(
+        tuple(_canon_cell(row[i]) for i in oorder) for row in cur.fetchall()
+    )
+    scols = list(spdf.columns)
+    sorder = [scols.index(c) for c in sorted(scols)]
+    raw_s = sorted(
+        tuple(_canon_cell(row[i]) for i in sorder) for row in sdf.collect()
+    )
+    raw_mism = [(a, b) for a, b in zip(raw_s, raw_o) if a != b]
+    assert not raw_mism, f"{name}: raw-fetch mismatches {raw_mism[:5]}"
 
 
 def test_strictness_catches_dtype_drift(spark, ddb):

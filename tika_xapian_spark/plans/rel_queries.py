@@ -1353,7 +1353,8 @@ def q_events_retention_cohorts(spark, sf_dir):
 
 ORACLE_EVENTS_RETENTION = """
 WITH uw AS (
-  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+  SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS week
+  FROM events
 ),
 first_wk AS (
   SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1
