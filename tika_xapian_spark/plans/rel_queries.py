@@ -1428,6 +1428,255 @@ WHERE r.total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
 ORDER BY suppkey"""
 
 
+def q_tpch_min_cost_supplier(spark, sf_dir):
+    """Q2-shape (minimum-cost supplier): for every ECONOMY part of size
+    <= 10, the EUROPE supplier(s) offering it at the minimum observed unit
+    price. The corpus has no ``partsupp`` table, so the part-supplier
+    catalog is *derived* from lineitem — min unit price (extendedprice /
+    quantity, exact cents) per (part, supplier) pair — which is itself the
+    realistic web-scale shape (catalogs distilled from fact logs). The
+    min-per-part is a window ``min`` over the region-eligible rows (ONE
+    hash shuffle on partkey), not a self-join; Q2's correlated subquery is
+    exactly this window. Broadcast hints only on genuinely bounded sides:
+    supplier (smallest linear table, 10k/SF) and nation; the filtered part
+    side is left to AQE (linear in SF, a hint would OOM at 100x — the r5
+    verdict lesson). Ref parity: reference TUI sort-by-value semantics
+    (src/tui_app.rs) over a relational plan; classic TPC-H Q2 shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(cents(F.col("l_extendedprice") / F.col("l_quantity"))).alias(
+            "supplycost_cents"
+        )
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10)
+    ).select("p_partkey")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    snat = (
+        supp.join(
+            F.broadcast(
+                nat.join(
+                    F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+                ).select("n_nationkey", "n_name")
+            ),
+            supp.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = (
+        ps.join(part, ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(snat), ps.l_suppkey == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        eligible.withColumn(
+            "_mn", F.min("supplycost_cents").over(w)
+        )
+        .filter(F.col("supplycost_cents") == F.col("_mn"))
+        .select(
+            cents("s_acctbal").alias("acctbal_cents"),
+            "s_name",
+            "n_name",
+            F.col("l_partkey").cast("long").alias("partkey"),
+            "supplycost_cents",
+        )
+        .orderBy(F.desc("acctbal_cents"), "n_name", "s_name", "partkey")
+    )
+
+
+ORACLE_TPCH_MIN_COST_SUPPLIER = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(min(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS supplycost_cents
+  FROM lineitem GROUP BY 1, 2
+), eligible AS (
+  SELECT ps.l_partkey, ps.supplycost_cents, s.s_name, s.s_acctbal, n.n_name
+  FROM ps
+  JOIN part p ON ps.l_partkey = p.p_partkey
+             AND p.p_type = 'ECONOMY' AND p.p_size <= 10
+  JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+)
+SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents, s_name, n_name,
+       l_partkey::BIGINT AS partkey, supplycost_cents
+FROM eligible e
+WHERE supplycost_cents = (SELECT min(supplycost_cents) FROM eligible e2
+                          WHERE e2.l_partkey = e.l_partkey)
+ORDER BY acctbal_cents DESC, n_name, s_name, partkey"""
+
+
+def q_tpch_important_parts(spark, sf_dir):
+    """Q11-shape (important stock): per-part value of lineitem shipped by
+    AFRICA (region 0) suppliers, keeping parts whose value exceeds 0.1% of
+    the regional total. The shared per-part aggregate materializes ONCE
+    (localCheckpoint — it feeds both the global total and the filter), the
+    total rides as a broadcast 1-row aggregate, and the threshold compare
+    is the integer cross-multiply ``value_cents * 1000 > total_cents`` so
+    no double fraction can diverge between engines. No hint on lineitem's
+    shuffle; supplier/nation broadcast (bounded)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    snat = supp.join(
+        F.broadcast(nat.select("n_nationkey")),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(snat), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("value_cents")
+        )
+        .localCheckpoint()
+    )
+    tot = F.broadcast(val.agg(F.sum("value_cents").alias("_tot")))
+    return (
+        val.crossJoin(tot)
+        .filter(F.col("value_cents") * 1000 > F.col("_tot"))
+        .select(F.col("partkey").cast("long").alias("partkey"), "value_cents")
+        .orderBy(F.desc("value_cents"), "partkey")
+    )
+
+
+ORACLE_TPCH_IMPORTANT_PARTS = """
+WITH val AS (
+  SELECT l_partkey AS partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_regionkey = 0
+  GROUP BY 1
+)
+SELECT partkey::BIGINT AS partkey, value_cents
+FROM val
+WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM val)
+ORDER BY value_cents DESC, partkey"""
+
+
+def q_tpch_supplier_part_counts(spark, sf_dir):
+    """Q16-shape (supplier counts by part group): distinct suppliers per
+    (brand, type, size) over the lineitem-derived part-supplier pairs,
+    excluding one brand, PROMO parts, off-list sizes, and "complained
+    about" suppliers (negative account balance stands in for Q16's comment
+    scan — same anti-join shape). The exclusion is a broadcast LEFT ANTI
+    join (the excluded set is tiny); ``countDistinct`` gets Spark's
+    two-phase partial-distinct plan. The filtered part side is linear in
+    SF, so NO broadcast hint — AQE picks the strategy (r5 verdict rule)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+    return (
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+ORACLE_TPCH_SUPPLIER_PART_COUNTS = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+
+def q_tpch_waiting_suppliers(spark, sf_dir):
+    """Q21-shape (suppliers who kept orders waiting): suppliers that were
+    the ONLY late supplier on a multi-supplier finalized order ("late" =
+    shipped more than a year after the order date; the corpus has no
+    commit/receipt dates). Q21's EXISTS / NOT EXISTS double self-join is
+    rewritten as per-order aggregation — two groupBys, the first on
+    (order, supplier) deduping a supplier's multiple lines, the second on
+    order counting suppliers and late suppliers — which replaces two
+    shuffles of the full lineitem fact with one dedup shuffle plus one
+    order-level shuffle and never materializes the quadratic self-join.
+    The oracle keeps the classic EXISTS form so both derivations are
+    independent."""
+    ords = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+    per_pair = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("is_late"))
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late_supp"),
+        F.min(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+    )
+    waits = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waits.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("suppkey"),
+            "s_name",
+            "numwait",
+        )
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+ORACLE_TPCH_WAITING_SUPPLIERS = """
+WITH l AS (
+  SELECT li.l_orderkey, li.l_suppkey,
+         (li.l_shipdate > o.o_orderdate + INTERVAL 365 DAY) AS is_late
+  FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_suppkey::BIGINT AS suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) AS numwait
+FROM (
+  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+  FROM l l1
+  WHERE l1.is_late
+    AND EXISTS (SELECT 1 FROM l l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM l l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.is_late)
+) w
+JOIN supplier s ON w.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_name"""
+
+
 REL_QUERIES = {
     "events_windowed": q_events_windowed,
     "events_stream_windowed": q_events_stream_windowed,
@@ -1461,6 +1710,10 @@ REL_QUERIES = {
     "tpch_late_shipments": q_tpch_late_shipments,
     "tpch_top_supplier": q_tpch_top_supplier,
     "events_retention_cohorts": q_events_retention_cohorts,
+    "tpch_min_cost_supplier": q_tpch_min_cost_supplier,
+    "tpch_important_parts": q_tpch_important_parts,
+    "tpch_supplier_part_counts": q_tpch_supplier_part_counts,
+    "tpch_waiting_suppliers": q_tpch_waiting_suppliers,
 }
 
 
@@ -1498,4 +1751,8 @@ def rel_oracle_sqls() -> dict[str, str]:
         "tpch_late_shipments": ORACLE_TPCH_LATE_SHIPMENTS,
         "tpch_top_supplier": ORACLE_TPCH_TOP_SUPPLIER,
         "events_retention_cohorts": ORACLE_EVENTS_RETENTION,
+        "tpch_min_cost_supplier": ORACLE_TPCH_MIN_COST_SUPPLIER,
+        "tpch_important_parts": ORACLE_TPCH_IMPORTANT_PARTS,
+        "tpch_supplier_part_counts": ORACLE_TPCH_SUPPLIER_PART_COUNTS,
+        "tpch_waiting_suppliers": ORACLE_TPCH_WAITING_SUPPLIERS,
     }
