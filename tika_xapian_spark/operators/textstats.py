@@ -34,12 +34,17 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
-def _with_tokens(docs: DataFrame, key: str, text_col: str) -> DataFrame:
-    """(doc, text, toks) staging projection — tokenize once per row."""
+def _with_tokens(
+    docs: DataFrame, key: str, text_col: str, *carry: str
+) -> DataFrame:
+    """(doc, text, toks, *carry) staging projection — tokenize once per
+    row; ``carry`` columns pass through untouched (e.g. a source/domain
+    grouping key for corpus rollups)."""
     return docs.select(
         F.col(key).alias("doc"),
         F.col(text_col).alias("text"),
         tokens_col(text_col).alias("toks"),
+        *[F.col(c) for c in carry],
     )
 
 
@@ -72,14 +77,17 @@ def lang_id(
     return scored.select("doc", pred.alias("predicted_lang"), best.alias("lang_hits"))
 
 
-def quality_features(docs: DataFrame, key: str, text_col: str = "text") -> DataFrame:
+def quality_features(
+    docs: DataFrame, key: str, text_col: str = "text", *carry: str
+) -> DataFrame:
     """Per-doc quality features + composite score (length/stopword/word-length
     heuristics; punctuation ratio for corpora that have punctuation):
 
       n_chars, n_tokens, mean_word_len_micro, stopword_ratio_micro,
       alnum_ratio_micro, quality_micro
-    """
-    staged = _with_tokens(docs, key, text_col)
+
+    ``carry`` columns ride through unchanged (rollup keys)."""
+    staged = _with_tokens(docs, key, text_col, *carry)
     toks = F.col("toks")
     text = F.col("text")
     n_chars = F.length(text)
@@ -110,6 +118,7 @@ def quality_features(docs: DataFrame, key: str, text_col: str = "text") -> DataF
         m(stop_ratio).alias("stopword_ratio_micro"),
         m(alnum_ratio).alias("alnum_ratio_micro"),
         m(quality).alias("quality_micro"),
+        *carry,
     )
 
 
@@ -423,7 +432,16 @@ def doc_term_tf(docs: DataFrame, key: str, text_col: str = "text") -> DataFrame:
     staged = _with_tokens(docs, key, text_col).selectExpr(
         "doc", "array_sort(toks) AS ts"
     )
-    # run-length encode the sorted tokens: (token, tf) pairs, map-side
+    return _rle_tf(staged).localCheckpoint(eager=False)  # lazy:
+    # materializes inside the first consuming job instead of as its own
+    # construct-time job (serving latency), still evaluated once for all
+    # consumers
+
+
+def _rle_tf(staged: DataFrame) -> DataFrame:
+    """Run-length encode a (doc, ts) frame — ``ts`` a SORTED string array —
+    into (doc, token, tf) rows, entirely map-side: boundary indices →
+    (start, end) pairs → one struct per distinct value."""
     bounded = staged.selectExpr(
         "doc",
         "ts",
@@ -437,9 +455,134 @@ def doc_term_tf(docs: DataFrame, key: str, text_col: str = "text") -> DataFrame:
         "concat(slice(bounds, 2, size(bounds)), array(size(ts))), "
         "(st, en) -> named_struct("
         "'token', element_at(ts, st + 1), 'tf', CAST(en - st AS BIGINT))))",
-    ).localCheckpoint(eager=False)  # lazy: materializes inside the first
-    # consuming job instead of as its own construct-time job (serving
-    # latency), still evaluated once for all consumers
+    )
+
+
+def doc_bigram_tf(docs: DataFrame, key: str, text_col: str = "text") -> DataFrame:
+    """(doc, token, tf) where token is a space-joined word BIGRAM — the
+    map-side run-length shape of ``doc_term_tf`` applied to adjacent-pair
+    strings. Bigrams are built by zipping the token array against its own
+    1-shifted slice so the lambda touches ONLY its zipped elements — never
+    the backing array (the round-6 HOF rule: Catalyst re-inlines a staged
+    array into lambda bodies under column pruning, turning an
+    element_at(toks, i) lambda into an O(len^2) per-doc regex storm)."""
+    staged = _with_tokens(docs, key, text_col).selectExpr(
+        "doc",
+        "array_sort(zip_with("
+        "slice(toks, 1, greatest(size(toks) - 1, 0)), "
+        "slice(toks, 2, greatest(size(toks) - 1, 0)), "
+        "(a, b) -> concat(a, ' ', b))) AS ts",
+    )
+    return _rle_tf(staged).localCheckpoint(eager=False)
+
+
+def bigram_logppl(
+    docs: DataFrame, key: str, text_col: str = "text", hot_vocab: int = 65536
+) -> DataFrame:
+    """(doc, n_bigrams, logppl2_micro): per-doc mean bits-per-bigram under
+    the corpus's OWN bigram model — the order-sensitive upgrade of
+    ``unigram_logppl`` (a doc of common words in an uncommon ORDER scores
+    high here and low there; scrambled/templated text separates):
+
+      bits(w1 w2) = log2 c_ctx(w1) - log2 c(w1, w2),
+      c_ctx(w1)   = sum over bigrams starting with w1 of their count
+
+    Self-scoring means every doc bigram exists in the model (count >= 1),
+    so no smoothing term is needed and the op stays exactly
+    SQL-expressible. Scale shape mirrors the unigram op: bigram
+    occurrences never shuffle (map-side RLE → one row per (doc, distinct
+    bigram)), BOTH count joins go through the hot/cold skew split (bigram
+    counts are Zipf too — "of the" is a web-scale hot key), and context
+    counts derive from the bigram count table itself (one extra tiny
+    shuffle over distinct bigrams, never over occurrences)."""
+    tf = doc_bigram_tf(docs, key, text_col)
+    counts = (
+        tf.groupBy("token")
+        .agg(F.sum("tf").alias("_c"))
+        .localCheckpoint(eager=False)  # consumers: ctx derivation + join
+    )
+    ctx = (
+        counts.select(
+            F.split_part(F.col("token"), F.lit(" "), F.lit(1)).alias("_w1"),
+            "_c",
+        )
+        .groupBy("_w1")
+        .agg(F.sum("_c").alias("_cc"))
+    )
+    joined = skew_safe_count_join(tf, "token", counts, "_c", hot_k=hot_vocab)
+    joined = joined.withColumn(
+        "_w1", F.split_part(F.col("token"), F.lit(" "), F.lit(1))
+    )
+    joined = skew_safe_count_join(joined, "_w1", ctx, "_cc", hot_k=hot_vocab)
+    bits = F.col("tf") * (F.log2(F.col("_cc")) - F.log2(F.col("_c")))
+    return joined.groupBy("doc").agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.round(F.sum(bits) / F.sum("tf") * 1_000_000)
+        .cast("long")
+        .alias("logppl2_micro"),
+    )
+
+
+def source_profile(
+    docs: DataFrame,
+    key: str,
+    source_col: str = "source",
+    text_col: str = "text",
+    low_decile: float = 0.1,
+    high_quality_micro: int = 500_000,
+) -> DataFrame:
+    """Per-source (domain) corpus rollup — the domain-level view every
+    web-pipeline curation pass ranks before per-document filtering (a few
+    spam domains contribute most low-quality bytes; dropping them is
+    cheaper than scoring their documents):
+
+      (source, n_docs, total_chars, avg_quality_micro, n_high_quality,
+       low_quality)
+
+    One shuffle on the source key with full map-side partial aggregation
+    (count/sum are algebraic — a hot domain combines locally before the
+    exchange, so Zipf domain skew can't pile rows on one reducer).
+    ``avg_quality_micro`` divides two exact integers, so it is
+    summation-order-independent across engines; the low-quality flag
+    compares against the corpus's ``low_decile`` quantile of source
+    averages, computed over the (bounded: one row per domain) rollup and
+    broadcast back — the ppl_buckets threshold pattern."""
+    qf = quality_features(docs, key, text_col, source_col)
+    per = (
+        qf.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.sum("quality_micro") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("avg_quality_micro"),
+            F.sum(
+                (F.col("quality_micro") >= high_quality_micro).cast("long")
+            ).alias("n_high_quality"),
+        )
+        .localCheckpoint(eager=False)  # consumers: threshold agg + output
+    )
+    thr = F.broadcast(
+        per.agg(
+            F.round(
+                F.percentile(
+                    F.col("avg_quality_micro").cast("double"), F.lit(low_decile)
+                )
+            )
+            .cast("long")
+            .alias("_thr")
+        )
+    )
+    return per.crossJoin(thr).select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "avg_quality_micro",
+        "n_high_quality",
+        (F.col("avg_quality_micro") <= F.col("_thr")).cast("int").alias(
+            "low_quality"
+        ),
+    )
 
 
 def tfidf_top_terms(

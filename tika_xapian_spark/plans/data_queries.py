@@ -1218,6 +1218,77 @@ GROUP BY t.doc_id
 ORDER BY t.doc_id"""
 
 
+def q_text_bigram_logppl(spark, sf_dir):
+    """Order-sensitive perplexity: per-doc mean bits-per-bigram under the
+    corpus-own bigram LM (operators/textstats.py::bigram_logppl — map-side
+    bigram RLE, hot/cold skew-split count joins)."""
+    return (
+        T.bigram_logppl(_docs(spark, sf_dir), key="doc_id")
+        .select(F.col("doc").alias("doc_id"), "n_bigrams", "logppl2_micro")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_BIGRAM_LOGPPL = f"""
+WITH {_TOK_CTE.lstrip()},
+tl AS (SELECT doc_id, list(term ORDER BY pos) AS ts FROM tok GROUP BY doc_id),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)),
+                               i -> array_to_string(list_slice(ts, i, i + 1), ' ')))
+           AS bigram
+  FROM tl WHERE len(ts) >= 2
+),
+btf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY 1, 2),
+bc AS (SELECT bigram, sum(tf) AS c FROM btf GROUP BY 1),
+ctx AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c) AS cc FROM bc GROUP BY 1)
+SELECT t.doc_id,
+       CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
+       CAST(round(sum(t.tf * (log2(ctx.cc::DOUBLE) - log2(bc.c::DOUBLE)))
+                  / sum(t.tf) * 1000000) AS BIGINT) AS logppl2_micro
+FROM btf t
+JOIN bc USING (bigram)
+JOIN ctx ON split_part(t.bigram, ' ', 1) = ctx.w1
+GROUP BY t.doc_id
+ORDER BY t.doc_id"""
+
+
+def q_source_quality_profile(spark, sf_dir):
+    """Domain-level rollup: per-source doc counts, exact-integer average
+    quality, high-quality share, bottom-decile flag
+    (operators/textstats.py::source_profile)."""
+    return (
+        T.source_profile(_docs(spark, sf_dir), key="doc_id")
+        .orderBy("source")
+    )
+
+
+def _source_profile_oracle() -> str:
+    quality_sql = _quality_oracle()
+    # splice: reuse the per-doc quality oracle verbatim as a CTE, then
+    # roll it up per source exactly like the engine
+    return f"""
+WITH perdoc AS ({quality_sql}),
+per AS (
+  SELECT d.source,
+         count(*) AS n_docs,
+         CAST(sum(p.n_chars) AS BIGINT) AS total_chars,
+         CAST(round(sum(p.quality_micro)::DOUBLE / count(*)) AS BIGINT)
+           AS avg_quality_micro,
+         CAST(count(*) FILTER (WHERE p.quality_micro >= 500000) AS BIGINT)
+           AS n_high_quality
+  FROM perdoc p JOIN documents d USING (doc_id)
+  GROUP BY d.source
+)
+SELECT source, n_docs::BIGINT AS n_docs, total_chars, avg_quality_micro,
+       n_high_quality,
+       CAST(avg_quality_micro <=
+            (SELECT CAST(round(quantile_cont(avg_quality_micro::DOUBLE, 0.1))
+                    AS BIGINT) FROM per)
+            AS INT) AS low_quality
+FROM per ORDER BY source"""
+
+
 def q_curate_corpus_ccnet(spark, sf_dir):
     """Curation v3 — the CCNet composition (Wenzek et al. 2020): language
     filter (en) -> exact-dup canonical only -> keep the head/middle
@@ -2193,6 +2264,8 @@ DATA_QUERIES = {
     "dedup_within_doc_lines": q_dedup_within_doc_lines,
     "embedding_label_similarity": q_embedding_label_similarity,
     "curate_corpus_ccnet": q_curate_corpus_ccnet,
+    "text_bigram_logppl": q_text_bigram_logppl,
+    "source_quality_profile": q_source_quality_profile,
 }
 
 
@@ -2244,4 +2317,6 @@ def data_oracle_sqls() -> dict[str, str]:
         "dedup_within_doc_lines": ORACLE_WITHIN_DOC_LINES,
         "embedding_label_similarity": _label_sim_oracle(),
         "curate_corpus_ccnet": _curate_ccnet_oracle(),
+        "text_bigram_logppl": ORACLE_BIGRAM_LOGPPL,
+        "source_quality_profile": _source_profile_oracle(),
     }
