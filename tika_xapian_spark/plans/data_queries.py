@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import multimodal as M
+from ..operators import packing as P
 from ..operators import similarity as SIM
 from ..operators import textstats as T
 
@@ -1289,6 +1290,49 @@ SELECT source, n_docs::BIGINT AS n_docs, total_chars, avg_quality_micro,
 FROM per ORDER BY source"""
 
 
+PACK_BUDGET = 128
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing manifest: which docs land in
+    which fixed-128-token training chunk, where, with how many tokens
+    (operators/packing.py — two-level distributed prefix sum, no
+    single-task global window)."""
+    return (
+        P.pack_sequences(
+            _docs(spark, sf_dir), key="doc_id", budget=PACK_BUDGET
+        )
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("chunk_id", "chunk_offset")
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH {_TOK_CTE.lstrip()},
+counts AS (SELECT doc_id, count(*)::BIGINT AS n FROM tok GROUP BY doc_id),
+cum AS (
+  SELECT doc_id, n,
+         sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cend
+  FROM counts WHERE n > 0
+),
+spans AS (SELECT doc_id, n, cend - n AS cstart, cend FROM cum),
+chunked AS (
+  SELECT doc_id, cstart, cend,
+         unnest(range(CAST(cstart // {PACK_BUDGET} AS BIGINT),
+                      CAST((cend - 1) // {PACK_BUDGET} + 1 AS BIGINT)))
+           AS chunk_id
+  FROM spans
+)
+SELECT chunk_id::BIGINT AS chunk_id, doc_id,
+       CAST(greatest(cstart, chunk_id * {PACK_BUDGET})
+            - chunk_id * {PACK_BUDGET} AS BIGINT) AS chunk_offset,
+       CAST(least(cend, (chunk_id + 1) * {PACK_BUDGET})
+            - greatest(cstart, chunk_id * {PACK_BUDGET}) AS BIGINT)
+         AS n_tokens_in_chunk
+FROM chunked
+ORDER BY chunk_id, chunk_offset"""
+
+
 def q_curate_corpus_ccnet(spark, sf_dir):
     """Curation v3 — the CCNet composition (Wenzek et al. 2020): language
     filter (en) -> exact-dup canonical only -> keep the head/middle
@@ -2266,6 +2310,7 @@ DATA_QUERIES = {
     "curate_corpus_ccnet": q_curate_corpus_ccnet,
     "text_bigram_logppl": q_text_bigram_logppl,
     "source_quality_profile": q_source_quality_profile,
+    "pack_sequences": q_pack_sequences,
 }
 
 
@@ -2319,4 +2364,5 @@ def data_oracle_sqls() -> dict[str, str]:
         "curate_corpus_ccnet": _curate_ccnet_oracle(),
         "text_bigram_logppl": ORACLE_BIGRAM_LOGPPL,
         "source_quality_profile": _source_profile_oracle(),
+        "pack_sequences": ORACLE_PACK_SEQUENCES,
     }
