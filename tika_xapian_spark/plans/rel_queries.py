@@ -1677,6 +1677,107 @@ GROUP BY 1, 2
 ORDER BY numwait DESC, s_name"""
 
 
+def q_tpch_product_profit(spark, sf_dir):
+    """Q9-shape (product-type profit by nation and year): revenue minus a
+    cost proxy for every 'red' part, rolled up per supplier nation per
+    ship year. The corpus has no ``ps_supplycost``, so cost is
+    ``quantity * p_retailprice * 0.5`` — same join graph (lineitem ⋈ part
+    ⋈ supplier ⋈ nation), same LIKE filter, same (nation, year) rollup as
+    the classic. Profit is integerized to exact cents BEFORE the sum.
+    part is linear in SF → no broadcast hint (AQE decides);
+    supplier/nation are the bounded broadcast sides."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("l_quantity") * F.col("p_retailprice") * 0.5
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).alias("profit_cents"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+ORACLE_TPCH_PRODUCT_PROFIT = """
+SELECT n_name AS nation, year(l_shipdate)::BIGINT AS o_year,
+       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                 - l_quantity * p_retailprice * 0.5) * 100) AS BIGINT))
+            AS BIGINT) AS profit_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC"""
+
+
+def q_tpch_part_promotion(spark, sf_dir):
+    """Q20-shape (potential part promotion): suppliers who shipped MORE
+    THAN HALF of the 1996 volume of some 'red' part — Q20's nested
+    IN/correlated-threshold written as aggregation: per-(part, supplier)
+    1996 quantity (exact cents), per-part totals derived FROM that same
+    checkpointed aggregate (never a second pass over lineitem), and the
+    share test as the integer cross-multiply ``sq * 2 > tq``. The 'red'
+    part restriction is a LEFT SEMI join applied BEFORE either aggregate
+    so the shuffles only carry qualifying parts; part is linear in SF →
+    no broadcast hint."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    red = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey")
+    q = (
+        li.join(red, li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(cents("l_quantity")).alias("sq"))
+        .localCheckpoint(eager=False)  # consumers: per-part totals + share test
+    )
+    t = q.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    big = (
+        q.join(t, "l_partkey")
+        .filter(F.col("sq") * 2 > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        big.join(F.broadcast(supp), big.l_suppkey == supp.s_suppkey)
+        .select(F.col("s_suppkey").cast("long").alias("suppkey"), "s_name")
+        .orderBy("suppkey")
+    )
+
+
+ORACLE_TPCH_PART_PROMOTION = """
+WITH q AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sq
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+  GROUP BY 1, 2
+),
+t AS (SELECT l_partkey, sum(sq) AS tq FROM q GROUP BY 1)
+SELECT s_suppkey::BIGINT AS suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM q JOIN t USING (l_partkey)
+                    WHERE sq * 2 > tq)
+ORDER BY suppkey"""
+
+
 REL_QUERIES = {
     "events_windowed": q_events_windowed,
     "events_stream_windowed": q_events_stream_windowed,
@@ -1714,6 +1815,8 @@ REL_QUERIES = {
     "tpch_important_parts": q_tpch_important_parts,
     "tpch_supplier_part_counts": q_tpch_supplier_part_counts,
     "tpch_waiting_suppliers": q_tpch_waiting_suppliers,
+    "tpch_product_profit": q_tpch_product_profit,
+    "tpch_part_promotion": q_tpch_part_promotion,
 }
 
 
@@ -1755,4 +1858,6 @@ def rel_oracle_sqls() -> dict[str, str]:
         "tpch_important_parts": ORACLE_TPCH_IMPORTANT_PARTS,
         "tpch_supplier_part_counts": ORACLE_TPCH_SUPPLIER_PART_COUNTS,
         "tpch_waiting_suppliers": ORACLE_TPCH_WAITING_SUPPLIERS,
+        "tpch_product_profit": ORACLE_TPCH_PRODUCT_PROFIT,
+        "tpch_part_promotion": ORACLE_TPCH_PART_PROMOTION,
     }
