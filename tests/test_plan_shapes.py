@@ -552,6 +552,11 @@ class TestTpchJoinStrategy:
             ("tpch_discounted_brand_revenue", 1, 0),  # part (hint-free)
             ("tpch_market_share", 2, 4),  # orders, cust | nat x2, region, supp
             ("tpch_late_shipments", 1, 0),       # orders
+            ("tpch_min_cost_supplier", 1, 3),    # part | region→nation→supp chain
+            ("tpch_supplier_part_counts", 1, 1), # part | anti vs bad suppliers
+            ("tpch_waiting_suppliers", 1, 1),    # orders | supplier names
+            ("tpch_product_profit", 1, 2),       # part | supplier, nation
+            ("tpch_part_promotion", 1, 1),       # q⋈t (semi behind ckpt) | supplier
         ],
     )
     def test_scaling_relations_not_forced_broadcast(
@@ -619,6 +624,34 @@ class TestTpchJoinStrategy:
         assert plan.count("lineitem.parquet") == 1, plan
         assert plan.count("hashpartitioning(l_partkey") == 1, plan
         assert "Window" in plan, plan
+
+
+class TestPackingPlan:
+    """pack_sequences' scale claim: the global prefix sum never funnels
+    the corpus through one task. In the executed plan the ONLY
+    SinglePartition exchange must feed the BUCKET-level window (input =
+    one row per bucket, post-HashAggregate), the bucket offsets must come
+    back as a broadcast, and the chunk explode must be map-side (no
+    exchange of its own)."""
+
+    def test_single_partition_stage_is_bucket_level_only(self, spark):
+        from tika_xapian_spark.operators.packing import pack_sequences
+
+        docs = spark.createDataFrame(
+            [(i, "a b c d e f g") for i in range(300)],
+            "doc_id long, text string",
+        )
+        plan = plan_of(pack_sequences(docs, key="doc_id", bucket_span=32))
+        # exactly one single-partition exchange: the bounded bucket prefix
+        assert plan.count("Exchange SinglePartition") == 1, plan
+        # ...and it operates on the bucket aggregate, not on doc rows
+        assert "HashAggregate(keys=[bucket" in plan, plan
+        # one hash exchange total: the bucket aggregate's (doc-level
+        # windows live behind the lazy checkpoint, partitioned by bucket)
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        # offsets rejoin via broadcast; the explode adds no exchange
+        assert "BroadcastHashJoin [bucket" in plan, plan
+        assert "Generate explode" in plan, plan
 
 
 class TestRollupPlan:
