@@ -214,6 +214,71 @@ def exact_jaccard(candidates: DataFrame, shingles: DataFrame) -> DataFrame:
     )
 
 
+def minhash_calibration(
+    shingles: DataFrame, n_perms: int = N_PERMS
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard_micro, jaccard_micro, abs_err_micro):
+    MinHash's own error measurement — for every banded candidate pair, the
+    signature-agreement Jaccard ESTIMATE (matching positions / n_perms)
+    next to the EXACT shingle Jaccard and their absolute gap. This is the
+    "measure, don't guess" table a pipeline owner reads before trusting a
+    signature-only threshold at 10^12 docs (where exact verification of
+    every pair is unaffordable and the estimate IS the decision).
+
+    Scale shape: signatures stay as one wide array per doc (the single
+    wide-agg shuffle of ``minhash_signatures``), the estimate is a
+    zip-compare of two broadcast-free equi-joined arrays (the lambda
+    touches only zipped elements — HOF rule), candidates materialize once
+    (localCheckpoint: three consumers)."""
+    mins = [
+        F.min(F.md5(F.concat_ws(":", F.lit(s), F.col("shingle")))).alias(f"m{s}")
+        for s in range(n_perms)
+    ]
+    wide = (
+        shingles.groupBy("doc")
+        .agg(*mins)
+        .select(
+            "doc",
+            F.array(*[F.col(f"m{s}") for s in range(n_perms)]).alias("sig"),
+        )
+        .localCheckpoint(eager=False)  # consumers: bands + both pair sides
+    )
+    sig_long = wide.select(
+        "doc", F.posexplode("sig").alias("seed", "minhash")
+    )
+    cand = lsh_candidates(band_buckets(sig_long)).localCheckpoint(
+        eager=False
+    )  # consumers: estimate join + exact_jaccard's two references
+    wa = wide.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    wb = wide.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+    n_match = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+    est = (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(n_match * 1_000_000.0 / n_perms)
+            .cast("long")
+            .alias("est_jaccard_micro"),
+        )
+    )
+    ex = exact_jaccard(cand, shingles)
+    return est.join(ex, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard_micro",
+        "jaccard_micro",
+        F.abs(F.col("est_jaccard_micro") - F.col("jaccard_micro")).alias(
+            "abs_err_micro"
+        ),
+    )
+
+
 def ngram_jaccard_top_pairs(
     docs: DataFrame,
     key: str,

@@ -55,17 +55,22 @@ def _lang_score(toks: Column, words: tuple[str, ...]) -> Column:
 
 
 def lang_id(
-    docs: DataFrame, key: str, text_col: str = "text", default: str = "und"
+    docs: DataFrame,
+    key: str,
+    text_col: str = "text",
+    default: str = "und",
+    *carry: str,
 ) -> DataFrame:
     """(doc, predicted_lang, lang_hits): argmax of stopword-profile hits;
     deterministic tie-break by language code; 'und' when nothing matches."""
     toks = F.col("toks")
-    scored = _with_tokens(docs, key, text_col).select(
+    scored = _with_tokens(docs, key, text_col, *carry).select(
         "doc",
         *[
             _lang_score(toks, words).alias(f"s_{lang}")
             for lang, words in sorted(LANG_PROFILES.items())
         ],
+        *carry,
     )
     langs = sorted(LANG_PROFILES)
     best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
@@ -74,7 +79,9 @@ def lang_id(
     for lang in reversed(langs):
         pred = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best > 0, pred).otherwise(F.lit(default))
-    return scored.select("doc", pred.alias("predicted_lang"), best.alias("lang_hits"))
+    return scored.select(
+        "doc", pred.alias("predicted_lang"), best.alias("lang_hits"), *carry
+    )
 
 
 def quality_features(

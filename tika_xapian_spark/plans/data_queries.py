@@ -144,6 +144,57 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_minhash_calibration(spark, sf_dir):
+    """MinHash error measurement: per banded pair, the signature-agreement
+    estimate vs exact shingle Jaccard and the absolute gap
+    (operators/dedup.py::minhash_calibration)."""
+    return D.minhash_calibration(_shingles(spark, sf_dir)).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+_PAIRS_TAIL = """SELECT c.doc_a, c.doc_b,
+       CAST(round(coalesce(i.n_inter, 0) * 1000000.0 /
+            (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0))) AS BIGINT) AS jaccard_micro
+FROM cand c
+LEFT JOIN inter i USING (doc_a, doc_b)
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+ORDER BY c.doc_a, c.doc_b"""
+
+_CALIB_TAIL = """, ex AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(round(coalesce(i.n_inter, 0) * 1000000.0 /
+              (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0))) AS BIGINT)
+           AS jaccard_micro
+  FROM cand c
+  LEFT JOIN inter i USING (doc_a, doc_b)
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(round(count(*) FILTER (WHERE a2.minhash = b2.minhash)
+              * 1000000.0 / 16) AS BIGINT) AS est_jaccard_micro
+  FROM cand c
+  JOIN sig a2 ON a2.doc_id = c.doc_a
+  JOIN sig b2 ON b2.doc_id = c.doc_b AND b2.seed = a2.seed
+  GROUP BY 1, 2
+)
+SELECT ex.doc_a, ex.doc_b, est.est_jaccard_micro, ex.jaccard_micro,
+       abs(est.est_jaccard_micro - ex.jaccard_micro) AS abs_err_micro
+FROM ex JOIN est USING (doc_a, doc_b)
+ORDER BY doc_a, doc_b"""
+
+
+def _oracle_minhash_calibration() -> str:
+    """ORACLE_MINHASH_PAIRS with its final select swapped for the
+    estimate-vs-exact comparison (same CTE chain, independently derived
+    estimate from the sig table)."""
+    assert _PAIRS_TAIL in ORACLE_MINHASH_PAIRS, "pairs tail text drifted"
+    return ORACLE_MINHASH_PAIRS.replace(_PAIRS_TAIL, _CALIB_TAIL, 1)
+
+
 MINHASH_CAP = 2  # max bucket at sf0.001 is 4 docs, at sf0.01 is 3 — a cap
 # of 2 excludes real buckets at BOTH oracle scales, so the gate actually
 # exercises the exclusion path
@@ -639,6 +690,32 @@ SELECT doc_id,
        CASE WHEN best > 0 THEN {pred} ELSE 'und' END AS predicted_lang,
        best::INT AS lang_hits
 FROM with_best ORDER BY doc_id"""
+
+
+def q_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: predicted vs labeled language with
+    doc counts — the eval table a pipeline owner reads before trusting the
+    classifier as a corpus gate. The label rides through the classifier as
+    a carry column (no join back on doc), so the whole op is one algebraic
+    groupBy on the (actual, predicted) pair."""
+    return (
+        T.lang_id(_docs(spark, sf_dir), "doc_id", "text", "und", "lang")
+        .groupBy(
+            F.col("lang").alias("actual_lang"), F.col("predicted_lang")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual_lang", "predicted_lang")
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    return f"""
+WITH perdoc AS ({_langid_oracle()})
+SELECT d.lang AS actual_lang, p.predicted_lang,
+       count(*)::BIGINT AS n_docs
+FROM perdoc p JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+ORDER BY 1, 2"""
 
 
 def q_text_quality(spark, sf_dir):
@@ -2311,6 +2388,8 @@ DATA_QUERIES = {
     "text_bigram_logppl": q_text_bigram_logppl,
     "source_quality_profile": q_source_quality_profile,
     "pack_sequences": q_pack_sequences,
+    "dedup_minhash_calibration": q_dedup_minhash_calibration,
+    "langid_confusion": q_langid_confusion,
 }
 
 
@@ -2365,4 +2444,6 @@ def data_oracle_sqls() -> dict[str, str]:
         "text_bigram_logppl": ORACLE_BIGRAM_LOGPPL,
         "source_quality_profile": _source_profile_oracle(),
         "pack_sequences": ORACLE_PACK_SEQUENCES,
+        "dedup_minhash_calibration": _oracle_minhash_calibration(),
+        "langid_confusion": _langid_confusion_oracle(),
     }

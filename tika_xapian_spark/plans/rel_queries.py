@@ -1778,6 +1778,79 @@ WHERE s_suppkey IN (SELECT l_suppkey FROM q JOIN t USING (l_partkey)
 ORDER BY suppkey"""
 
 
+def q_events_user_lifecycle(spark, sf_dir):
+    """Per-user lifecycle profile: first/last activity, event count,
+    distinct active days, lifespan, and a new/active/churned status vs the
+    corpus's last observed day (broadcast 1-row aggregate — no eager
+    collect). Active-day distinctness is a two-level aggregate — (user,
+    day) then user — so the second shuffle groups an already-reduced frame
+    and no countDistinct expand multiplies the event stream. Day deltas
+    use timestampdiff on exact timestamps (events ts is TIMESTAMP_NTZ)."""
+    ev = _t(spark, sf_dir, "events")
+    per_day = ev.groupBy(
+        "user_id", F.to_date("ts").alias("_day")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("ts").alias("_first"),
+        F.max("ts").alias("_last"),
+    )
+    per_user = per_day.groupBy("user_id").agg(
+        F.min("_first").alias("first_ts"),
+        F.max("_last").alias("last_ts"),
+        F.sum("_n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_active_days"),
+    )
+    mx = F.broadcast(per_user.agg(F.max("last_ts").alias("_mx")))
+    idle_days = F.floor(
+        F.expr("timestampdiff(MICROSECOND, last_ts, _mx)")
+        / F.lit(86_400_000_000)
+    )
+    lifespan = F.floor(
+        F.expr("timestampdiff(MICROSECOND, first_ts, last_ts)")
+        / F.lit(86_400_000_000)
+    )
+    return (
+        per_user.localCheckpoint(eager=False)  # consumers: max agg + rows
+        .crossJoin(mx)
+        .select(
+            "user_id",
+            "first_ts",
+            "last_ts",
+            "n_events",
+            "n_active_days",
+            lifespan.cast("long").alias("lifespan_days"),
+            F.when(idle_days > 14, F.lit("churned"))
+            .when(F.col("n_active_days") == 1, F.lit("one_shot"))
+            .otherwise(F.lit("active"))
+            .alias("status"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_EVENTS_USER_LIFECYCLE = """
+WITH per_user AS (
+  SELECT user_id,
+         min(ts) AS first_ts,
+         max(ts) AS last_ts,
+         count(*)::BIGINT AS n_events,
+         count(DISTINCT ts::DATE)::BIGINT AS n_active_days
+  FROM events GROUP BY 1
+),
+mx AS (SELECT max(last_ts) AS m FROM per_user)
+SELECT user_id, first_ts, last_ts, n_events, n_active_days,
+       CAST(floor((epoch_us(last_ts) - epoch_us(first_ts))
+            / 86400000000.0) AS BIGINT) AS lifespan_days,
+       CASE
+         WHEN floor((epoch_us(mx.m) - epoch_us(last_ts))
+              / 86400000000.0) > 14 THEN 'churned'
+         WHEN n_active_days = 1 THEN 'one_shot'
+         ELSE 'active'
+       END AS status
+FROM per_user CROSS JOIN mx
+ORDER BY user_id"""
+
+
 REL_QUERIES = {
     "events_windowed": q_events_windowed,
     "events_stream_windowed": q_events_stream_windowed,
@@ -1817,6 +1890,7 @@ REL_QUERIES = {
     "tpch_waiting_suppliers": q_tpch_waiting_suppliers,
     "tpch_product_profit": q_tpch_product_profit,
     "tpch_part_promotion": q_tpch_part_promotion,
+    "events_user_lifecycle": q_events_user_lifecycle,
 }
 
 
@@ -1860,4 +1934,5 @@ def rel_oracle_sqls() -> dict[str, str]:
         "tpch_waiting_suppliers": ORACLE_TPCH_WAITING_SUPPLIERS,
         "tpch_product_profit": ORACLE_TPCH_PRODUCT_PROFIT,
         "tpch_part_promotion": ORACLE_TPCH_PART_PROMOTION,
+        "events_user_lifecycle": ORACLE_EVENTS_USER_LIFECYCLE,
     }
