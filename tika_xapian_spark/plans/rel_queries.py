@@ -1851,6 +1851,54 @@ FROM per_user CROSS JOIN mx
 ORDER BY user_id"""
 
 
+def q_events_active_users(spark, sf_dir):
+    """DAU / trailing-7-day WAU per calendar day. The WAU distinct-count
+    can't use a sliding window frame (count(DISTINCT) over RANGE isn't
+    supported, and a per-day re-scan is quadratic), so each (user, day)
+    activity row is EXPLODED into the <=7 window-end days it contributes
+    to and distinct-counted once per (user, window_day) — a constant 7x
+    fan-out of the already-deduped activity grid, not of the event stream.
+    Days with no activity simply don't appear (no spine join; matches the
+    oracle). Output counts only window days that are real activity days
+    (explode overshoots past the corpus end by up to 6 days — those
+    phantom days are semi-joined away against the DAU frame)."""
+    ev = _t(spark, sf_dir, "events")
+    grid = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=False)  # consumers: DAU agg + WAU explode
+    )
+    dau = grid.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = grid.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wday"),
+    ).distinct()
+    wau = contrib.groupBy(F.col("wday").alias("day")).agg(
+        F.count(F.lit(1)).alias("wau")
+    )
+    return (
+        dau.join(wau, "day")  # inner: keeps only real activity days
+        .select(F.col("day").cast("timestamp").alias("day"), "dau", "wau")
+        .orderBy("day")
+    )
+
+
+ORACLE_EVENTS_ACTIVE_USERS = """
+WITH grid AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+dau AS (SELECT day, count(*)::BIGINT AS dau FROM grid GROUP BY 1),
+contrib AS (
+  SELECT DISTINCT user_id, wday
+  FROM grid, unnest(range(0, 7)) AS t(off),
+       LATERAL (SELECT day + to_days(off::INT) AS wday)
+),
+wau AS (SELECT wday AS day, count(*)::BIGINT AS wau FROM contrib GROUP BY 1)
+SELECT dau.day::TIMESTAMP AS day, dau.dau, wau.wau
+FROM dau JOIN wau USING (day)
+ORDER BY day"""
+
+
 REL_QUERIES = {
     "events_windowed": q_events_windowed,
     "events_stream_windowed": q_events_stream_windowed,
@@ -1891,6 +1939,7 @@ REL_QUERIES = {
     "tpch_product_profit": q_tpch_product_profit,
     "tpch_part_promotion": q_tpch_part_promotion,
     "events_user_lifecycle": q_events_user_lifecycle,
+    "events_active_users": q_events_active_users,
 }
 
 
@@ -1935,4 +1984,5 @@ def rel_oracle_sqls() -> dict[str, str]:
         "tpch_product_profit": ORACLE_TPCH_PRODUCT_PROFIT,
         "tpch_part_promotion": ORACLE_TPCH_PART_PROMOTION,
         "events_user_lifecycle": ORACLE_EVENTS_USER_LIFECYCLE,
+        "events_active_users": ORACLE_EVENTS_ACTIVE_USERS,
     }
