@@ -592,6 +592,56 @@ def source_profile(
     )
 
 
+def char_ngram_entropy(
+    docs: DataFrame, key: str, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc, n_ngrams, entropy_micro): per-doc Shannon entropy of the
+    character n-gram distribution — low entropy flags repetitive /
+    template / keyboard-mash text, high entropy flags encrypted or
+    base64-ish blobs; both are standard web-corpus hygiene cuts.
+
+      H = log2(N) - (1/N) * sum over distinct grams of c * log2(c)
+
+    Zero shuffle: the gram array is built by zipping the char array
+    against its own shifted slices (lambdas touch only zipped elements —
+    the HOF re-inlining rule), sorted, and folded in ONE linear
+    ``aggregate`` pass whose accumulator run-length-encodes adjacent
+    duplicates and accumulates c*log2(c) at each run flush (the Gopher
+    fold pattern, 4-arg finish flushes the last run). The whole operator
+    is one ``F.expr`` string — constant Catalyst analysis cost, no
+    column-by-column construction (the round-5 latency lesson)."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    # fold the shifted slices pairwise into n-gram strings
+    gram = f"slice(cs, 1, greatest(size(cs) - {n - 1}, 0))"
+    for i in range(1, n):
+        gram = (
+            f"zip_with({gram}, slice(cs, {i + 1}, greatest(size(cs) - {n - 1}, 0)), "
+            "(a, b) -> concat(a, b))"
+        )
+    staged = docs.selectExpr(
+        f"{key} AS doc",
+        f"filter(split({text_col}, ''), c -> c != '') AS cs",
+    ).selectExpr("doc", f"array_sort({gram}) AS ts")
+    fold = """
+aggregate(
+  ts,
+  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 's', CAST(0.0 AS DOUBLE)),
+  (acc, x) -> IF(acc.prev IS NOT NULL AND x = acc.prev,
+    named_struct('prev', x, 'run', acc.run + 1L, 's', acc.s),
+    named_struct('prev', x, 'run', 1L,
+      's', acc.s + IF(acc.run > 0, CAST(acc.run AS DOUBLE) * log2(acc.run), CAST(0.0 AS DOUBLE)))),
+  acc -> acc.s + IF(acc.run > 0, CAST(acc.run AS DOUBLE) * log2(acc.run), CAST(0.0 AS DOUBLE))
+)"""
+    return staged.selectExpr(
+        "doc",
+        "CAST(size(ts) AS BIGINT) AS n_ngrams",
+        f"CAST(round(IF(size(ts) > 0, "
+        f"(log2(size(ts)) - ({fold}) / size(ts)) * 1000000, 0)) AS BIGINT) "
+        "AS entropy_micro",
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     key: str,

@@ -1410,6 +1410,39 @@ FROM chunked
 ORDER BY chunk_id, chunk_offset"""
 
 
+def q_text_char_entropy(spark, sf_dir):
+    """Character-trigram Shannon entropy per doc — the gibberish/blob
+    hygiene signal; zero-shuffle linear fold
+    (operators/textstats.py::char_ngram_entropy)."""
+    return _ordered_perdoc(
+        T.char_ngram_entropy(_docs(spark, sf_dir), key="doc_id")
+        .withColumnRenamed("doc", "doc_id"),
+        "doc_id",
+    )
+
+
+ORACLE_CHAR_ENTROPY = """
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 2, 0) + 1),
+                               i -> substr(text, i::INT, 3))) AS g
+  FROM documents
+),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+per AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+         sum(c * log2(c)) AS s
+  FROM cnt GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_ngrams, 0) AS n_ngrams,
+       CAST(round(CASE WHEN coalesce(p.n_ngrams, 0) > 0
+            THEN (log2(p.n_ngrams) - p.s / p.n_ngrams) * 1000000
+            ELSE 0 END) AS BIGINT) AS entropy_micro
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id"""
+
+
 def q_curate_corpus_ccnet(spark, sf_dir):
     """Curation v3 — the CCNet composition (Wenzek et al. 2020): language
     filter (en) -> exact-dup canonical only -> keep the head/middle
@@ -2390,6 +2423,7 @@ DATA_QUERIES = {
     "pack_sequences": q_pack_sequences,
     "dedup_minhash_calibration": q_dedup_minhash_calibration,
     "langid_confusion": q_langid_confusion,
+    "text_char_entropy": q_text_char_entropy,
 }
 
 
@@ -2446,4 +2480,5 @@ def data_oracle_sqls() -> dict[str, str]:
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "dedup_minhash_calibration": _oracle_minhash_calibration(),
         "langid_confusion": _langid_confusion_oracle(),
+        "text_char_entropy": ORACLE_CHAR_ENTROPY,
     }
