@@ -141,8 +141,12 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "spelling_suggest",  # persistent trigram table point lookup
         "text_quality",
         "tfidf_top_terms",  # map-side tf + hot/cold df join + rank window (round 6)
+        "text_bigram_logppl",  # bigram LM, double skew-split join (round 6)
+        "text_char_entropy",  # zero-shuffle linear entropy fold (round 6)
+        "pack_sequences",  # two-level distributed prefix sum (round 6)
         "tpch_pricing_summary",
         "tpch_revenue_forecast",  # Q6 pure pushed-down scan baseline (round 6)
+        "tpch_waiting_suppliers",  # Q21 via two-level aggregation (round 6)
         "events_sessionized",
     ):
         fn = registry[name]
