@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import bpe as B
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import packing as P
@@ -2371,7 +2372,56 @@ WHERE sample_hash_micro <
 ORDER BY doc_id"""
 
 
+def q_bpe_merges(spark, sf_dir):
+    """First six BPE merge rules learned from the corpus word-frequency
+    dict (Sennrich et al. 2016) — the tokenizer-training stage that touches
+    the full corpus is the single word-count shuffle; every merge round runs
+    on the vocabulary-bounded dict (operators/bpe.py)."""
+    return B.bpe_merges(_docs(spark, sf_dir), key="doc_id", n_merges=B.N_MERGES)
+
+
+def _bpe_oracle(n_merges: int = B.N_MERGES) -> str:
+    """Chained-CTE mirror of the merge loop: per round, pair counts from
+    the double-pipe symbol strings, deterministic argmax (count desc, pair
+    asc), then the same left-to-right non-overlapping ``replace``."""
+    ctes = [
+        """toks AS (
+  SELECT w FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+  ) WHERE w <> ''
+)""",
+        """wf1 AS (
+  SELECT '||' || array_to_string(string_split(w, ''), '||') || '||' AS s,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY w
+)""",
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(f"""pr{r} AS (
+  SELECT list_extract(t.syms, u.i) AS l, list_extract(t.syms, u.i + 1) AS r,
+         CAST(sum(t.cnt) AS BIGINT) AS pc
+  FROM (SELECT string_split(trim(s, '|'), '||') AS syms, cnt FROM wf{r}) t,
+       unnest(range(1, len(t.syms))) AS u(i)
+  GROUP BY 1, 2
+)""")
+        ctes.append(
+            f"best{r} AS (SELECT l, r, pc FROM pr{r} ORDER BY pc DESC, l, r LIMIT 1)"
+        )
+        if r < n_merges:
+            ctes.append(f"""wf{r + 1} AS (
+  SELECT replace(t.s, '|' || b.l || '||' || b.r || '|',
+                 '|' || b.l || b.r || '|') AS s, t.cnt AS cnt
+  FROM wf{r} t, best{r} b
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_rank, l AS lhs, r AS rhs, pc AS pair_count FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM (\n{union}\n) ORDER BY merge_rank"
+
+
 DATA_QUERIES = {
+    "bpe_merges": q_bpe_merges,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_signature": q_dedup_minhash_signature,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2429,6 +2479,7 @@ DATA_QUERIES = {
 
 def data_oracle_sqls() -> dict[str, str]:
     return {
+        "bpe_merges": _bpe_oracle(),
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_minhash_signature": ORACLE_MINHASH_SIG,
         "dedup_minhash_pairs": ORACLE_MINHASH_PAIRS,
