@@ -430,3 +430,155 @@ def test_within_doc_line_dedup_null_text(spark):
     rows = {r.doc: r for r in within_doc_line_dedup(docs, "doc_id").collect()}
     assert (rows[1].n_lines, rows[1].n_kept, rows[1].text_clean) == (1, 1, "")
     assert (rows[2].n_lines, rows[2].n_kept) == (2, 1)
+
+
+class TestBalanceStrata:
+    def _docs(self, spark):
+        rows = []
+        i = 0
+        for src, n in (("big", 40), ("mid", 20), ("tiny", 5)):
+            for _ in range(n):
+                rows.append((i, src))
+                i += 1
+        return spark.createDataFrame(rows, "doc_id bigint, source string")
+
+    def test_manifest_shape_and_rates(self, spark):
+        from tika_xapian_spark.operators.sampling import balance_strata
+
+        out = {
+            r.source: r
+            for r in balance_strata(
+                self._docs(spark), key="doc_id", strata_col="source"
+            ).collect()
+        }
+        assert set(out) == {"big", "mid", "tiny"}
+        # rate = round(min_total * 1e6 / n_total)
+        assert out["tiny"].rate_micro == 1_000_000  # smallest keeps all
+        assert out["tiny"].n_kept == 5
+        assert out["big"].rate_micro == 125_000
+        assert out["mid"].rate_micro == 250_000
+        for r in out.values():
+            assert 0 <= r.n_kept <= r.n_total
+
+    def test_deterministic(self, spark):
+        from tika_xapian_spark.operators.sampling import balance_strata
+
+        docs = self._docs(spark)
+        a = sorted(map(tuple, balance_strata(docs, "doc_id", "source").collect()))
+        b = sorted(map(tuple, balance_strata(docs, "doc_id", "source").collect()))
+        assert a == b
+
+
+class TestVocabCoverage:
+    def test_curve_matches_python(self, spark):
+        from collections import Counter
+
+        from tika_xapian_spark.operators.textstats import vocab_coverage
+
+        texts = ["a a a b b c", "a b d", "e a", ""]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id bigint, text string"
+        )
+        toks = [w for t in texts for w in t.split() if w]
+        cnt = Counter(toks)
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        total = sum(cnt.values())
+        exp = {}
+        cum = 0
+        for k, (w, c) in enumerate(ranked, start=1):
+            cum += c
+            if k in (1, 2, 4, 8, 16, 32):
+                exp[k] = (w, cum, round(cum * 1_000_000 / total))
+        got = {
+            r.k: (r.kth_term, r.cum_tokens, r.covered_micro)
+            for r in vocab_coverage(docs, key="doc_id").collect()
+        }
+        assert got == exp
+        assert max(got) == 4  # 5 distinct terms -> ranks beyond vocab absent
+
+
+class TestContaminationOverlap:
+    def test_fractions(self, spark):
+        from tika_xapian_spark.operators.dedup import (
+            contamination_overlap,
+            shingles_df,
+        )
+
+        # 3-word shingles; doc 10 shares exactly one of its two shingles
+        # with the probe, doc 11 shares none.
+        probe_docs = spark.createDataFrame(
+            [(0, "alpha beta gamma")], "doc_id bigint, text string"
+        )
+        corpus = spark.createDataFrame(
+            [(10, "alpha beta gamma delta"), (11, "zeta eta theta")],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r.doc: r
+            for r in contamination_overlap(
+                shingles_df(corpus, "doc_id"), shingles_df(probe_docs, "doc_id")
+            ).collect()
+        }
+        assert out[10].n_grams == 2 and out[10].n_probe_hits == 1
+        assert out[10].overlap_micro == 500_000
+        assert out[11].n_probe_hits == 0 and out[11].overlap_micro == 0
+
+
+class TestPowerIteration:
+    def test_matches_numpy_exact(self, spark):
+        import numpy as np
+
+        from tika_xapian_spark.operators.similarity import (
+            power_iteration_component,
+        )
+
+        rng = np.random.RandomState(7)
+        A = rng.randn(50, 8).astype(np.float32)
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in A[i]]) for i in range(50)],
+            "vec_id bigint, embedding array<float>",
+        )
+        M = np.round(A.astype(np.float64) * 1000).astype(object)  # exact ints
+        u1 = M.sum(axis=1)
+        z1 = (M * u1[:, None]).sum(axis=0)
+        z1s = np.array([int(np.floor(int(z) / 1_000_000.0)) for z in z1], dtype=object)
+        u2 = (M * z1s[None, :]).sum(axis=1)
+        z2 = (M * u2[:, None]).sum(axis=0)
+        got = {
+            r.dim: r.component
+            for r in power_iteration_component(emb, dim=8).collect()
+        }
+        assert got == {i: int(z2[i]) for i in range(8)}
+
+    def test_direction_tracks_dominant_eigenvector(self, spark):
+        import numpy as np
+
+        from tika_xapian_spark.operators.similarity import (
+            power_iteration_component,
+        )
+
+        # planted dominant direction: strong variance along dim 0 + 1
+        rng = np.random.RandomState(3)
+        base = rng.randn(200, 1) * 10
+        A = np.hstack([base, base * 0.9, rng.randn(200, 2) * 0.1]).astype(
+            np.float32
+        )
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in A[i]]) for i in range(200)],
+            "vec_id bigint, embedding array<float>",
+        )
+        comp = np.array(
+            [
+                r.component
+                for r in sorted(
+                    power_iteration_component(emb, dim=4).collect(),
+                    key=lambda r: r.dim,
+                )
+            ],
+            dtype=np.float64,
+        )
+        v = comp / np.linalg.norm(comp)
+        M = A.astype(np.float64)
+        w, V = np.linalg.eigh(M.T @ M)
+        top = V[:, -1]
+        assert abs(float(v @ top)) > 0.99

@@ -595,6 +595,42 @@ def contamination_hits(
     )
 
 
+def contamination_overlap(
+    corpus_shingles: DataFrame, probe_shingles: DataFrame
+) -> DataFrame:
+    """Graded decontamination: per-doc FRACTION of distinct shingles shared
+    with the probe/eval set — ``contamination_hits`` answers "touched at
+    all?", this answers "how much?", which is what a removal threshold
+    (e.g. PaLM's "drop if >70% of 8-grams seen") actually cuts on.
+
+    Returns (doc, n_grams, n_probe_hits, overlap_micro) for EVERY corpus
+    doc (zero-hit docs included — the threshold scan needs the full
+    distribution).
+
+    Scale: same shape as contamination_hits — probe side broadcast into
+    the corpus shingle stream, plus one groupBy(doc) for the totals; the
+    corpus shingle frame is expected to be shared/persisted by the caller
+    (plans cache it), so both consumers read one materialization."""
+    probes = probe_shingles.select("shingle").distinct()
+    hits = (
+        corpus_shingles.join(F.broadcast(probes), "shingle")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_probe_hits"))
+    )
+    totals = corpus_shingles.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    hit_n = F.coalesce(F.col("n_probe_hits"), F.lit(0)).cast("long")
+    return totals.join(hits, "doc", "left").select(
+        "doc",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        hit_n.alias("n_probe_hits"),
+        F.round(hit_n * 1_000_000.0 / F.col("n_grams"))
+        .cast("long")
+        .alias("overlap_micro"),
+    )
+
+
 def boilerplate_shingles(
     docs: DataFrame,
     key: str,

@@ -95,3 +95,49 @@ def group_holdout_split(
     return docs.withColumn(
         "split", F.when(h < thr, F.lit("train")).otherwise(F.lit("holdout"))
     )
+
+
+def balance_strata(
+    docs: DataFrame, key: str, strata_col: str, seed: str = "mix"
+) -> DataFrame:
+    """Data-mixing manifest: downsample every stratum to the SMALLEST
+    stratum's size in expectation (uniform mixture), with deterministic
+    hash-Bernoulli membership. This is the data-recipe step of corpus
+    assembly (Pile/Dolma-style source mixing) where the rates are derived
+    FROM the data rather than supplied — ``stratified_sample`` covers the
+    supplied-fractions case.
+
+    Returns one row per stratum: (stratum, n_total, rate_micro, n_kept).
+
+    Shape: one bounded shuffle for the per-stratum counts, the min rides
+    a broadcast 1-row aggregate, rates broadcast back onto the corpus for
+    a map-side filter, and one more bounded count shuffle for the kept
+    side. The rates frame feeds two consumers (the membership filter and
+    the output join), so it is lazily localCheckpoint-ed — otherwise both
+    branches replay the corpus-count shuffle."""
+    per = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_total"))
+    target = F.broadcast(per.agg(F.min("n_total").alias("_target")))
+    rates = (
+        per.crossJoin(target)
+        .select(
+            strata_col,
+            "n_total",
+            F.round(F.col("_target") * float(MICRO) / F.col("n_total"))
+            .cast("long")
+            .alias("rate_micro"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    kept_counts = (
+        docs.select(key, strata_col)
+        .join(F.broadcast(rates), strata_col)
+        .filter(sample_hash_micro(key, seed) < F.col("rate_micro"))
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept_counts, strata_col, "left").select(
+        strata_col,
+        "n_total",
+        "rate_micro",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )

@@ -462,3 +462,71 @@ def label_centroid_similarity(
         )
         .orderBy("label_a", "label_b")
     )
+
+
+def power_iteration_component(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    rescale_div: int = 1_000_000,
+) -> DataFrame:
+    """Dominant principal direction of the embedding matrix by two exact
+    integer power-iteration steps: z = (AᵀA)·rescale(AᵀA·1) — the
+    distributed linear-algebra kernel under PCA whitening / spectral
+    near-dup detection, expressed so the result is EXACTLY reproducible
+    (no float summation-order dependence across partitions, the
+    embedding_label_similarity rule).
+
+    Math shape: A is the n×dim embedding matrix in milli-units
+    (round(x·1000) — float32→double is exact, so the rounding agrees
+    engine-to-engine). Each A·v is a per-row fold (map-side, zero
+    shuffle); each Aᵀu is ONE wide aggregate of dim sums (one Exchange,
+    partial aggregation map-side). The intermediate 1×dim vector rides
+    back on a broadcast crossJoin. Total: two global aggregates, two
+    map passes — no join keyed on anything, no per-element explode.
+
+    ``rescale_div`` is the integer stand-in for power iteration's
+    normalization: z1 floor-divides (exact in double, |z1| < 2^53) so the
+    second step stays inside int64. The bound: |z2| <= n·m·dim·m·(n·m·dim·m
+    / rescale_div) with m = max milli magnitude (~600 here) — at the bench
+    scales that is < 2^51; a 10^9-row corpus raises rescale_div to taste
+    (the direction, which is the answer, is scale-invariant).
+    """
+    a = emb.select(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 1000).cast("long"),
+        ).alias("e")
+    )
+    u1 = a.select(
+        "e",
+        F.aggregate(
+            F.col("e"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("u"),
+    )
+    z1 = u1.agg(
+        *[F.expr(f"sum(e[{i}] * u)").alias(f"z{i}") for i in range(dim)]
+    )
+    z1s = z1.select(
+        F.array(
+            *[
+                F.expr(f"CAST(floor(z{i} / {rescale_div}.0) AS BIGINT)")
+                for i in range(dim)
+            ]
+        ).alias("zs")
+    )
+    u2 = a.crossJoin(F.broadcast(z1s)).select(
+        "e",
+        F.aggregate(
+            F.zip_with(F.col("e"), F.col("zs"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("u"),
+    )
+    z2 = u2.agg(
+        *[F.expr(f"sum(e[{i}] * u)").alias(f"z{i}") for i in range(dim)]
+    )
+    stack = ", ".join(f"{i}, z{i}" for i in range(dim))
+    return z2.select(
+        F.expr(f"stack({dim}, {stack}) AS (dim, component)")
+    ).select(F.col("dim").cast("int").alias("dim"), "component")

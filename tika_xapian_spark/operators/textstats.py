@@ -812,3 +812,58 @@ def encoding_anomalies(
         .cast("int")
         .alias("clean"),
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    key: str,
+    text_col: str = "text",
+    ks: tuple[int, ...] = (1, 2, 4, 8, 16, 32),
+) -> DataFrame:
+    """Top-k vocabulary token-coverage curve: for each k in ``ks``, the
+    fraction of all corpus token occurrences covered by the k most frequent
+    terms (ties broken by term) — the curve a tokenizer/vocab-size decision
+    reads off ("32k entries cover 99.x% of occurrences").
+
+    Shape: ONE corpus-scale shuffle (the word count with map-side partial
+    agg, output bounded by vocabulary size, independent of corpus rows);
+    the rank/cumulative-sum window then sorts the vocabulary on a single
+    partition — fine because a vocab is ~10^7 rows at web scale, and
+    deliberate: a global rank needs a total order anyway. The corpus
+    token total rides as a broadcast 1-row aggregate; the k-filter runs
+    BEFORE the crossJoin so only |ks| rows move.
+
+    ``covered_micro`` divides in double then rounds — identical IEEE ops
+    in both engines; above 2^53 total tokens the last micro digit is a
+    measurement, which is what a coverage curve is for."""
+    counts = (
+        docs.select(F.explode(tokens_col(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # consumers: ranked rows + the total
+    )
+    win = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    ranked = counts.select(
+        F.col("w"),
+        F.row_number().over(win).alias("k"),
+        F.sum("cnt")
+        .over(win.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_tokens"),
+    )
+    total = F.broadcast(counts.agg(F.sum("cnt").alias("_n")))
+    return (
+        ranked.filter(F.col("k").isin(list(ks)))
+        .crossJoin(total)
+        .select(
+            "k",
+            F.col("w").alias("kth_term"),
+            "cum_tokens",
+            F.round(
+                F.col("cum_tokens").cast("double") * 1_000_000 / F.col("_n")
+            )
+            .cast("long")
+            .alias("covered_micro"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("k")
+    )

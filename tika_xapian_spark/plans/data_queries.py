@@ -1027,6 +1027,41 @@ BOILERPLATE_K = 2  # bigrams: on this corpus 3-grams never reach 5% df, so a
 # is a real top-50 at every sf
 
 
+def q_decontaminate_overlap(spark, sf_dir):
+    """Graded decontamination: per-doc fraction of distinct shingles shared
+    with the eval probe set — the distribution a removal threshold cuts on
+    (operators/dedup.py::contamination_overlap). Zero-hit docs included."""
+    docs = _docs(spark, sf_dir)
+    corpus_sh = _shingles(spark, sf_dir)
+    probe_sh = D.shingles_df(
+        docs.filter(F.col("doc_id") < DECONTAM_PROBE_DOCS), key="doc_id"
+    )
+    return _ordered_perdoc(
+        D.contamination_overlap(corpus_sh, probe_sh).withColumnRenamed(
+            "doc", "doc_id"
+        ),
+        "doc_id",
+    )
+
+
+ORACLE_DECONTAM_OVERLAP = f"""
+WITH {_SHINGLE_CTE},
+probes AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id < {DECONTAM_PROBE_DOCS}
+),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM sh GROUP BY doc_id),
+hit AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_probe_hits
+  FROM sh s JOIN probes USING (shingle) GROUP BY s.doc_id
+)
+SELECT t.doc_id, t.n_grams,
+       CAST(coalesce(h.n_probe_hits, 0) AS BIGINT) AS n_probe_hits,
+       CAST(round(coalesce(h.n_probe_hits, 0) * 1000000.0 / t.n_grams)
+            AS BIGINT) AS overlap_micro
+FROM tot t LEFT JOIN hit h USING (doc_id)
+ORDER BY t.doc_id"""
+
+
 def q_boilerplate_ngrams(spark, sf_dir):
     """Boilerplate profile: bigram shingles present in >= 5% of documents
     (template text surfaces here before any pair looks duplicated; these are
@@ -2372,6 +2407,102 @@ WHERE sample_hash_micro <
 ORDER BY doc_id"""
 
 
+def q_embedding_power_iteration(spark, sf_dir):
+    """Dominant principal direction of the embedding matrix — two exact
+    integer power-iteration steps, two global aggregates total
+    (operators/similarity.py::power_iteration_component)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.power_iteration_component(emb).repartition(1).sortWithinPartitions("dim")
+
+
+ORACLE_POWER_ITERATION = """
+WITH a AS (
+  SELECT vec_id,
+         unnest(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS v,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+),
+u1 AS (SELECT vec_id, CAST(sum(v) AS BIGINT) AS u FROM a GROUP BY vec_id),
+z1 AS (
+  SELECT d, CAST(sum(a.v * u1.u) AS BIGINT) AS z
+  FROM a JOIN u1 USING (vec_id) GROUP BY d
+),
+z1s AS (SELECT d, CAST(floor(z / 1000000.0) AS BIGINT) AS zs FROM z1),
+u2 AS (
+  SELECT a.vec_id, CAST(sum(a.v * z1s.zs) AS BIGINT) AS u
+  FROM a JOIN z1s USING (d) GROUP BY a.vec_id
+),
+z2 AS (
+  SELECT d, CAST(sum(a.v * u2.u) AS BIGINT) AS comp
+  FROM a JOIN u2 USING (vec_id) GROUP BY d
+)
+SELECT CAST(d - 1 AS INT) AS dim, comp AS component FROM z2 ORDER BY dim"""
+
+
+def q_mix_sources(spark, sf_dir):
+    """Uniform source-mixing manifest: every source downsampled to the
+    smallest source's size in expectation, membership by deterministic
+    hash (operators/sampling.py::balance_strata)."""
+    from ..operators.sampling import balance_strata
+
+    return (
+        balance_strata(_docs(spark, sf_dir), key="doc_id", strata_col="source")
+        .repartition(1)
+        .sortWithinPartitions("source")
+    )
+
+
+ORACLE_MIX_SOURCES = """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_total FROM documents GROUP BY source
+),
+t AS (SELECT min(n_total) AS target FROM per),
+rates AS (
+  SELECT source, n_total,
+         CAST(round(t.target * 1000000.0 / n_total) AS BIGINT) AS rate_micro
+  FROM per, t
+),
+kept AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN rates r USING (source)
+  WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        % 1000000 < r.rate_micro
+  GROUP BY d.source
+)
+SELECT r.source, r.n_total, r.rate_micro,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM rates r LEFT JOIN kept k USING (source)
+ORDER BY r.source"""
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Top-k vocabulary coverage curve — what fraction of token
+    occurrences the k most frequent terms cover
+    (operators/textstats.py::vocab_coverage)."""
+    return T.vocab_coverage(_docs(spark, sf_dir), key="doc_id")
+
+
+ORACLE_VOCAB_COVERAGE = """
+WITH t AS (
+  SELECT w FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+  ) WHERE w <> ''
+),
+c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY w),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+r AS (
+  SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS k,
+         CAST(sum(cnt) OVER (ORDER BY cnt DESC, w
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM c
+)
+SELECT k, w AS kth_term, cum_tokens,
+       CAST(round(CAST(cum_tokens AS DOUBLE) * 1000000 / tot.n) AS BIGINT)
+         AS covered_micro
+FROM r, tot WHERE k IN (1, 2, 4, 8, 16, 32) ORDER BY k"""
+
+
 def q_bpe_merges(spark, sf_dir):
     """First six BPE merge rules learned from the corpus word-frequency
     dict (Sennrich et al. 2016) — the tokenizer-training stage that touches
@@ -2422,6 +2553,9 @@ def _bpe_oracle(n_merges: int = B.N_MERGES) -> str:
 
 DATA_QUERIES = {
     "bpe_merges": q_bpe_merges,
+    "vocab_coverage": q_vocab_coverage,
+    "mix_sources": q_mix_sources,
+    "embedding_power_iteration": q_embedding_power_iteration,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_signature": q_dedup_minhash_signature,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2430,6 +2564,7 @@ DATA_QUERIES = {
     "dedup_components": q_dedup_components,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "decontaminate_overlap": q_decontaminate_overlap,
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -2480,6 +2615,9 @@ DATA_QUERIES = {
 def data_oracle_sqls() -> dict[str, str]:
     return {
         "bpe_merges": _bpe_oracle(),
+        "vocab_coverage": ORACLE_VOCAB_COVERAGE,
+        "mix_sources": ORACLE_MIX_SOURCES,
+        "embedding_power_iteration": ORACLE_POWER_ITERATION,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_minhash_signature": ORACLE_MINHASH_SIG,
         "dedup_minhash_pairs": ORACLE_MINHASH_PAIRS,
@@ -2488,6 +2626,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "dedup_components": _components_oracle(),
         "decontaminate": ORACLE_DECONTAM,
         "decontaminate_bloom": ORACLE_DECONTAM,
+        "decontaminate_overlap": ORACLE_DECONTAM_OVERLAP,
         "boilerplate_ngrams": ORACLE_BOILERPLATE,
         "dedup_ngram_pairs": ORACLE_NGRAM_PAIRS,
         "dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,

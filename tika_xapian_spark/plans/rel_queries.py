@@ -1899,7 +1899,57 @@ FROM dau JOIN wau USING (day)
 ORDER BY day"""
 
 
+def q_events_markov_transitions(spark, sf_dir):
+    """Event-type transition matrix (first-order Markov over per-user event
+    sequences) — the behavioral-modeling rollup a sessionized event stream
+    feeds. One shuffle: the lag window partitions by user; the
+    (prev, next) count table is |types|^2 rows, and the per-prev totals
+    come from a window over that tiny frame (no second corpus shuffle).
+    Ordering inside a user is (ts, event_id) — a deterministic total
+    order, so lag() agrees across engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("prev_type")
+    return (
+        counts.select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") * 1_000_000.0 / F.sum("n").over(tot))
+            .cast("long")
+            .alias("prob_micro"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("prev_type", "next_type")
+    )
+
+
+ORACLE_EVENTS_MARKOV = """
+WITH p AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       CAST(round(n * 1000000.0 / sum(n) OVER (PARTITION BY prev_type))
+            AS BIGINT) AS prob_micro
+FROM c ORDER BY prev_type, next_type"""
+
+
 REL_QUERIES = {
+    "events_markov_transitions": q_events_markov_transitions,
     "events_windowed": q_events_windowed,
     "events_stream_windowed": q_events_stream_windowed,
     "events_sessionized": q_events_sessionized,
@@ -1945,6 +1995,7 @@ REL_QUERIES = {
 
 def rel_oracle_sqls() -> dict[str, str]:
     return {
+        "events_markov_transitions": ORACLE_EVENTS_MARKOV,
         "events_windowed": ORACLE_EVENTS_WINDOWED,
         "events_stream_windowed": ORACLE_EVENTS_WINDOWED,
         "events_sessionized": ORACLE_EVENTS_SESSIONS,
