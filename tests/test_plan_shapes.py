@@ -670,3 +670,90 @@ class TestRollupPlan:
         n_ex = plan.count("Exchange hashpartitioning")
         assert n_ex == 1, plan
         assert "partial" in plan.lower(), plan  # map-side combine survives
+
+
+class TestPowerIterationPlan:
+    """power_iteration_component's docstring claims: two wide aggregates
+    (one Exchange each), intermediate vector via broadcast crossJoin, no
+    per-element explode, no keyed join. Pin all four — an explode-based
+    A^T u would shuffle n*dim rows instead of partial-aggregating 64 sums
+    map-side."""
+
+    def test_two_exchanges_broadcast_vector(self, emb):
+        from tika_xapian_spark.operators.similarity import (
+            power_iteration_component,
+        )
+
+        plan = plan_of(power_iteration_component(emb))
+        # z1's and z2's global aggregates: SinglePartition exchanges only
+        assert plan.count("Exchange SinglePartition") == 2, plan
+        assert plan.count("Exchange hashpartitioning") == 0, plan
+        assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row vector
+        assert "Generate explode" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "partial" in plan.lower(), plan  # map-side combine on sums
+
+
+class TestVocabCoveragePlan:
+    def test_one_corpus_shuffle_then_dict_window(self, docs):
+        """The only corpus-scale exchange is the word count (map-side
+        partial agg); the rank window and total both run over the
+        vocabulary-bounded dict behind the checkpoint."""
+        from tika_xapian_spark.operators.textstats import vocab_coverage
+
+        df = vocab_coverage(docs, key="doc_id")
+        df.count()  # materialize the lazy checkpoint first
+        plan = plan_of(df)
+        # upstream word count hidden behind the checkpoint: what remains is
+        # the dict-level single-partition window + the final repartition(1)
+        assert "Window" in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan, plan  # broadcast total
+        assert "SortMergeJoin" not in plan, plan
+
+
+class TestBalanceStrataPlan:
+    def test_rates_broadcast_onto_corpus(self, docs):
+        from tika_xapian_spark.operators.sampling import balance_strata
+
+        d = docs.withColumn("source", (F.col("doc_id") % 4).cast("string"))
+        df = balance_strata(d, key="doc_id", strata_col="source")
+        df.count()  # materialize the rates checkpoint
+        plan = plan_of(df)
+        # membership filter joins the corpus against broadcast rates — a
+        # shuffle join here would move the full corpus on the strata key
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+
+class TestBpePlan:
+    def test_pair_count_rounds_are_dict_level(self, docs):
+        """After the base word-count shuffle (behind the checkpoint), each
+        merge round is: dict-level aggregates + the 1-row winner on a
+        broadcast — no corpus-scale exchange, no keyed join, no driver
+        collect (the whole k-round loop is one lazy plan)."""
+        from tika_xapian_spark.operators.bpe import _apply_merge, bpe_merges
+
+        df = bpe_merges(docs, key="doc_id", n_merges=2)
+        plan = plan_of(df)
+        # each round's dict sits behind a lazy checkpoint (Scan
+        # ExistingRDD), so assert on what remains: dict-level aggregates
+        # with map-side combine, no keyed join anywhere
+        assert "SortMergeJoin" not in plan, plan
+        assert "partial" in plan.lower(), plan
+        assert "Scan ExistingRDD" in plan, plan  # the checkpointed dict
+
+        # the winner crossJoin itself is visible pre-checkpoint: rebuild
+        # one round without the cut and pin the broadcast
+        from tika_xapian_spark.operators.bpe import (
+            _best_pair,
+            _pair_counts,
+            word_freq_dict,
+            _encode,
+        )
+        from pyspark.sql import functions as FF
+
+        wf = word_freq_dict(docs, "doc_id").select(
+            _encode("word").alias("s"), "cnt"
+        )
+        merged = wf.crossJoin(FF.broadcast(_best_pair(_pair_counts(wf))))
+        assert "BroadcastNestedLoopJoin" in plan_of(merged)

@@ -135,7 +135,10 @@ def balance_strata(
         .groupBy(strata_col)
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
-    return rates.join(kept_counts, strata_col, "left").select(
+    # Both manifest sides are strata-bounded; the kept-count side
+    # broadcasts (a checkpointed left side hides its size from AQE, which
+    # would otherwise pick a sort-merge join for two tiny frames).
+    return rates.join(F.broadcast(kept_counts), strata_col, "left").select(
         strata_col,
         "n_total",
         "rate_micro",
