@@ -582,3 +582,39 @@ class TestPowerIteration:
         w, V = np.linalg.eigh(M.T @ M)
         top = V[:, -1]
         assert abs(float(v @ top)) > 0.99
+
+
+class TestBigramNovelty:
+    def test_matches_python(self, spark):
+        from collections import defaultdict
+
+        from tika_xapian_spark.operators.textstats import bigram_novelty
+
+        texts = {
+            0: "a b c a b",        # bigrams: {a b, b c, c a} — all first here
+            1: "a b x y",          # {a b(old), b x, x y}
+            2: "x y a b b c",      # all old except {y a, b b}
+            3: "z",                # no bigrams -> absent
+        }
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id bigint, text string"
+        )
+        firstseen: dict[str, int] = {}
+        per = {}
+        for d in sorted(texts):
+            toks = texts[d].split()
+            bgs = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+            for g in sorted(bgs):
+                firstseen.setdefault(g, d)
+            if bgs:
+                per[d] = (len(bgs), sum(1 for g in bgs if firstseen[g] == d))
+        got = {
+            r.doc: (r.n_bigrams, r.n_novel, r.novelty_micro)
+            for r in bigram_novelty(docs, key="doc_id").collect()
+        }
+        exp = {
+            d: (n, nov, round(nov * 1_000_000 / n))
+            for d, (n, nov) in per.items()
+        }
+        assert got == exp
+        assert 3 not in got  # single-token doc has no bigrams

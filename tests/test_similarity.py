@@ -216,3 +216,75 @@ def test_pairwise_dedup_folds_multiband_duplicates(clustered64):
     out = SIM.pairwise_cosine_dedup(df, threshold_micro=990_000).collect()
     pairs = [(r["id_a"], r["id_b"]) for r in out]
     assert len(pairs) == len(set(pairs))
+
+
+class TestKmeansStep:
+    def test_matches_numpy_reference(self, clustered):
+        df, rows = clustered
+        dim = 32
+        out = SIM.kmeans_step(df, n_list=8, dim=dim).collect()
+
+        # reference: same seed quantizer, same milli arithmetic
+        cents = SIM.ivf_seed_centroids(df, n_list=8)
+        A = {vid: np.asarray(v, dtype=np.float64) for vid, v in rows}
+
+        def d2(a, b):
+            # same left-to-right double fold; ties broken by lower cid
+            return float(((np.asarray(a) - np.asarray(b)) ** 2).sum())
+
+        assign: dict[int, int] = {}
+        for vid, v in rows:
+            vf = [float(np.float32(x)) for x in v]
+            best = min(
+                (d2(vf, cv), cid) for cid, cv in cents
+            )
+            assign[vid] = best[1]
+        exp: dict[tuple[int, int], tuple[int, int, int]] = {}
+        from collections import defaultdict
+
+        members = defaultdict(list)
+        for vid, cl in assign.items():
+            members[cl].append(vid)
+        for cl, vids in members.items():
+            M = np.round(
+                np.array([[float(np.float32(x)) for x in A[v]] for v in vids])
+                * 1000
+            ).astype(np.int64)
+            s = M.sum(axis=0)
+            for d in range(dim):
+                exp[(cl, d)] = (
+                    len(vids),
+                    int(s[d]),
+                    int(round(float(s[d]) / len(vids))),
+                )
+        got = {
+            (r.cluster, r.dim): (r.n_members, r.sum_milli, r.centroid_milli)
+            for r in out
+        }
+        assert got == exp
+
+    def test_iteration_reduces_distortion(self, clustered):
+        """One Lloyd step must not increase total squared distance to the
+        assigned centroid (the classic monotonicity guarantee)."""
+        df, rows = clustered
+        cents0 = SIM.ivf_seed_centroids(df, n_list=8)
+        step = SIM.kmeans_step(df, n_list=8, dim=32).collect()
+        new_cents = {}
+        for r in step:
+            new_cents.setdefault(r.cluster, [0.0] * 32)[r.dim] = (
+                r.centroid_milli / 1000.0
+            )
+        A = [np.asarray(v, dtype=np.float64) for _, v in rows]
+
+        def total_distortion(cent_map):
+            tot = 0.0
+            for v in A:
+                tot += min(
+                    float(((v - np.asarray(c)) ** 2).sum())
+                    for c in cent_map.values()
+                )
+            return tot
+
+        before = total_distortion({cid: cv for cid, cv in cents0})
+        after = total_distortion(new_cents)
+        assert after <= before * 1.0001  # milli rounding slack

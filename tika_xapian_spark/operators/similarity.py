@@ -530,3 +530,57 @@ def power_iteration_component(
     return z2.select(
         F.expr(f"stack({dim}, {stack}) AS (dim, component)")
     ).select(F.col("dim").cast("int").alias("dim"), "component")
+
+
+def kmeans_step(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_list: int = IVF_N_LIST,
+    dim: int = 64,
+) -> DataFrame:
+    """One exact Lloyd iteration over the IVF seed quantizer: assign every
+    vector to its nearest seed centroid, then recompute centroids — the
+    step that turns the sign-bucket bootstrap into a balanced coarse
+    quantizer (and, iterated, the clustering under semantic dedup /
+    cluster-balanced sampling).
+
+    Returns the long-form updated codebook: one row per (cluster, dim) —
+    (cluster, n_members, dim, sum_milli, centroid_milli). Sums are exact
+    integers in milli-units (the embedding_label_similarity rule: never
+    average floats in an oracle-gated op — summation order would differ
+    across partitions); the mean divides the exact sum once, in double,
+    identically in both engines.
+
+    Scale shape: the seed quantizer is data-derived and bounded
+    (ivf_seed_centroids — one aggregation + a <= n_list-row collect);
+    assignment is a map-side argmin over the broadcast codebook; the
+    centroid update is ONE wide aggregate keyed on cluster (dim sums +
+    count, map-side partial combine does the reduction — n_list keys reach
+    the reducers, not n*dim exploded rows), unpivoted with stack()."""
+    cents = ivf_seed_centroids(emb, n_list, id_col, vec_col)
+    assigned = emb.select(
+        _assign_cell(vec_col, cents).alias("cluster"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 1000).cast("long"),
+        ).alias("e"),
+    )
+    wide = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        *[F.expr(f"sum(e[{i}])").alias(f"s{i}") for i in range(dim)],
+    )
+    stack = ", ".join(f"{i}, s{i}" for i in range(dim))
+    return wide.select(
+        "cluster",
+        "n_members",
+        F.expr(f"stack({dim}, {stack}) AS (dim, sum_milli)"),
+    ).select(
+        "cluster",
+        "n_members",
+        F.col("dim").cast("int").alias("dim"),
+        "sum_milli",
+        F.round(F.col("sum_milli").cast("double") / F.col("n_members"))
+        .cast("long")
+        .alias("centroid_milli"),
+    )

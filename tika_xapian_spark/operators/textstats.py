@@ -867,3 +867,37 @@ def vocab_coverage(
         .repartition(1)
         .sortWithinPartitions("k")
     )
+
+
+def bigram_novelty(
+    docs: DataFrame, key: str, text_col: str = "text", hot_vocab: int = 65536
+) -> DataFrame:
+    """Per-doc n-gram novelty: the fraction of a doc's DISTINCT bigrams
+    whose corpus-wide first occurrence (minimum doc id) is this doc — the
+    repetition-research signal separating template-echo documents
+    (novelty → 0) from original text, and the cheap upper-bound screen a
+    substring-dedup pass runs first.
+
+    Scale shape mirrors ``bigram_logppl``: occurrences never shuffle
+    (map-side RLE gives one row per (doc, distinct bigram)); the
+    first-seen table is an algebraic min/count aggregation (map-side
+    combine absorbs stop-bigram skew); the join back goes through the
+    hot/cold split so no reducer sees a full stop-bigram's posting list."""
+    bt = doc_bigram_tf(docs, key, text_col)
+    firsts = (
+        bt.groupBy("token")
+        .agg(
+            F.min("doc").alias("_first_doc"),
+            F.count(F.lit(1)).alias("_df"),
+        )
+        .localCheckpoint(eager=False)  # consumers: hot head + cold tail
+    )
+    joined = skew_safe_count_join(bt, "token", firsts, "_df", hot_k=hot_vocab)
+    novel = (F.col("_first_doc") == F.col("doc")).cast("long")
+    return joined.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(novel).alias("n_novel"),
+        F.round(F.sum(novel) * 1_000_000.0 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("novelty_micro"),
+    )

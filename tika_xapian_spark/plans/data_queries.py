@@ -2407,6 +2407,92 @@ WHERE sample_hash_micro <
 ORDER BY doc_id"""
 
 
+def q_embedding_kmeans_step(spark, sf_dir):
+    """One exact Lloyd iteration from the IVF seed quantizer: broadcast
+    argmin assignment + a single wide centroid-update aggregate
+    (operators/similarity.py::kmeans_step)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        SIM.kmeans_step(emb)
+        .repartition(1)
+        .sortWithinPartitions("cluster", "dim")
+    )
+
+
+def _kmeans_oracle(dim: int = 64) -> str:
+    """Mirrors the assignment CTE of the IVF oracle, then recomputes the
+    codebook from exact integer milli sums."""
+    seed_bucket = _bucket_sql("embedding", SIM.ivf_seed_dims(SIM.IVF_N_LIST))
+    d2 = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "j -> ({a}[j]::DOUBLE - {b}[j]::DOUBLE) * ({a}[j]::DOUBLE - {b}[j]::DOUBLE)))"
+    )
+    return f"""
+WITH wb AS (SELECT vec_id, embedding, ({seed_bucket}) AS sb FROM embeddings),
+seed AS (SELECT sb, min(vec_id) AS scid FROM wb GROUP BY sb),
+cents AS (
+  SELECT w.vec_id AS cid, w.embedding AS cv
+  FROM wb w JOIN seed s ON w.vec_id = s.scid
+),
+dists AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {d2.format(d=dim, a='e.embedding', b='c.cv')} AS d2
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, embedding, cid AS cluster
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2 ASC, cid ASC) AS rn
+    FROM dists
+  )
+  WHERE rn = 1
+),
+m AS (
+  SELECT cluster,
+         unnest(list_transform(embedding,
+                x -> CAST(round(x::DOUBLE * 1000) AS BIGINT))) AS v,
+         generate_subscripts(embedding, 1) AS d
+  FROM assign
+),
+n AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members FROM assign GROUP BY cluster)
+SELECT m.cluster, n.n_members, CAST(m.d - 1 AS INT) AS dim,
+       CAST(sum(m.v) AS BIGINT) AS sum_milli,
+       CAST(round(CAST(sum(m.v) AS DOUBLE) / n.n_members) AS BIGINT)
+         AS centroid_milli
+FROM m JOIN n USING (cluster)
+GROUP BY m.cluster, n.n_members, m.d
+ORDER BY cluster, dim"""
+
+
+def q_text_bigram_novelty(spark, sf_dir):
+    """Per-doc fraction of distinct bigrams first seen in this doc — the
+    template-echo screen (operators/textstats.py::bigram_novelty)."""
+    return _ordered_perdoc(
+        T.bigram_novelty(_docs(spark, sf_dir), key="doc_id")
+        .withColumnRenamed("doc", "doc_id"),
+        "doc_id",
+    )
+
+
+ORACLE_BIGRAM_NOVELTY = f"""
+WITH {_TOK_CTE.lstrip()},
+bg AS (
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term AS bg
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+f AS (SELECT bg, min(doc_id) AS first_doc FROM bg GROUP BY bg)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(round(sum(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END)
+                  * 1000000.0 / count(*)) AS BIGINT) AS novelty_micro
+FROM bg b JOIN f USING (bg)
+GROUP BY b.doc_id
+ORDER BY b.doc_id"""
+
+
 def q_embedding_power_iteration(spark, sf_dir):
     """Dominant principal direction of the embedding matrix — two exact
     integer power-iteration steps, two global aggregates total
@@ -2556,6 +2642,8 @@ DATA_QUERIES = {
     "vocab_coverage": q_vocab_coverage,
     "mix_sources": q_mix_sources,
     "embedding_power_iteration": q_embedding_power_iteration,
+    "embedding_kmeans_step": q_embedding_kmeans_step,
+    "text_bigram_novelty": q_text_bigram_novelty,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_signature": q_dedup_minhash_signature,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2618,6 +2706,8 @@ def data_oracle_sqls() -> dict[str, str]:
         "vocab_coverage": ORACLE_VOCAB_COVERAGE,
         "mix_sources": ORACLE_MIX_SOURCES,
         "embedding_power_iteration": ORACLE_POWER_ITERATION,
+        "embedding_kmeans_step": _kmeans_oracle(),
+        "text_bigram_novelty": ORACLE_BIGRAM_NOVELTY,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_minhash_signature": ORACLE_MINHASH_SIG,
         "dedup_minhash_pairs": ORACLE_MINHASH_PAIRS,
