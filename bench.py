@@ -144,6 +144,9 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "text_bigram_logppl",  # bigram LM, double skew-split join (round 6)
         "text_char_entropy",  # zero-shuffle linear entropy fold (round 6)
         "pack_sequences",  # two-level distributed prefix sum (round 6)
+        "bpe_merges",  # dict-bounded merge rounds, broadcast winners (round 6)
+        "text_bigram_novelty",  # first-seen table + skew-split join (round 6)
+        "embedding_kmeans_step",  # broadcast argmin + one wide agg (round 6)
         "tpch_pricing_summary",
         "tpch_revenue_forecast",  # Q6 pure pushed-down scan baseline (round 6)
         "tpch_waiting_suppliers",  # Q21 via two-level aggregation (round 6)

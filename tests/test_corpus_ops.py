@@ -618,3 +618,47 @@ class TestBigramNovelty:
         }
         assert got == exp
         assert 3 not in got  # single-token doc has no bigrams
+
+
+class TestCooccurrencePmi:
+    def test_matches_python(self, spark):
+        import math
+        from collections import Counter
+
+        from tika_xapian_spark.operators.textstats import cooccurrence_pmi
+
+        texts = [
+            "red apple red apple green pear",
+            "red apple pie and green pear tart",
+            "apple red apple red",
+        ] * 3
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id bigint, text string"
+        )
+        W, MIN = 2, 3
+        pairs: Counter = Counter()
+        uni: Counter = Counter()
+        for t in texts:
+            toks = t.split()
+            uni.update(toks)
+            for i, a in enumerate(toks):
+                for d in range(1, W + 1):
+                    if i + d < len(toks):
+                        b = toks[i + d]
+                        pairs[(min(a, b), max(a, b))] += 1
+        n_p = sum(pairs.values())
+        n_u = sum(uni.values())
+        exp_rows = []
+        for (a, b), c in pairs.items():
+            if c < MIN:
+                continue
+            pmi = math.log2((c / n_p) / ((uni[a] / n_u) * (uni[b] / n_u)))
+            exp_rows.append((f"{a} {b}", c, uni[a], uni[b], round(pmi * 1e6)))
+        exp = sorted(exp_rows, key=lambda r: (-r[4], r[0]))[:5]
+        got = [
+            (r.pair, r.c_ab, r.c_a, r.c_b, r.pmi_micro)
+            for r in cooccurrence_pmi(
+                docs, key="doc_id", window=W, min_count=MIN, top_k=5
+            ).collect()
+        ]
+        assert got == exp

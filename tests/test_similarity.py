@@ -288,3 +288,29 @@ class TestKmeansStep:
         before = total_distortion({cid: cv for cid, cv in cents0})
         after = total_distortion(new_cents)
         assert after <= before * 1.0001  # milli rounding slack
+
+
+class TestQuantizeInt8:
+    def test_matches_numpy(self, clustered):
+        df, rows = clustered
+        out = {r.vec_id: r for r in SIM.quantize_int8(df).collect()}
+        for vid, v in rows[:50]:
+            e = np.asarray([float(np.float32(x)) for x in v], dtype=np.float64)
+            ma = float(np.max(np.abs(e)))
+            codes = np.array(
+                [0 if ma == 0 else int(round(x / ma * 127)) for x in e]
+            )
+            err = float(np.sqrt(((e - codes * ma / 127) ** 2).sum()))
+            r = out[vid]
+            assert r.scale_micro == round(ma / 127 * 1_000_000)
+            assert r.n_saturated == int((np.abs(codes) == 127).sum())
+            assert abs(r.l2_err_micro - round(err * 1_000_000)) <= 1
+        # every vector has at least one saturated code (its maxabs element)
+        assert all(r.n_saturated >= 1 for r in out.values())
+
+    def test_zero_vector(self, spark):
+        df = spark.createDataFrame(
+            [(0, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        r = SIM.quantize_int8(df).collect()[0]
+        assert (r.scale_micro, r.n_saturated, r.l2_err_micro) == (0, 0, 0)

@@ -584,3 +584,48 @@ def kmeans_step(
         .cast("long")
         .alias("centroid_milli"),
     )
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization profile — the memory
+    compression step before a billion-vector ANN index ships (4x smaller
+    than float32, distance math in integers): code_i = round(x_i/maxabs*127),
+    reconstruction x̂_i = code_i*maxabs/127.
+
+    Returns (vec_id, scale_micro, n_saturated, l2_err_micro) — the scale,
+    the saturation count (|code| = 127), and the L2 reconstruction error;
+    the profile a quantization rollout monitors per shard.
+
+    Pure map, zero shuffle. Per-row double folds run left-to-right in
+    array order in both engines, so the micros agree exactly. The maxabs
+    scalar is zipped alongside the elements (array_repeat) rather than
+    referenced inside a lambda body — the HOF re-inlining rule: a pruned
+    projection re-inlines a referenced expression into the lambda and
+    re-evaluates array_max once PER ELEMENT."""
+    staged = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
+    ).select(
+        id_col,
+        "e",
+        F.array_max(F.transform(F.col("e"), F.abs)).alias("ma"),
+    )
+    zipped = staged.select(
+        id_col,
+        "ma",
+        F.zip_with(
+            F.col("e"),
+            F.array_repeat(F.col("ma"), F.size(F.col("e"))),
+            lambda x, m: F.struct(x.alias("x"), m.alias("m")),
+        ).alias("z"),
+    )
+    code = "IF(s.m = 0.0D, 0L, CAST(round(s.x / s.m * 127) AS BIGINT))"
+    err = f"power(s.x - {code} * s.m / 127, 2)"
+    return zipped.selectExpr(
+        id_col,
+        "CAST(round(ma / 127 * 1000000) AS BIGINT) AS scale_micro",
+        f"CAST(size(filter(z, s -> abs({code}) = 127)) AS BIGINT) AS n_saturated",
+        f"CAST(round(sqrt(aggregate(z, 0.0D, (acc, s) -> acc + {err})) * 1000000) AS BIGINT) AS l2_err_micro",
+    )

@@ -901,3 +901,90 @@ def bigram_novelty(
         .cast("long")
         .alias("novelty_micro"),
     )
+
+
+def cooccurrence_pmi(
+    docs: DataFrame,
+    key: str,
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k word-pair PMI over a +-``window`` co-occurrence count — the
+    co-occurrence-matrix construction under count-based embeddings
+    (GloVe/SGNS preprocessing) and the collocation detector for
+    tokenizer-merge candidates:
+
+      pmi(a,b) = log2( (c_ab / N_p) / ((c_a / N_u) * (c_b / N_u)) )
+
+    with c_ab the UNORDERED within-window pair count, c_* unigram counts,
+    N_p / N_u the respective totals. Pure function of integer counts, so
+    the micro rounding agrees engine-to-engine.
+
+    Scale shape: pair extraction is map-side (one zip of shifted slices
+    per offset — lambdas touch only their zipped elements, the HOF rule);
+    ONE corpus-scale shuffle counts pairs (map-side combine, output
+    bounded by realized-pair vocabulary); the two unigram attachments are
+    dict-level joins of post-aggregation tables (vocabulary-bounded on
+    both sides — never corpus rows); totals ride as broadcast 1-row
+    aggregates; the final top-k is a TakeOrderedAndProject on the integer
+    micro score."""
+    staged = _with_tokens(docs, key, text_col).select("doc", "toks")
+    n = F.size(F.col("toks"))
+    per_offset = [
+        F.zip_with(
+            F.slice(F.col("toks"), 1, F.greatest(n - d, F.lit(0))),
+            F.slice(F.col("toks"), 1 + d, F.greatest(n - d, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", F.least(a, b), F.greatest(a, b)),
+        )
+        for d in range(1, window + 1)
+    ]
+    pairs = staged.select(
+        F.explode(F.flatten(F.array(*per_offset))).alias("pair")
+    )
+    pair_counts = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    uni = (
+        docs.select(F.explode(tokens_col(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # consumers: both sides + the total
+    )
+    n_u = F.broadcast(uni.agg(F.sum("c").alias("_nu")))
+    n_p = F.broadcast(
+        pairs.groupBy().agg(F.count(F.lit(1)).alias("_np"))
+    )
+    split = pair_counts.select(
+        "pair",
+        "c_ab",
+        F.split_part(F.col("pair"), F.lit(" "), F.lit(1)).alias("_wa"),
+        F.split_part(F.col("pair"), F.lit(" "), F.lit(2)).alias("_wb"),
+    )
+    joined = (
+        split.join(uni.withColumnRenamed("w", "_wa").withColumnRenamed("c", "c_a"), "_wa")
+        .join(uni.withColumnRenamed("w", "_wb").withColumnRenamed("c", "c_b"), "_wb")
+        .crossJoin(n_u)
+        .crossJoin(n_p)
+    )
+    pmi = F.log2(
+        (F.col("c_ab").cast("double") / F.col("_np"))
+        / (
+            (F.col("c_a").cast("double") / F.col("_nu"))
+            * (F.col("c_b").cast("double") / F.col("_nu"))
+        )
+    )
+    return (
+        joined.select(
+            "pair",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(pmi * 1_000_000).cast("long").alias("pmi_micro"),
+        )
+        .orderBy(F.desc("pmi_micro"), F.asc("pair"))
+        .limit(top_k)
+    )

@@ -2407,6 +2407,79 @@ WHERE sample_hash_micro <
 ORDER BY doc_id"""
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Per-vector int8 quantization profile (scale, saturation count, L2
+    reconstruction error) — zero-shuffle map pass
+    (operators/similarity.py::quantize_int8)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _ordered_perdoc(SIM.quantize_int8(emb), "vec_id")
+
+
+ORACLE_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+),
+m AS (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS ma FROM v
+)
+SELECT vec_id,
+  CAST(round(ma / 127 * 1000000) AS BIGINT) AS scale_micro,
+  CAST(len(list_filter(e, x ->
+    abs(CASE WHEN ma = 0 THEN 0
+             ELSE CAST(round(x / ma * 127) AS BIGINT) END) = 127))
+    AS BIGINT) AS n_saturated,
+  CAST(round(sqrt(list_sum(list_transform(e, x ->
+    power(x - (CASE WHEN ma = 0 THEN 0
+               ELSE CAST(round(x / ma * 127) AS BIGINT) END) * ma / 127, 2))))
+    * 1000000) AS BIGINT) AS l2_err_micro
+FROM m ORDER BY vec_id"""
+
+
+PMI_WINDOW = 3
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+def q_cooccurrence_pmi(spark, sf_dir):
+    """Top-k word-pair PMI over a +-3 window — the co-occurrence-matrix
+    construction under count-based embeddings and collocation detection
+    (operators/textstats.py::cooccurrence_pmi)."""
+    return T.cooccurrence_pmi(
+        _docs(spark, sf_dir),
+        key="doc_id",
+        window=PMI_WINDOW,
+        min_count=PMI_MIN_COUNT,
+        top_k=PMI_TOP_K,
+    )
+
+
+ORACLE_PMI = f"""
+WITH {_TOK_CTE.lstrip()},
+pr AS (
+  SELECT CASE WHEN a.term <= b.term THEN a.term || ' ' || b.term
+              ELSE b.term || ' ' || a.term END AS pair
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + {PMI_WINDOW}
+),
+pc AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS c_ab
+  FROM pr GROUP BY pair HAVING count(*) >= {PMI_MIN_COUNT}
+),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pr),
+uni AS (SELECT term AS w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY term),
+nu AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni)
+SELECT p.pair, p.c_ab, ua.c AS c_a, ub.c AS c_b,
+  CAST(round(log2((p.c_ab::DOUBLE / np.n)
+                  / ((ua.c::DOUBLE / nu.n) * (ub.c::DOUBLE / nu.n)))
+             * 1000000) AS BIGINT) AS pmi_micro
+FROM pc p
+JOIN uni ua ON ua.w = string_split(p.pair, ' ')[1]
+JOIN uni ub ON ub.w = string_split(p.pair, ' ')[2]
+CROSS JOIN np CROSS JOIN nu
+ORDER BY pmi_micro DESC, pair
+LIMIT {PMI_TOP_K}"""
+
+
 def q_embedding_kmeans_step(spark, sf_dir):
     """One exact Lloyd iteration from the IVF seed quantizer: broadcast
     argmin assignment + a single wide centroid-update aggregate
@@ -2643,6 +2716,8 @@ DATA_QUERIES = {
     "mix_sources": q_mix_sources,
     "embedding_power_iteration": q_embedding_power_iteration,
     "embedding_kmeans_step": q_embedding_kmeans_step,
+    "embedding_quantize": q_embedding_quantize,
+    "cooccurrence_pmi": q_cooccurrence_pmi,
     "text_bigram_novelty": q_text_bigram_novelty,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_signature": q_dedup_minhash_signature,
@@ -2707,6 +2782,8 @@ def data_oracle_sqls() -> dict[str, str]:
         "mix_sources": ORACLE_MIX_SOURCES,
         "embedding_power_iteration": ORACLE_POWER_ITERATION,
         "embedding_kmeans_step": _kmeans_oracle(),
+        "embedding_quantize": ORACLE_QUANTIZE,
+        "cooccurrence_pmi": ORACLE_PMI,
         "text_bigram_novelty": ORACLE_BIGRAM_NOVELTY,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_minhash_signature": ORACLE_MINHASH_SIG,
