@@ -135,6 +135,48 @@ class TestHostProfile:
         assert len(tracker.getJobIdsForGroup(None)) == before
 
 
+class TestLatestSnapshot:
+    def test_newest_ts_then_highest_id_wins(self, spark):
+        rows = [
+            # same canonical url crawled three times
+            (1, "https://example.com/a?utm_source=x", 100),
+            (2, "https://example.com/a", 300),
+            (3, "https://example.com/a#frag", 200),
+            # ts tie inside a group -> highest id wins
+            (4, "http://other.com/b", 50),
+            (5, "HTTP://WWW.other.com:80/b", 50),
+            # singleton
+            (6, "https://unique.com/c", 7),
+        ]
+        pages = spark.createDataFrame(rows, "id long, url string, ts long")
+        out = {
+            r["canonical_url"]: r
+            for r in W.latest_snapshot(pages, "url", "ts", "id").collect()
+        }
+        a = out["https://example.com/a"]
+        assert (a["n_snapshots"], a["kept_id"], a["kept_ts"]) == (3, 2, 300)
+        b = out["http://other.com/b"]
+        assert (b["n_snapshots"], b["kept_id"], b["kept_ts"]) == (2, 5, 50)
+        c = out["https://unique.com/c"]
+        assert (c["n_snapshots"], c["kept_id"], c["kept_ts"]) == (1, 6, 7)
+
+    def test_single_shuffle_no_window(self, spark):
+        pages = spark.createDataFrame(
+            [(1, "https://a.com/x", 1)], "id long, url string, ts long"
+        )
+        plan = (
+            W.latest_snapshot(pages, "url", "ts", "id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # algebraic max(struct) aggregate: one hash-exchange, map-side
+        # partial combine, and no Window/Sort operator anywhere
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Window" not in plan
+        assert "partial_max" in plan
+
+
 class TestCanonicalFuzz:
     """Idempotence over randomized URL-ish garbage: canonical(canonical(x))
     == canonical(x) for every input — the property that makes re-running

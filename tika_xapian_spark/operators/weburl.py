@@ -193,3 +193,36 @@ def host_blocklist_filter(
         .join(hosts, "host", "left_anti")
     )
     return fast_keep.unionByName(verified_keep)
+
+
+def latest_snapshot(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Latest-crawl-wins snapshot dedup: per CANONICAL url, keep the row
+    with the newest crawl timestamp (ties to the highest id) — the first
+    reduction any multi-snapshot Common-Crawl-style corpus applies before
+    content processing (the same url is fetched in many monthly crawls;
+    training on all of them is pure duplication).
+
+    Returns (canonical_url, n_snapshots, kept_id, kept_ts): one row per
+    canonical url. ONE shuffle — an algebraic max(struct(ts, id)) +
+    count aggregation on the canonical key; no window, no sort, map-side
+    combine absorbs hot-url skew (a url crawled in every snapshot still
+    reduces partially per partition)."""
+    c = pages.select(
+        canonical_url(url_col).alias("canonical_url"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+    )
+    return c.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_snapshots"),
+        F.max(F.struct(F.col("_ts"), F.col("_id"))).alias("_best"),
+    ).select(
+        "canonical_url",
+        "n_snapshots",
+        F.col("_best._id").alias("kept_id"),
+        F.col("_best._ts").alias("kept_ts"),
+    )

@@ -1915,6 +1915,46 @@ GROUP BY host, tot.n
 ORDER BY n_pages DESC, host"""
 
 
+def q_url_latest_snapshot(spark, sf_dir):
+    """Latest-crawl-wins snapshot dedup: one row per CANONICAL url keeping
+    the newest (warc_ts, id) snapshot (operators/weburl.py). Crawl
+    timestamps are synthesized deterministically from doc_id so several
+    doc_ids share a canonical url at different crawl times."""
+    from ..operators import weburl as W
+
+    pages = _synth_urls(spark, sf_dir).withColumn(
+        "warc_ts",
+        F.expr(
+            "timestampadd(HOUR, int(doc_id % 264),"
+            " timestamp_ntz'2024-01-01 00:00:00')"
+        ),
+    )
+    return (
+        W.latest_snapshot(pages, "url", "warc_ts", "doc_id")
+        .orderBy("canonical_url")
+    )
+
+
+ORACLE_URL_LATEST = f"""
+WITH {_URL_SYNTH_SQL.strip()},
+snaps AS (
+  SELECT canonical_url, doc_id,
+         TIMESTAMP '2024-01-01' + INTERVAL ((doc_id % 264)) HOUR AS warc_ts
+  FROM urls
+),
+ranked AS (
+  SELECT canonical_url, doc_id, warc_ts,
+         row_number() OVER (PARTITION BY canonical_url
+                            ORDER BY warc_ts DESC, doc_id DESC) AS rn,
+         count(*) OVER (PARTITION BY canonical_url) AS n
+  FROM snaps
+)
+SELECT canonical_url, n::BIGINT AS n_snapshots,
+       doc_id AS kept_id, warc_ts AS kept_ts
+FROM ranked WHERE rn = 1
+ORDER BY canonical_url"""
+
+
 # --------------------------------------------------------------- PII scrub
 # documents carries no PII (fixed lowercase vocab), so the driver query
 # appends deterministic PII from doc_id arithmetic — one email always, a
@@ -2745,6 +2785,7 @@ DATA_QUERIES = {
     "curate_corpus_gopher": q_curate_corpus_gopher,
     "url_dedup": q_url_dedup,
     "url_host_profile": q_url_host_profile,
+    "url_latest_snapshot": q_url_latest_snapshot,
     "dedup_substring_spans": q_dedup_substring_spans,
     "text_unigram_logppl": q_text_unigram_logppl,
     "token_count": q_token_count,
@@ -2811,6 +2852,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "curate_corpus_gopher": _curate_gopher_oracle(),
         "url_dedup": ORACLE_URL_DEDUP,
         "url_host_profile": ORACLE_URL_HOSTS,
+        "url_latest_snapshot": ORACLE_URL_LATEST,
         "dedup_substring_spans": ORACLE_SUBSTR_SPANS,
         "text_unigram_logppl": ORACLE_UNIGRAM_LOGPPL,
         "token_count": ORACLE_TOKEN_COUNT,
