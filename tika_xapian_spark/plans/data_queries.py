@@ -1955,6 +1955,143 @@ FROM ranked WHERE rn = 1
 ORDER BY canonical_url"""
 
 
+# ------------------------------------------------------------ link graph
+# documents carries no link table, so the driver queries synthesize a
+# deterministic host-level web graph from doc_id arithmetic (one out-link
+# per doc, from the doc's own source-host to a doc_id-derived host) and a
+# page-level anchor table (anchor = the doc's first word; docs with even
+# id emit a second link with the second word). Both engines derive the
+# graph from the same arithmetic, so a graph-construction bug cannot
+# cancel against the oracle.
+
+
+def _synth_edges(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        F.concat("source", F.lit(".example.com")).alias("src"),
+        F.concat(
+            F.lit("src"),
+            ((F.col("doc_id") * 7 + 3) % 20).cast("string"),
+            F.lit(".example.com"),
+        ).alias("dst"),
+        F.lit(1).alias("w"),
+    )
+
+
+_EDGE_SYNTH_SQL = """
+e AS (
+  SELECT src, dst, count(*)::BIGINT AS w FROM (
+    SELECT source || '.example.com' AS src,
+           'src' || ((doc_id * 7 + 3) % 20) || '.example.com' AS dst
+    FROM documents
+  ) GROUP BY src, dst
+)"""
+
+
+def q_web_pagerank(spark, sf_dir):
+    """Fixed-5-iteration integer PageRank over the synthesized host graph
+    (operators/linkgraph.py) — scaled-micro floor arithmetic end to end so
+    the ranks are bit-identical across engines and partition orders."""
+    from ..operators import linkgraph as LG
+
+    return (
+        LG.pagerank(_synth_edges(spark, sf_dir), n_iter=5)
+        .orderBy(F.desc("rank_micro"), "host")
+    )
+
+
+def _pagerank_oracle(n_iter: int = 5, damping_pct: int = 85) -> str:
+    """Unrolled CTE chain mirroring linkgraph.pagerank round for round."""
+    base = f"{(100 - damping_pct) * 1_000_000} // (100 * n.n_nodes)"
+    ctes = [
+        _EDGE_SYNTH_SQL.strip(),
+        "nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e)",
+        "outw AS (SELECT src, sum(w) AS out_w FROM e GROUP BY src)",
+        "n AS (SELECT count(*)::BIGINT AS n_nodes FROM nodes)",
+        "r0 AS (SELECT host, CAST(1000000 // n_nodes AS BIGINT)"
+        " AS rank_micro FROM nodes, n)",
+    ]
+    for k in range(1, n_iter + 1):
+        ctes.append(f"""r{k} AS (
+  SELECT nd.host,
+         CAST({base} + {damping_pct} * coalesce(s.c, 0) // 100 AS BIGINT)
+           AS rank_micro
+  FROM nodes nd CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst AS host, sum((r.rank_micro * e.w) // o.out_w) AS c
+    FROM e JOIN r{k - 1} r ON e.src = r.host JOIN outw o ON o.src = e.src
+    GROUP BY e.dst) s ON nd.host = s.host
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT host, rank_micro FROM r{n_iter}"
+        + "\nORDER BY rank_micro DESC, host"
+    )
+
+
+def _synth_links(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    dst = lambda mul, add: F.concat(  # noqa: E731
+        F.lit("https://src"),
+        ((F.col("doc_id") * mul + add) % 20).cast("string"),
+        F.lit(".example.com/p"),
+        ((F.col("doc_id") * 3) % 7).cast("string"),
+    )
+    first = docs.select(
+        F.col("doc_id").alias("src"),
+        dst(13, 1).alias("dst_url"),
+        F.split("text", " ")[0].alias("anchor"),
+    )
+    second = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("src"),
+        dst(5, 2).alias("dst_url"),
+        F.split("text", " ")[1].alias("anchor"),
+    )
+    return first.unionByName(second)
+
+
+_LINK_SYNTH_SQL = """
+links AS (
+  SELECT doc_id AS src,
+         'https://src' || ((doc_id * 13 + 1) % 20) || '.example.com/p'
+           || ((doc_id * 3) % 7) AS dst_url,
+         split_part(text, ' ', 1) AS anchor
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         'https://src' || ((doc_id * 5 + 2) % 20) || '.example.com/p'
+           || ((doc_id * 3) % 7),
+         split_part(text, ' ', 2)
+  FROM documents WHERE doc_id % 2 = 0
+)"""
+
+
+def q_web_anchor_profile(spark, sf_dir):
+    """Per-target anchor-text rollup over the synthesized link table
+    (operators/linkgraph.py): in-link count, distinct anchors, top anchor
+    (ties -> lexicographically greatest, struct-max rule)."""
+    from ..operators import linkgraph as LG
+
+    return (
+        LG.anchor_profile(_synth_links(spark, sf_dir))
+        .orderBy(F.desc("n_links"), "dst_url")
+    )
+
+
+ORACLE_ANCHOR_PROFILE = f"""
+WITH {_LINK_SYNTH_SQL.strip()},
+per_anchor AS (
+  SELECT dst_url, anchor, count(*)::BIGINT AS cnt
+  FROM links GROUP BY dst_url, anchor
+)
+SELECT dst_url, sum(cnt)::BIGINT AS n_links, count(*)::BIGINT AS n_anchors,
+       max({{'cnt': cnt, 'anchor': anchor}})['anchor'] AS top_anchor,
+       max({{'cnt': cnt, 'anchor': anchor}})['cnt'] AS top_anchor_links
+FROM per_anchor
+GROUP BY dst_url
+ORDER BY n_links DESC, dst_url"""
+
+
 # --------------------------------------------------------------- PII scrub
 # documents carries no PII (fixed lowercase vocab), so the driver query
 # appends deterministic PII from doc_id arithmetic — one email always, a
@@ -2786,6 +2923,8 @@ DATA_QUERIES = {
     "url_dedup": q_url_dedup,
     "url_host_profile": q_url_host_profile,
     "url_latest_snapshot": q_url_latest_snapshot,
+    "web_pagerank": q_web_pagerank,
+    "web_anchor_profile": q_web_anchor_profile,
     "dedup_substring_spans": q_dedup_substring_spans,
     "text_unigram_logppl": q_text_unigram_logppl,
     "token_count": q_token_count,
@@ -2853,6 +2992,8 @@ def data_oracle_sqls() -> dict[str, str]:
         "url_dedup": ORACLE_URL_DEDUP,
         "url_host_profile": ORACLE_URL_HOSTS,
         "url_latest_snapshot": ORACLE_URL_LATEST,
+        "web_pagerank": _pagerank_oracle(),
+        "web_anchor_profile": ORACLE_ANCHOR_PROFILE,
         "dedup_substring_spans": ORACLE_SUBSTR_SPANS,
         "text_unigram_logppl": ORACLE_UNIGRAM_LOGPPL,
         "token_count": ORACLE_TOKEN_COUNT,
