@@ -2078,6 +2078,55 @@ def q_web_anchor_profile(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------- NFC normalization
+# documents text is pure ASCII, so the driver query appends deterministic
+# decomposed/singleton sequences from doc_id arithmetic (combining acute,
+# combining ring, OHM SIGN singleton, and an fi-ligature that NFC must NOT
+# touch); the oracle re-derives the same augmented text and normalizes it
+# with DuckDB's utf8proc — an independent implementation of the same
+# Unicode standard as Python's unicodedata, so bugs cannot cancel.
+
+
+def _synth_unicode(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        # explicit escapes: combining acute / combining ring (DECOMPOSED),
+        # OHM SIGN singleton, fi-ligature (NFC-invariant control case)
+        F.when(did % 2 == 0, F.lit(" e\u0301test")).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit(" A\u030a")).otherwise(F.lit("")),
+        F.when(did % 5 == 2, F.lit(" \u2126")).otherwise(F.lit("")),
+        F.when(did % 7 == 1, F.lit(" fi \ufb01")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", aug.alias("text"))
+
+
+def q_text_nfc_profile(spark, sf_dir):
+    """NFC normalization profile over decomposed-unicode-augmented docs
+    (operators/unicode_norm.py) — Arrow-batched map-only pass."""
+    from ..operators.unicode_norm import nfc_profile
+
+    return nfc_profile(_synth_unicode(spark, sf_dir)).orderBy("doc_id")
+
+
+ORACLE_NFC_PROFILE = """
+WITH aug AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 2 = 0 THEN ' e' || chr(769) || 'test' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN ' A' || chr(778) ELSE '' END
+    || CASE WHEN doc_id % 5 = 2 THEN ' ' || chr(8486) ELSE '' END
+    || CASE WHEN doc_id % 7 = 1 THEN ' fi ' || chr(64257) ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(nfc_normalize(t) <> t AS INT) AS changed,
+       length(t)::BIGINT AS chars_before,
+       length(nfc_normalize(t))::BIGINT AS chars_after,
+       nfc_normalize(t) AS norm_text
+FROM aug ORDER BY doc_id"""
+
+
 ORACLE_ANCHOR_PROFILE = f"""
 WITH {_LINK_SYNTH_SQL.strip()},
 per_anchor AS (
@@ -2925,6 +2974,7 @@ DATA_QUERIES = {
     "url_latest_snapshot": q_url_latest_snapshot,
     "web_pagerank": q_web_pagerank,
     "web_anchor_profile": q_web_anchor_profile,
+    "text_nfc_profile": q_text_nfc_profile,
     "dedup_substring_spans": q_dedup_substring_spans,
     "text_unigram_logppl": q_text_unigram_logppl,
     "token_count": q_token_count,
@@ -2994,6 +3044,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "url_latest_snapshot": ORACLE_URL_LATEST,
         "web_pagerank": _pagerank_oracle(),
         "web_anchor_profile": ORACLE_ANCHOR_PROFILE,
+        "text_nfc_profile": ORACLE_NFC_PROFILE,
         "dedup_substring_spans": ORACLE_SUBSTR_SPANS,
         "text_unigram_logppl": ORACLE_UNIGRAM_LOGPPL,
         "token_count": ORACLE_TOKEN_COUNT,
