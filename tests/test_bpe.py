@@ -84,3 +84,52 @@ def test_n_merges_validation(spark):
     docs = spark.createDataFrame([(0, "ab")], "doc_id bigint, text string")
     with pytest.raises(ValueError):
         bpe_merges(docs, "doc_id", n_merges=0)
+
+
+def ref_encode_lens(word_counts: dict[str, int], k: int) -> dict[str, int]:
+    """word -> n_subwords after applying ref_bpe's first k merges."""
+    merges = [(l, r) for l, r, _ in ref_bpe(word_counts, k)]
+    out = {}
+    for w in word_counts:
+        syms = list(w)
+        for l, r in merges:
+            nxt, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (l, r):
+                    nxt.append(l + r)
+                    i += 2
+                else:
+                    nxt.append(syms[i])
+                    i += 1
+            syms = nxt
+        out[w] = len(syms)
+    return out
+
+
+@pytest.mark.parametrize("wc", CORPORA, ids=["classic", "ties", "chains"])
+def test_encode_matches_python_reference(spark, wc):
+    from tika_xapian_spark.operators.bpe import bpe_encode
+
+    docs = _docs_from_counts(spark, wc)
+    # each synthetic doc is exactly one word -> per-doc n_bpe_tokens is
+    # that word's subword length under the first-5-merges tokenizer
+    text_of = {r["doc_id"]: r["text"] for r in docs.collect()}
+    exp_len = ref_encode_lens(wc, 5)
+    for r in bpe_encode(docs, "doc_id", n_merges=5).collect():
+        w = text_of[r["doc"]]
+        assert r["n_words"] == 1
+        assert r["n_bpe_tokens"] == exp_len[w], w
+        assert r["tokens_per_word_micro"] == exp_len[w] * 1_000_000
+
+
+def test_encode_survives_pair_exhaustion(spark):
+    # 2-char vocab runs dry after 1 merge; rounds 2..5 must keep the
+    # dict unchanged instead of null-poisoning the rewrite chain
+    from tika_xapian_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab"), (1, "ab")], "doc_id bigint, text string"
+    )
+    got = {r["doc"]: r for r in bpe_encode(docs, "doc_id", n_merges=5).collect()}
+    assert (got[0]["n_words"], got[0]["n_bpe_tokens"]) == (2, 2)
+    assert (got[1]["n_words"], got[1]["n_bpe_tokens"]) == (1, 1)

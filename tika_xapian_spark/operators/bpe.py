@@ -152,3 +152,79 @@ def bpe_merges(
     # this is exactly "stop when dry".
     out = out.filter(F.col("lhs").isNotNull())
     return out.repartition(1).sortWithinPartitions("merge_rank")
+
+
+def bpe_encode(
+    docs: DataFrame,
+    key: str,
+    text_col: str = "text",
+    n_merges: int = N_MERGES,
+) -> DataFrame:
+    """(doc, n_words, n_bpe_tokens, tokens_per_word_micro): encode the
+    corpus with its own first-``n_merges``-rules BPE tokenizer and report
+    the per-document subword token count — the number every packing /
+    cost / context-length decision downstream actually consumes.
+
+    Scale shape — the corpus is touched exactly twice, both times with
+    vocabulary-bounded join sides:
+
+    * merges are trained AND applied on the word-frequency dict (one
+      corpus word-count shuffle; every merge round is dict-sized work,
+      the ``word`` column rides through the rewrite chain so the final
+      dict doubles as the word → n_subwords lookup);
+    * per-doc counts come from the map-side RLE (doc, token, tf) table
+      joined to that lookup through the hot/cold skew split (stop words
+      carry their subword counts via bounded broadcast, the tail
+      shuffles with no hot key left) — never an occurrence-level join.
+
+    A merge round past pair exhaustion yields a NULL winner; the rewrite
+    keeps the dict unchanged in that case (encode-side equivalent of
+    training's "stop when dry")."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    from .skewjoin import skew_safe_count_join
+    from .textstats import doc_term_tf
+
+    wf = word_freq_dict(docs, key, text_col)
+    d = wf.select(
+        F.col("word").alias("token"), _encode("word").alias("s"), "cnt"
+    ).localCheckpoint(eager=False)
+    for _ in range(n_merges):
+        best = _best_pair(_pair_counts(d.select("s", "cnt")))
+        d = (
+            d.crossJoin(F.broadcast(best))
+            .select(
+                "token",
+                F.when(F.col("l").isNull(), F.col("s"))
+                .otherwise(
+                    F.replace(
+                        F.col("s"),
+                        F.concat(F.lit("|"), F.col("l"), F.lit("||"),
+                                 F.col("r"), F.lit("|")),
+                        F.concat(F.lit("|"), F.col("l"), F.col("r"),
+                                 F.lit("|")),
+                    )
+                )
+                .alias("s"),
+                "cnt",
+            )
+            .localCheckpoint(eager=False)
+        )
+    vocab = d.select(
+        "token",
+        F.expr(r"size(split(trim(BOTH '|' FROM s), '\\|\\|'))")
+        .cast("long").alias("n_sub"),
+        "cnt",
+    )
+    tf = doc_term_tf(docs, key, text_col)
+    joined = skew_safe_count_join(tf, "token", vocab, "cnt")
+    return (
+        joined.groupBy("doc")
+        .agg(
+            F.sum("tf").alias("n_words"),
+            F.expr("CAST(sum(tf * n_sub) AS BIGINT)").alias("n_bpe_tokens"),
+            F.expr(
+                "CAST(sum(tf * n_sub) * 1000000 div sum(tf) AS BIGINT)"
+            ).alias("tokens_per_word_micro"),
+        )
+    )

@@ -2896,6 +2896,67 @@ def q_bpe_merges(spark, sf_dir):
     return B.bpe_merges(_docs(spark, sf_dir), key="doc_id", n_merges=B.N_MERGES)
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Encode the corpus with its own trained BPE merges and report
+    per-doc subword counts (operators/bpe.py::bpe_encode) — the word dict
+    doubles as the word -> n_subwords lookup, joined back through the
+    hot/cold skew split."""
+    return _ordered_perdoc(
+        B.bpe_encode(_docs(spark, sf_dir), key="doc_id",
+                     n_merges=B.N_MERGES),
+        "doc",
+    )
+
+
+def _bpe_encode_oracle(n_merges: int = B.N_MERGES) -> str:
+    """Mirror of bpe_encode: the training chain with the word carried
+    through every rewrite (wfw1..wfw{n+1}), then an occurrence-level join
+    (fine at oracle scale) and the same integer floor arithmetic."""
+    ctes = [
+        """toks AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents
+  ) WHERE w <> ''
+)""",
+        """wfw1 AS (
+  SELECT w, '||' || array_to_string(string_split(w, ''), '||') || '||' AS s,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY w
+)""",
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(f"""pr{r} AS (
+  SELECT list_extract(t.syms, u.i) AS l, list_extract(t.syms, u.i + 1) AS r,
+         CAST(sum(t.cnt) AS BIGINT) AS pc
+  FROM (SELECT string_split(trim(s, '|'), '||') AS syms, cnt FROM wfw{r}) t,
+       unnest(range(1, len(t.syms))) AS u(i)
+  GROUP BY 1, 2
+)""")
+        ctes.append(
+            f"best{r} AS (SELECT l, r, pc FROM pr{r} ORDER BY pc DESC, l, r LIMIT 1)"
+        )
+        ctes.append(f"""wfw{r + 1} AS (
+  SELECT t.w, replace(t.s, '|' || b.l || '||' || b.r || '|',
+                 '|' || b.l || b.r || '|') AS s, t.cnt AS cnt
+  FROM wfw{r} t, best{r} b
+)""")
+    ctes.append(f"""vocab AS (
+  SELECT w, CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) AS n_sub
+  FROM wfw{n_merges + 1}
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT t.doc_id AS doc, count(*)::BIGINT AS n_words,
+       CAST(sum(v.n_sub) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(v.n_sub) * 1000000 // count(*) AS BIGINT)
+         AS tokens_per_word_micro
+FROM toks t JOIN vocab v USING (w)
+GROUP BY t.doc_id ORDER BY doc"""
+    )
+
+
 def _bpe_oracle(n_merges: int = B.N_MERGES) -> str:
     """Chained-CTE mirror of the merge loop: per round, pair counts from
     the double-pipe symbol strings, deterministic argmax (count desc, pair
@@ -2938,6 +2999,7 @@ def _bpe_oracle(n_merges: int = B.N_MERGES) -> str:
 
 DATA_QUERIES = {
     "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
     "vocab_coverage": q_vocab_coverage,
     "mix_sources": q_mix_sources,
     "embedding_power_iteration": q_embedding_power_iteration,
@@ -3008,6 +3070,7 @@ DATA_QUERIES = {
 def data_oracle_sqls() -> dict[str, str]:
     return {
         "bpe_merges": _bpe_oracle(),
+        "bpe_encode": _bpe_encode_oracle(),
         "vocab_coverage": ORACLE_VOCAB_COVERAGE,
         "mix_sources": ORACLE_MIX_SOURCES,
         "embedding_power_iteration": ORACLE_POWER_ITERATION,
