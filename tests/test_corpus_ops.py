@@ -469,6 +469,73 @@ class TestBalanceStrata:
         assert a == b
 
 
+class TestCapPerGroup:
+    def _pages(self, spark):
+        # one giant host (the skew case the salting exists for) + smalls
+        rows = [(i, "giant.com") for i in range(60)]
+        rows += [(100 + i, "small.org") for i in range(3)]
+        rows += [(200, "lone.net")]
+        return spark.createDataFrame(rows, "doc_id bigint, host string")
+
+    def test_matches_single_window_reference(self, spark):
+        from pyspark.sql import Window
+
+        from tika_xapian_spark.operators.sampling import (
+            cap_per_group,
+            sample_hash_micro,
+        )
+
+        pages = self._pages(spark)
+        k = 5
+        got = sorted(
+            map(tuple, cap_per_group(pages, "doc_id", "host", k=k).collect())
+        )
+        # reference: ONE plain window, rank clamped to the k+1 sentinel
+        w = Window.partitionBy("host").orderBy("_h", "doc_id")
+        ref = sorted(
+            map(
+                tuple,
+                pages.select(
+                    "doc_id", "host",
+                    sample_hash_micro("doc_id", "cap").alias("_h"),
+                )
+                .select(
+                    "doc_id", "host",
+                    F.least(F.row_number().over(w), F.lit(k + 1))
+                    .cast("int").alias("rnk"),
+                )
+                .select(
+                    "doc_id", "host", "rnk",
+                    F.when(F.col("rnk") <= k, F.lit(1)).otherwise(F.lit(0))
+                    .alias("kept"),
+                )
+                .collect(),
+            )
+        )
+        assert got == ref
+
+    def test_kept_counts_and_sentinel(self, spark):
+        from tika_xapian_spark.operators.sampling import cap_per_group
+
+        out = cap_per_group(self._pages(spark), "doc_id", "host", k=5)
+        per = {
+            r["grp"]: (r["n_kept"], r["n_cut"])
+            for r in out.groupBy("grp").agg(
+                F.sum("kept").alias("n_kept"),
+                F.sum(F.when(F.col("rnk") == 6, 1).otherwise(0)).alias("n_cut"),
+            ).collect()
+        }
+        assert per["giant.com"] == (5, 55)   # cap bites, rest at sentinel
+        assert per["small.org"] == (3, 0)    # under the cap: all kept
+        assert per["lone.net"] == (1, 0)
+
+    def test_k_validated(self, spark):
+        from tika_xapian_spark.operators.sampling import cap_per_group
+
+        with pytest.raises(ValueError):
+            cap_per_group(self._pages(spark), "doc_id", "host", k=0)
+
+
 class TestVocabCoverage:
     def test_curve_matches_python(self, spark):
         from collections import Counter

@@ -97,6 +97,80 @@ def group_holdout_split(
     )
 
 
+def cap_per_group(
+    docs: DataFrame,
+    key: str,
+    group_col: str,
+    k: int,
+    seed: str = "cap",
+    n_salt: int = 4,
+) -> DataFrame:
+    """Domain-balancing cap: keep at most ``k`` rows per group (host,
+    domain, source), picked deterministically as the ``k`` SMALLEST
+    hash-draws — membership is a pure function of (key, seed, k), so the
+    cap is uniform-at-random yet replayable, and adding new docs to a
+    host can only evict hash-larger ones (stable under incremental
+    crawls). This is the "no single domain dominates the corpus" rule
+    every web-scale curation recipe applies after url dedup.
+
+    Returns one row per input row: (key, group, rnk, kept).
+
+    Skew shape — a single giant host is exactly the row that breaks a
+    naive ``row_number() OVER (PARTITION BY host)`` (one reducer gets the
+    whole host). Exact two-level selection instead:
+
+    1. rank within (group, SALT) — ``n_salt`` reducers share a hot
+       group; every salt keeps its local top-k, a GUARANTEED superset of
+       the global top-k (any global winner is in some salt's local
+       top-k);
+    2. re-rank the ≤ n_salt·k survivors per group — bounded rows, the
+       second window cannot be hot by construction.
+
+    Non-survivors of stage 1 are ranked k+1 ("cut", beyond the cap) —
+    their exact order past the cap is not meaningful and not computed
+    (that is what makes the shape scale); ties inside the cap break by
+    hash then key in BOTH stages, so the kept set is exact and total.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    h = sample_hash_micro(key, seed)
+    base = docs.select(
+        F.col(key).alias("key"),
+        F.col(group_col).alias("grp"),
+        h.alias("_h"),
+        F.pmod(F.crc32(F.col(key).cast("string")), F.lit(n_salt)).alias("_salt"),
+    )
+    w_local = Window.partitionBy("grp", "_salt").orderBy("_h", "key")
+    survivors = (
+        base.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr", "_salt")
+    )
+    w_global = Window.partitionBy("grp").orderBy("_h", "key")
+    # Survivor-pool ranks 1..k equal the TRUE global ranks (the pool is a
+    # superset of the true top-k under the same total order); every rank
+    # past the cap is reported as the sentinel k+1 — a stage-1 casualty's
+    # pool rank would NOT be its true rank, so the contract clamps both.
+    ranked = survivors.withColumn(
+        "rnk", F.least(F.row_number().over(w_global), F.lit(k + 1))
+    )
+    cut = base.join(
+        survivors.select("key"), "key", "left_anti"
+    ).select("key", "grp", F.lit(k + 1).alias("rnk"))
+    return (
+        ranked.select("key", "grp", F.col("rnk").cast("int").alias("rnk"))
+        .unionByName(cut.select("key", "grp", F.col("rnk").cast("int")))
+        .select(
+            "key",
+            "grp",
+            "rnk",
+            F.when(F.col("rnk") <= k, F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+        )
+    )
+
+
 def balance_strata(
     docs: DataFrame, key: str, strata_col: str, seed: str = "mix"
 ) -> DataFrame:

@@ -2078,6 +2078,49 @@ def q_web_anchor_profile(spark, sf_dir):
     )
 
 
+def q_cap_per_host(spark, sf_dir):
+    """Domain-balancing cap (keep <= 7 docs per host, deterministic
+    hash-ranked pick) over the synthesized crawl urls
+    (operators/sampling.py::cap_per_group) — exact two-level salted
+    top-k, no single-reducer host window. The oracle derives hosts
+    STRUCTURALLY and ranks with one plain window (correct at oracle
+    scale), so a bug in either the host parse or the salted selection
+    cannot cancel."""
+    from ..operators import weburl as W
+    from ..operators.sampling import cap_per_group
+
+    pages = _synth_urls(spark, sf_dir).select(
+        "doc_id", W.host_of("url").alias("host")
+    )
+    return _ordered_perdoc(
+        cap_per_group(pages, "doc_id", "host", k=7).select(
+            F.col("key").alias("doc_id"), F.col("grp").alias("host"),
+            "rnk", "kept",
+        ),
+        "doc_id",
+    )
+
+
+ORACLE_CAP_PER_HOST = """
+WITH h AS (
+  SELECT doc_id, source || '.example.com' AS host FROM documents
+),
+r AS (
+  SELECT doc_id, host,
+         ('0x' || substr(md5('cap:' || doc_id), 1, 15))::BIGINT % 1000000
+           AS hm,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY ('0x' || substr(md5('cap:' || doc_id),
+                                      1, 15))::BIGINT % 1000000, doc_id)
+           AS trn
+  FROM h
+)
+SELECT doc_id, host,
+       CAST(least(trn, 8) AS INT) AS rnk,
+       CAST(CASE WHEN trn <= 7 THEN 1 ELSE 0 END AS INT) AS kept
+FROM r ORDER BY doc_id"""
+
+
 # ------------------------------------------------------- NFC normalization
 # documents text is pure ASCII, so the driver query appends deterministic
 # decomposed/singleton sequences from doc_id arithmetic (combining acute,
@@ -3037,6 +3080,7 @@ DATA_QUERIES = {
     "web_pagerank": q_web_pagerank,
     "web_anchor_profile": q_web_anchor_profile,
     "text_nfc_profile": q_text_nfc_profile,
+    "cap_per_host": q_cap_per_host,
     "dedup_substring_spans": q_dedup_substring_spans,
     "text_unigram_logppl": q_text_unigram_logppl,
     "token_count": q_token_count,
@@ -3108,6 +3152,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "web_pagerank": _pagerank_oracle(),
         "web_anchor_profile": ORACLE_ANCHOR_PROFILE,
         "text_nfc_profile": ORACLE_NFC_PROFILE,
+        "cap_per_host": ORACLE_CAP_PER_HOST,
         "dedup_substring_spans": ORACLE_SUBSTR_SPANS,
         "text_unigram_logppl": ORACLE_UNIGRAM_LOGPPL,
         "token_count": ORACLE_TOKEN_COUNT,
