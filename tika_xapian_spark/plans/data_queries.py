@@ -2121,6 +2121,45 @@ SELECT doc_id, host,
 FROM r ORDER BY doc_id"""
 
 
+def q_shard_rebalance_profile(spark, sf_dir):
+    """Rendezvous-hash shard manifest at 8 -> 9 shards: per-shard doc
+    count and rows-leaving count (operators/sharding.py). Map-side argmax
+    over per-shard draws; one rollup shuffle."""
+    from ..operators.sharding import shard_assignment
+
+    return (
+        shard_assignment(_docs(spark, sf_dir), "doc_id", n_shards=8)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("moved").cast("bigint").alias("n_moved"),
+        )
+        .orderBy("shard")
+    )
+
+
+ORACLE_SHARD_REBALANCE = """
+WITH h8 AS (
+  SELECT doc_id,
+         max({'h': ('0x' || substr(md5('shard:' || sh || ':' || doc_id),
+                    1, 15))::BIGINT, 's': sh})['s'] AS shard
+  FROM documents, (SELECT unnest(range(8)) AS sh)
+  GROUP BY doc_id
+),
+h9 AS (
+  SELECT doc_id,
+         max({'h': ('0x' || substr(md5('shard:' || sh || ':' || doc_id),
+                    1, 15))::BIGINT, 's': sh})['s'] AS shard_next
+  FROM documents, (SELECT unnest(range(9)) AS sh)
+  GROUP BY doc_id
+)
+SELECT CAST(h8.shard AS INT) AS shard, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN h8.shard <> h9.shard_next THEN 1 ELSE 0 END)::BIGINT
+         AS n_moved
+FROM h8 JOIN h9 USING (doc_id)
+GROUP BY h8.shard ORDER BY shard"""
+
+
 # ------------------------------------------------------- NFC normalization
 # documents text is pure ASCII, so the driver query appends deterministic
 # decomposed/singleton sequences from doc_id arithmetic (combining acute,
@@ -3081,6 +3120,7 @@ DATA_QUERIES = {
     "web_anchor_profile": q_web_anchor_profile,
     "text_nfc_profile": q_text_nfc_profile,
     "cap_per_host": q_cap_per_host,
+    "shard_rebalance_profile": q_shard_rebalance_profile,
     "dedup_substring_spans": q_dedup_substring_spans,
     "text_unigram_logppl": q_text_unigram_logppl,
     "token_count": q_token_count,
@@ -3153,6 +3193,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "web_anchor_profile": ORACLE_ANCHOR_PROFILE,
         "text_nfc_profile": ORACLE_NFC_PROFILE,
         "cap_per_host": ORACLE_CAP_PER_HOST,
+        "shard_rebalance_profile": ORACLE_SHARD_REBALANCE,
         "dedup_substring_spans": ORACLE_SUBSTR_SPANS,
         "text_unigram_logppl": ORACLE_UNIGRAM_LOGPPL,
         "token_count": ORACLE_TOKEN_COUNT,
