@@ -536,6 +536,42 @@ class TestCapPerGroup:
             cap_per_group(self._pages(spark), "doc_id", "host", k=0)
 
 
+class TestTokenBudget:
+    def _docs(self, spark):
+        rows = [
+            (0, "a b c d e", "s1"),      # 5 tokens
+            (1, "a b c", "s2"),          # 3
+            (2, "a b", "s3"),            # 2
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+    def test_quotas_sum_exactly_to_budget(self, spark):
+        from tika_xapian_spark.operators.sampling import token_budget_allocation
+
+        out = token_budget_allocation(self._docs(spark), "source", budget=10).collect()
+        got = {r["stratum"]: r for r in out}
+        # shares 5,3,2 of 10 over N=10 divide evenly: no remainders
+        assert {s: r["quota"] for s, r in got.items()} == {"s1": 5, "s2": 3, "s3": 2}
+        assert all(r["extra"] == 0 for r in out)
+
+    def test_largest_remainder_assignment(self, spark):
+        from tika_xapian_spark.operators.sampling import token_budget_allocation
+
+        # budget 7 over shares 5/3/2 (N=10): bases 3,2,1 (sum 6), rems
+        # 5,1,4 -> the single leftover goes to s1 (largest remainder)
+        out = {r["stratum"]: r for r in token_budget_allocation(
+            self._docs(spark), "source", budget=7).collect()}
+        assert {s: r["base_quota"] for s, r in out.items()} == {"s1": 3, "s2": 2, "s3": 1}
+        assert {s: r["quota"] for s, r in out.items()} == {"s1": 4, "s2": 2, "s3": 1}
+        assert sum(r["quota"] for r in out.values()) == 7
+
+    def test_budget_validated(self, spark):
+        from tika_xapian_spark.operators.sampling import token_budget_allocation
+
+        with pytest.raises(ValueError):
+            token_budget_allocation(self._docs(spark), "source", budget=-1)
+
+
 class TestVocabCoverage:
     def test_curve_matches_python(self, spark):
         from collections import Counter

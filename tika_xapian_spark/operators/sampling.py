@@ -218,3 +218,76 @@ def balance_strata(
         "rate_micro",
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+def token_budget_allocation(
+    docs: DataFrame,
+    strata_col: str,
+    budget: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Largest-remainder apportionment of a token budget across strata:
+    the data-recipe step that turns "train on B tokens with the corpus's
+    own mixture" into per-source integer quotas that sum EXACTLY to B
+    (floored proportional shares under-allocate by up to |strata|-1
+    tokens; the leftovers go to the largest fractional remainders —
+    Hamilton's method, the standard exact apportionment).
+
+      base_i  = floor(B * n_i / N)
+      rem_i   = (B * n_i) mod N
+      quota_i = base_i + 1 for the (B - sum base) largest rem_i
+                (ties -> stratum name ascending), else base_i
+
+    All integer arithmetic — bit-identical across engines. Shape: the
+    corpus is touched once (map-side per-row token counts into a
+    groupBy(stratum) with partial aggregation); everything after runs on
+    the strata-bounded dict — corpus total and leftover ride as broadcast
+    1-row aggregates, the remainder rank is a window over dict rows.
+
+    Returns (stratum, n_tokens, base_quota, extra, quota).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from pyspark.sql import Window
+
+    from .dedup import tokens_col
+
+    per = (
+        docs.select(
+            F.col(strata_col).alias("stratum"),
+            F.size(tokens_col(text_col)).cast("long").alias("_nt"),
+        )
+        .groupBy("stratum")
+        .agg(F.sum("_nt").alias("n_tokens"))
+        .localCheckpoint(eager=False)  # consumers: total agg + quota calc
+    )
+    total = F.broadcast(per.agg(F.sum("n_tokens").alias("_N")))
+    based = (
+        per.crossJoin(total)
+        .select(
+            "stratum",
+            "n_tokens",
+            F.expr(f"CAST({budget} * n_tokens div _N AS BIGINT)")
+            .alias("base_quota"),
+            F.expr(f"CAST({budget} * n_tokens % _N AS BIGINT)").alias("_rem"),
+        )
+        .localCheckpoint(eager=False)  # consumers: leftover agg + rank
+    )
+    leftover = F.broadcast(
+        based.agg((F.lit(budget) - F.sum("base_quota")).alias("_left"))
+    )
+    w = Window.orderBy(F.desc("_rem"), F.asc("stratum"))
+    return (
+        based.crossJoin(leftover)
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            "stratum",
+            "n_tokens",
+            "base_quota",
+            F.when(F.col("_rk") <= F.col("_left"), F.lit(1))
+            .otherwise(F.lit(0)).cast("int").alias("extra"),
+            (F.col("base_quota")
+             + F.when(F.col("_rk") <= F.col("_left"), F.lit(1))
+             .otherwise(F.lit(0))).cast("bigint").alias("quota"),
+        )
+    )

@@ -2121,6 +2121,40 @@ SELECT doc_id, host,
 FROM r ORDER BY doc_id"""
 
 
+def q_token_budget(spark, sf_dir):
+    """Largest-remainder apportionment of a 9973-token training budget
+    across sources (operators/sampling.py::token_budget_allocation) —
+    quotas sum EXACTLY to the budget; prime budget so remainders bite."""
+    from ..operators.sampling import token_budget_allocation
+
+    return token_budget_allocation(
+        _docs(spark, sf_dir), "source", budget=9973
+    ).orderBy("stratum")
+
+
+ORACLE_TOKEN_BUDGET = """
+WITH t AS (
+  SELECT stratum, count(*)::BIGINT AS n_tokens FROM (
+    SELECT source AS stratum, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY stratum
+),
+n AS (SELECT sum(n_tokens) AS nt FROM t),
+b AS (
+  SELECT stratum, n_tokens,
+         CAST(9973 * n_tokens // n.nt AS BIGINT) AS base_quota,
+         CAST(9973 * n_tokens % n.nt AS BIGINT) AS rem
+  FROM t, n
+),
+l AS (SELECT 9973 - sum(base_quota) AS lft FROM b),
+r AS (SELECT b.*, row_number() OVER (ORDER BY rem DESC, stratum) AS rk FROM b)
+SELECT stratum, n_tokens, base_quota,
+       CAST(CASE WHEN rk <= l.lft THEN 1 ELSE 0 END AS INT) AS extra,
+       CAST(base_quota + CASE WHEN rk <= l.lft THEN 1 ELSE 0 END AS BIGINT)
+         AS quota
+FROM r, l ORDER BY stratum"""
+
+
 def q_shard_rebalance_profile(spark, sf_dir):
     """Rendezvous-hash shard manifest at 8 -> 9 shards: per-shard doc
     count and rows-leaving count (operators/sharding.py). Map-side argmax
@@ -3121,6 +3155,7 @@ DATA_QUERIES = {
     "text_nfc_profile": q_text_nfc_profile,
     "cap_per_host": q_cap_per_host,
     "shard_rebalance_profile": q_shard_rebalance_profile,
+    "token_budget": q_token_budget,
     "dedup_substring_spans": q_dedup_substring_spans,
     "text_unigram_logppl": q_text_unigram_logppl,
     "token_count": q_token_count,
@@ -3194,6 +3229,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "text_nfc_profile": ORACLE_NFC_PROFILE,
         "cap_per_host": ORACLE_CAP_PER_HOST,
         "shard_rebalance_profile": ORACLE_SHARD_REBALANCE,
+        "token_budget": ORACLE_TOKEN_BUDGET,
         "dedup_substring_spans": ORACLE_SUBSTR_SPANS,
         "text_unigram_logppl": ORACLE_UNIGRAM_LOGPPL,
         "token_count": ORACLE_TOKEN_COUNT,
