@@ -145,6 +145,9 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "text_char_entropy",  # zero-shuffle linear entropy fold (round 6)
         "pack_sequences",  # two-level distributed prefix sum (round 6)
         "bpe_merges",  # dict-bounded merge rounds, broadcast winners (round 6)
+        "bpe_encode",  # trained merges applied via dict lookup + skew join (round 6)
+        "web_pagerank",  # 5 integer rank rounds, per-round checkpoint (round 6)
+        "cap_per_host",  # exact two-level salted top-k per host (round 6)
         "text_bigram_novelty",  # first-seen table + skew-split join (round 6)
         "embedding_kmeans_step",  # broadcast argmin + one wide agg (round 6)
         "tpch_pricing_summary",

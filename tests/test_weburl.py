@@ -177,6 +177,34 @@ class TestLatestSnapshot:
         assert "partial_max" in plan
 
 
+class TestSnapshotDelta:
+    def test_all_four_statuses(self, spark):
+        old = spark.createDataFrame(
+            [("u1", "same"), ("u2", "before"), ("u3", "dropped")],
+            "url string, text string",
+        )
+        new = spark.createDataFrame(
+            [("u1", "same"), ("u2", "after"), ("u4", "brand new")],
+            "url string, text string",
+        )
+        got = {r["url"]: r["status"]
+               for r in W.snapshot_delta(old, new).collect()}
+        assert got == {"u1": "unchanged", "u2": "modified",
+                       "u3": "gone", "u4": "added"}
+
+    def test_text_never_shuffles(self, spark):
+        old = spark.createDataFrame([("u", "t")], "url string, text string")
+        new = spark.createDataFrame([("u", "t")], "url string, text string")
+        plan = (
+            W.snapshot_delta(old, new)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # both sides reduce to (url, md5) BEFORE the join: the raw text
+        # column must not appear above any Exchange
+        assert "FullOuter" in plan
+        assert plan.count("md5(") >= 2  # both sides digested map-side
+
+
 class TestCanonicalFuzz:
     """Idempotence over randomized URL-ish garbage: canonical(canonical(x))
     == canonical(x) for every input — the property that makes re-running

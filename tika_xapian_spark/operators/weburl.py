@@ -195,6 +195,39 @@ def host_blocklist_filter(
     return fast_keep.unionByName(verified_keep)
 
 
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Recrawl delta: per url, classify the new snapshot against the old —
+    ``added`` / ``gone`` / ``modified`` / ``unchanged``. This is exactly
+    the input an incremental index maintenance run consumes (the MERGE
+    plan: added+modified -> upsert, gone -> delete, unchanged -> skip),
+    and at 10^12 urls it is the difference between re-extracting the
+    whole crawl and touching the ~few-percent that moved.
+
+    ONE full-outer equi-join on the url key (both sides reduced map-side
+    to (url, content-md5) first — text never shuffles, only 32-byte
+    digests), status from null-ness + digest compare. Returns
+    (url, status)."""
+    o = old.select(
+        F.col(key_col).alias("url"), F.md5(F.col(text_col)).alias("_ho")
+    )
+    n = new.select(
+        F.col(key_col).alias("url"), F.md5(F.col(text_col)).alias("_hn")
+    )
+    j = o.join(n, "url", "full_outer")
+    status = (
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("gone"))
+        .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
+        .otherwise(F.lit("modified"))
+    )
+    return j.select("url", status.alias("status"))
+
+
 def latest_snapshot(
     pages: DataFrame,
     url_col: str = "url",

@@ -2121,6 +2121,46 @@ SELECT doc_id, host,
 FROM r ORDER BY doc_id"""
 
 
+def q_crawl_delta(spark, sf_dir):
+    """Recrawl snapshot delta (operators/weburl.py::snapshot_delta) over
+    two synthesized crawl snapshots: new drops doc_id%7==3 (gone),
+    rewrites doc_id%5==0 (modified), and adds a page per doc_id%9==4.
+    The oracle derives every expected status STRUCTURALLY from the same
+    arithmetic — the engine's digest-join path cannot cancel against it."""
+    from ..operators.weburl import snapshot_delta
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/d"),
+        F.col("doc_id").cast("string"),
+    )
+    old = docs.select(url.alias("url"), "text")
+    surviving = docs.filter(F.col("doc_id") % 7 != 3).select(
+        url.alias("url"),
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" v2")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % 9 == 4).select(
+        F.concat(url, F.lit("/new")).alias("url"),
+        F.concat(F.lit("fresh "), F.col("doc_id").cast("string")).alias("text"),
+    )
+    return snapshot_delta(old, surviving.unionByName(added)).orderBy("url")
+
+
+ORACLE_CRAWL_DELTA = """
+SELECT 'https://' || source || '.example.com/d' || doc_id AS url,
+       CASE WHEN doc_id % 7 = 3 THEN 'gone'
+            WHEN doc_id % 5 = 0 THEN 'modified'
+            ELSE 'unchanged' END AS status
+FROM documents
+UNION ALL
+SELECT 'https://' || source || '.example.com/d' || doc_id || '/new', 'added'
+FROM documents WHERE doc_id % 9 = 4
+ORDER BY url"""
+
+
 def q_token_budget(spark, sf_dir):
     """Largest-remainder apportionment of a 9973-token training budget
     across sources (operators/sampling.py::token_budget_allocation) —
@@ -3156,6 +3196,7 @@ DATA_QUERIES = {
     "cap_per_host": q_cap_per_host,
     "shard_rebalance_profile": q_shard_rebalance_profile,
     "token_budget": q_token_budget,
+    "crawl_delta": q_crawl_delta,
     "dedup_substring_spans": q_dedup_substring_spans,
     "text_unigram_logppl": q_text_unigram_logppl,
     "token_count": q_token_count,
@@ -3230,6 +3271,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "cap_per_host": ORACLE_CAP_PER_HOST,
         "shard_rebalance_profile": ORACLE_SHARD_REBALANCE,
         "token_budget": ORACLE_TOKEN_BUDGET,
+        "crawl_delta": ORACLE_CRAWL_DELTA,
         "dedup_substring_spans": ORACLE_SUBSTR_SPANS,
         "text_unigram_logppl": ORACLE_UNIGRAM_LOGPPL,
         "token_count": ORACLE_TOKEN_COUNT,
