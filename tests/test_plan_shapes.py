@@ -440,6 +440,23 @@ class TestCorpusHygiene:
             assert "Exchange" not in plan
             assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
+    def test_quality_classifier_zero_shuffle(self, spark):
+        """The hashed linear classifier scores map-side: the weight function
+        inlines (no weight-table join), so the plan must have no Exchange,
+        no join, and no Python — at 10^12 rows the filter stage is a pure
+        map over the corpus."""
+        from tika_xapian_spark.operators import textstats as T
+
+        docs = spark.createDataFrame(
+            [(i, f"spark merge w{i % 7} table scan") for i in range(20)],
+            "doc_id long, text string",
+        )
+        df = T.quality_classifier(docs, key="doc_id")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
     def test_boilerplate_profile(self, spark):
         rows = [(i, "nav home about " + f"unique{i} body text") for i in range(10)]
         rows += [(100 + i, f"solo{i} words only here") for i in range(10)]

@@ -988,3 +988,68 @@ def cooccurrence_pmi(
         .orderBy(F.desc("pmi_micro"), F.asc("pair"))
         .limit(top_k)
     )
+
+
+# ------------------------------------------------------- quality classifier
+
+CLF_BUCKETS = 64
+CLF_WEIGHT_MOD = 2001  # weights land in [-1000, 1000]
+
+
+def _clf_weight_sql(term_sql: str, n_buckets: int) -> str:
+    """SQL fragment: the classifier weight of one token — feature bucket by
+    md5, weight by a second md5 of the bucket id. Identical algebra runs in
+    the DuckDB oracle (conv(hex,16,10) == ('0x'||hex)::BIGINT)."""
+    bucket = (
+        f"pmod(cast(conv(substr(md5({term_sql}),1,15),16,10) as bigint), "
+        f"{n_buckets})"
+    )
+    return (
+        f"(pmod(cast(conv(substr(md5(concat('w', cast({bucket} as string))),"
+        f"1,8),16,10) as bigint), {CLF_WEIGHT_MOD}) - 1000)"
+    )
+
+
+def quality_classifier(
+    docs: DataFrame, key: str, text_col: str = "text", n_buckets: int = CLF_BUCKETS
+) -> DataFrame:
+    """(doc, n_tokens, clf_score, clf_margin_micro, keep): fasttext-style
+    linear quality classifier over hashed bag-of-words features — the
+    model-based filter stage of GPT-3/LLaMA-style curation (a classifier
+    scores every page; pages below the margin are dropped). The weight
+    vector here is a deterministic hash stand-in for shipped trained
+    weights, which keeps the op oracle-checkable; the DEPLOYMENT shape is
+    what matters and is exactly this: scoring is embarrassingly parallel
+    map-side column algebra (feature-hash each token, add its weight), so
+    at 10^12 rows the stage has ZERO shuffles — no weight-table join (the
+    weight function inlines; a real model would broadcast its coefficient
+    array the same way) and whole-stage codegen end to end.
+
+      bucket(t)  = int(md5(t)[:15]) mod n_buckets
+      w(b)       = int(md5('w'||b)[:8]) mod 2001 - 1000
+      score(doc) = sum over tokens of w(bucket(t));  keep = score >= 0
+
+    The per-doc sum is a single ``aggregate`` fold over the staged token
+    array (one F.expr string — the r5 lesson: column-by-column construction
+    of wide expressions costs seconds of py4j/analysis time per query).
+    """
+    staged = _with_tokens(docs, key, text_col).select("doc", "toks")
+    wexpr = _clf_weight_sql("w", n_buckets)
+    score = f"aggregate(toks, 0L, (acc, w) -> acc + {wexpr})"
+    return staged.select(
+        F.col("doc"),
+        F.expr("size(toks)").cast("long").alias("n_tokens"),
+        F.expr(score).cast("long").alias("clf_score"),
+    ).select(
+        "doc",
+        "n_tokens",
+        "clf_score",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor(F.col("clf_score") * 1_000_000.0 / F.col("n_tokens")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("clf_margin_micro"),
+        (F.col("clf_score") >= 0).cast("int").alias("keep"),
+    )

@@ -3153,6 +3153,48 @@ def _bpe_oracle(n_merges: int = B.N_MERGES) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM (\n{union}\n) ORDER BY merge_rank"
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fasttext-style hashed linear quality classifier: score every doc
+    map-side (zero shuffles), keep = score >= 0. The GPT-3/LLaMA-style
+    model-based filter stage with a deterministic weight stand-in."""
+    return (
+        T.quality_classifier(_docs(spark, sf_dir), key="doc_id")
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_tokens",
+            "clf_score",
+            "clf_margin_micro",
+            "keep",
+        )
+        .transform(lambda d: _ordered_perdoc(d, "doc_id"))
+    )
+
+
+def _quality_classifier_oracle(n_buckets: int = T.CLF_BUCKETS) -> str:
+    return f"""
+WITH {_TOK_CTE.lstrip()},
+clf_w AS (
+  SELECT doc_id,
+         ((('0x' || substr(md5('w' ||
+             ((('0x' || substr(md5(term), 1, 15))::BIGINT % {n_buckets})::VARCHAR)
+           ), 1, 8))::BIGINT % {T.CLF_WEIGHT_MOD}) - 1000) AS wt
+  FROM tok
+),
+clf_agg AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(wt) AS clf_score
+  FROM clf_w GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(a.clf_score, 0)::BIGINT AS clf_score,
+       CASE WHEN coalesce(a.n_tokens, 0) > 0
+            THEN CAST(floor(a.clf_score * 1000000.0 / a.n_tokens) AS BIGINT)
+            ELSE 0 END AS clf_margin_micro,
+       (coalesce(a.clf_score, 0) >= 0)::INT AS keep
+FROM documents d LEFT JOIN clf_agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
 DATA_QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
@@ -3224,6 +3266,7 @@ DATA_QUERIES = {
     "dedup_minhash_calibration": q_dedup_minhash_calibration,
     "langid_confusion": q_langid_confusion,
     "text_char_entropy": q_text_char_entropy,
+    "quality_classifier_score": q_quality_classifier,
 }
 
 
@@ -3260,6 +3303,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "text_quality": _quality_oracle(),
         "gopher_repetition": ORACLE_GOPHER_REP,
         "gopher_quality": _gopher_quality_oracle(),
+        "quality_classifier_score": _quality_classifier_oracle(),
         "curate_corpus": _curate_oracle(),
         "curate_corpus_gopher": _curate_gopher_oracle(),
         "url_dedup": ORACLE_URL_DEDUP,
