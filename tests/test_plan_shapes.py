@@ -457,6 +457,25 @@ class TestCorpusHygiene:
         assert "Join" not in plan
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
+    def test_dsir_probe_broadcasts_ratio_table(self, spark):
+        """DSIR's per-doc scoring join must broadcast the B-row log-ratio
+        table (the only corpus-scale shuffle is the final groupBy(doc));
+        the spine/count joins may shuffle — they carry at most B rows."""
+        from tika_xapian_spark.operators import textstats as T
+
+        docs = spark.createDataFrame(
+            [
+                (i, f"w{i % 5} spark merge w{(i * 3) % 7} scan", "en" if i % 2 else "de")
+                for i in range(40)
+            ],
+            "doc_id long, text string, lang string",
+        )
+        df = T.dsir_importance(docs, key="doc_id", target=F.col("lang") == "en")
+        plan = plan_of(df)
+        assert plan.count("BroadcastHashJoin") >= 1
+        assert plan.count("Exchange hashpartitioning(doc") == 1
+        assert "EvalPython" not in plan
+
     def test_boilerplate_profile(self, spark):
         rows = [(i, "nav home about " + f"unique{i} body text") for i in range(10)]
         rows += [(100 + i, f"solo{i} words only here") for i in range(10)]

@@ -1053,3 +1053,103 @@ def quality_classifier(
         .alias("clf_margin_micro"),
         (F.col("clf_score") >= 0).cast("int").alias("keep"),
     )
+
+
+# --------------------------------------------------- DSIR importance weights
+
+DSIR_BUCKETS = 256
+
+
+def dsir_importance(
+    docs: DataFrame,
+    key: str,
+    target: Column,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(doc, n_feats, dsir_logw_micro, dsir_per_feat_micro): hashed-ngram
+    importance weights for Data Selection via Importance Resampling (DSIR,
+    Xie et al. 2023): score every raw doc by how much more likely its
+    hashed bigram features are under the TARGET distribution (rows where
+    ``target`` is true — e.g. a trusted domain or language slice) than
+    under the raw corpus, then resample by the weight:
+
+      logw(d) = sum over features f of  log2 p_tgt(f) - log2 p_raw(f)
+
+    with Laplace-smoothed bucket probabilities p(b) = (c_b + 1)/(N + B).
+
+    Scale shape for 10^12 docs: feature extraction is map-side (bigrams by
+    zipping shifted slices — the HOF rule — then run-length encoding, so
+    occurrences never shuffle); both bucket-count aggregations have
+    B-bounded output with map-side combine; the per-bucket log-ratio table
+    (B rows) joins back as a BROADCAST, so the only corpus-scale shuffle is
+    the final groupBy(doc). Docs with < 2 tokens carry no features and are
+    omitted (both engines agree)."""
+    staged = docs.select(
+        F.struct(F.col(key).alias("id"), target.alias("tgt")).alias("doc"),
+        tokens_col(text_col).alias("toks"),
+    ).selectExpr(
+        "doc",
+        "array_sort(zip_with("
+        "slice(toks, 1, greatest(size(toks) - 1, 0)), "
+        "slice(toks, 2, greatest(size(toks) - 1, 0)), "
+        "(a, b) -> concat(a, ' ', b))) AS ts",
+    )
+    feats = (
+        _rle_tf(staged)
+        .select(
+            F.col("doc.id").alias("doc"),
+            F.col("doc.tgt").alias("tgt"),
+            F.expr(
+                f"pmod(cast(conv(substr(md5(token),1,15),16,10) as bigint),"
+                f" {n_buckets})"
+            ).alias("bucket"),
+            "tf",
+        )
+        .localCheckpoint(eager=False)  # consumers: raw counts, target
+        # counts, and the per-doc probe — one evaluation for all three
+    )
+    cr = (
+        feats.groupBy("bucket")
+        .agg(F.sum("tf").alias("c_r"))
+        .localCheckpoint(eager=False)  # consumers: spine join + total
+    )
+    ct = (
+        feats.filter(F.col("tgt"))
+        .groupBy("bucket")
+        .agg(F.sum("tf").alias("c_t"))
+        .localCheckpoint(eager=False)
+    )
+    r_tot = F.broadcast(cr.agg(F.coalesce(F.sum("c_r"), F.lit(0)).alias("_rt")))
+    t_tot = F.broadcast(ct.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("_tt")))
+    spine = docs.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    lr = (
+        spine.join(cr, "bucket", "left")
+        .join(ct, "bucket", "left")
+        .crossJoin(r_tot)
+        .crossJoin(t_tot)
+        .select(
+            "bucket",
+            (
+                F.log2(F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                - F.log2(F.col("_tt") + n_buckets)
+                - F.log2(F.coalesce(F.col("c_r"), F.lit(0)) + 1)
+                + F.log2(F.col("_rt") + n_buckets)
+            ).alias("w"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(lr), "bucket")
+        .groupBy("doc")
+        .agg(
+            F.sum("tf").cast("long").alias("n_feats"),
+            F.round(F.sum(F.col("tf") * F.col("w")) * 1_000_000)
+            .cast("long")
+            .alias("dsir_logw_micro"),
+            F.round(F.sum(F.col("tf") * F.col("w")) / F.sum("tf") * 1_000_000)
+            .cast("long")
+            .alias("dsir_per_feat_micro"),
+        )
+    )

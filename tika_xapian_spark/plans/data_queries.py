@@ -3195,6 +3195,59 @@ FROM documents d LEFT JOIN clf_agg a ON a.doc_id = d.doc_id
 ORDER BY d.doc_id"""
 
 
+def q_dsir_importance(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram importance
+    of every doc vs the lang='en' target slice — the importance-resampling
+    scorer for domain-targeted data selection."""
+    return (
+        T.dsir_importance(
+            _docs(spark, sf_dir), key="doc_id", target=F.col("lang") == "en"
+        )
+        .withColumnRenamed("doc", "doc_id")
+        .transform(lambda d: _ordered_perdoc(d, "doc_id"))
+    )
+
+
+def _dsir_oracle(n_buckets: int = T.DSIR_BUCKETS) -> str:
+    return f"""
+WITH {_TOK_CTE.lstrip()},
+dsir_big AS (
+  SELECT t1.doc_id,
+         ('0x' || substr(md5(t1.term || ' ' || t2.term), 1, 15))::BIGINT
+           % {n_buckets} AS bucket
+  FROM tok t1 JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+),
+dsir_feats AS (
+  SELECT doc_id, bucket, count(*)::BIGINT AS tf
+  FROM dsir_big GROUP BY doc_id, bucket
+),
+dsir_cr AS (SELECT bucket, sum(tf) AS c_r FROM dsir_feats GROUP BY bucket),
+dsir_ct AS (
+  SELECT f.bucket, sum(f.tf) AS c_t
+  FROM dsir_feats f JOIN documents d ON d.doc_id = f.doc_id
+  WHERE d.lang = 'en' GROUP BY f.bucket
+),
+dsir_tot AS (
+  SELECT (SELECT coalesce(sum(c_r), 0) FROM dsir_cr) AS r_tot,
+         (SELECT coalesce(sum(c_t), 0) FROM dsir_ct) AS t_tot
+),
+dsir_lr AS (
+  SELECT b.bucket,
+         log2(coalesce(ct.c_t, 0) + 1) - log2(t.t_tot + {n_buckets})
+           - log2(coalesce(cr.c_r, 0) + 1) + log2(t.r_tot + {n_buckets}) AS w
+  FROM (SELECT unnest(range({n_buckets})) AS bucket) b
+  LEFT JOIN dsir_cr cr ON cr.bucket = b.bucket
+  LEFT JOIN dsir_ct ct ON ct.bucket = b.bucket, dsir_tot t
+)
+SELECT f.doc_id,
+       sum(f.tf)::BIGINT AS n_feats,
+       CAST(round(sum(f.tf * l.w) * 1000000) AS BIGINT) AS dsir_logw_micro,
+       CAST(round(sum(f.tf * l.w) / sum(f.tf) * 1000000) AS BIGINT)
+         AS dsir_per_feat_micro
+FROM dsir_feats f JOIN dsir_lr l ON l.bucket = f.bucket
+GROUP BY f.doc_id ORDER BY f.doc_id"""
+
+
 DATA_QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
@@ -3267,6 +3320,7 @@ DATA_QUERIES = {
     "langid_confusion": q_langid_confusion,
     "text_char_entropy": q_text_char_entropy,
     "quality_classifier_score": q_quality_classifier,
+    "dsir_importance": q_dsir_importance,
 }
 
 
@@ -3304,6 +3358,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "gopher_repetition": ORACLE_GOPHER_REP,
         "gopher_quality": _gopher_quality_oracle(),
         "quality_classifier_score": _quality_classifier_oracle(),
+        "dsir_importance": _dsir_oracle(),
         "curate_corpus": _curate_oracle(),
         "curate_corpus_gopher": _curate_gopher_oracle(),
         "url_dedup": ORACLE_URL_DEDUP,
