@@ -16,6 +16,7 @@ from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import packing as P
 from ..operators import similarity as SIM
+from ..operators import sketches as SK
 from ..operators import textstats as T
 
 # ------------------------------------------------------------------ helpers
@@ -3248,6 +3249,81 @@ FROM dsir_feats f JOIN dsir_lr l ON l.bucket = f.bucket
 GROUP BY f.doc_id ORDER BY f.doc_id"""
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters: corpus token counts through a
+    3x32 CMS (constant-size summary of a 10^12-token stream) vs the exact
+    truth column; CMS never undercounts."""
+    return SK.cms_heavy_hitters(_docs(spark, sf_dir), key="doc_id")
+
+
+def _cms_oracle(
+    depth: int = 3, width: int = 32, top_k: int = 20
+) -> str:
+    return f"""
+WITH {_TOK_CTE.lstrip()},
+cms_upd AS (
+  SELECT rr.r,
+         ('0x' || substr(md5(rr.r::VARCHAR || ':' || t.term), 1, 15))::BIGINT
+           % {width} AS bucket
+  FROM tok t CROSS JOIN (SELECT unnest(range({depth})) AS r) rr
+),
+cms_cells AS (
+  SELECT r, bucket, count(*)::BIGINT AS cell
+  FROM cms_upd GROUP BY r, bucket
+),
+cms_exact AS (
+  SELECT term AS token, count(*)::BIGINT AS exact_count FROM tok GROUP BY term
+),
+cms_est AS (
+  SELECT e.token, e.exact_count, min(c.cell) AS cms_count
+  FROM cms_exact e
+  CROSS JOIN (SELECT unnest(range({depth})) AS r) rr
+  JOIN cms_cells c
+    ON c.r = rr.r
+   AND c.bucket = ('0x' || substr(md5(rr.r::VARCHAR || ':' || e.token), 1, 15))::BIGINT
+         % {width}
+  GROUP BY e.token, e.exact_count
+)
+SELECT token, exact_count, cms_count::BIGINT AS cms_count,
+       (cms_count - exact_count)::BIGINT AS overcount
+FROM cms_est ORDER BY exact_count DESC, token LIMIT {top_k}"""
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV / theta-style distinct-user estimation per event type: k smallest
+    hashes per group vs the exact count(DISTINCT) truth column."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return SK.kmv_distinct(ev, group_col="event_type", value_col="user_id")
+
+
+def _kmv_oracle(k: int = 16) -> str:
+    space = float(16**15)
+    est = f"""CAST(CASE WHEN a.n_mins < {k} THEN a.n_mins
+         ELSE floor({float(k - 1)} * {space} / a.h_k) END AS BIGINT)"""
+    return f"""
+WITH kmv_h AS (
+  SELECT DISTINCT event_type AS grp,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+),
+kmv_ranked AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM kmv_h
+),
+kmv_agg AS (
+  SELECT grp, max(h) AS h_k, count(*) AS n_mins
+  FROM kmv_ranked WHERE rn <= {k} GROUP BY grp
+),
+kmv_exact AS (SELECT grp, count(*) AS n_exact FROM kmv_h GROUP BY grp)
+SELECT a.grp AS event_type,
+       e.n_exact::BIGINT AS n_exact,
+       {est} AS kmv_estimate,
+       CAST(floor(abs({est} - e.n_exact) * 1000000.0 / e.n_exact) AS BIGINT)
+         AS err_micro
+FROM kmv_agg a JOIN kmv_exact e ON e.grp = a.grp
+ORDER BY event_type"""
+
+
 DATA_QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
@@ -3321,6 +3397,8 @@ DATA_QUERIES = {
     "text_char_entropy": q_text_char_entropy,
     "quality_classifier_score": q_quality_classifier,
     "dsir_importance": q_dsir_importance,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "kmv_user_distinct": q_kmv_distinct,
 }
 
 
@@ -3359,6 +3437,8 @@ def data_oracle_sqls() -> dict[str, str]:
         "gopher_quality": _gopher_quality_oracle(),
         "quality_classifier_score": _quality_classifier_oracle(),
         "dsir_importance": _dsir_oracle(),
+        "cms_heavy_hitters": _cms_oracle(),
+        "kmv_user_distinct": _kmv_oracle(),
         "curate_corpus": _curate_oracle(),
         "curate_corpus_gopher": _curate_gopher_oracle(),
         "url_dedup": ORACLE_URL_DEDUP,
