@@ -492,6 +492,20 @@ class TestCorpusHygiene:
         assert all(df >= 6 for df in top.values())  # 0.3 * 20 docs
 
 
+class TestSemDedupPlan:
+    def test_assignment_broadcasts_pairs_equijoin(self, emb):
+        """SemDeDup's centroid assignment must be map-side against broadcast
+        centroid rows, and the quadratic stage must be keyed on the cluster
+        id (equi-join) — never a corpus-level cartesian."""
+        df = SIM.semdedup(emb, k=4)
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "EvalPython" not in plan
+        out = df.collect()
+        assert len(out) == 100
+        assert {r.cluster for r in out} <= set(range(4))
+
+
 class TestTfidfPlan:
     def test_pure_jvm_no_cartesian_single_doc_shuffle(self, spark, docs):
         """tfidf_top_terms: no Python anywhere, no cartesian, and the only

@@ -629,3 +629,96 @@ def quantize_int8(
         f"CAST(size(filter(z, s -> abs({code}) = 127)) AS BIGINT) AS n_saturated",
         f"CAST(round(sqrt(aggregate(z, 0.0D, (acc, s) -> acc + {err})) * 1000000) AS BIGINT) AS l2_err_micro",
     )
+
+
+# ------------------------------------------------------------------ SemDeDup
+
+SEMDEDUP_K = 8
+SEMDEDUP_TAU_MICRO = 250_000
+
+
+def semdedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = SEMDEDUP_K,
+    tau_micro: int = SEMDEDUP_TAU_MICRO,
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, cluster, max_lower_cos_micro, n_dups_lower, keep): semantic
+    deduplication (SemDeDup, Abbas et al. 2023): cluster the embedding
+    space, compare pairs ONLY within a cluster, and drop every vector that
+    has a lower-id cluster-mate above the cosine threshold. The pairwise
+    stage is quadratic only within clusters — the clustering is what makes
+    semantic dedup feasible at corpus scale (the paper sizes k so clusters
+    stay small; here k is a parameter and the k seed centroids are the
+    vectors with id < k).
+
+    Exact-integer discipline (the embedding_label_similarity rule): vectors
+    round to micro bigints; the centroid assignment is an argmin over EXACT
+    integer squared distances (ties break on centroid id), so the cluster
+    decision can never flake across engines; cosine goes double only at
+    the final sqrt/divide of exact integer dot/norms.
+
+    Scale shape: assignment is ZERO-shuffle — the k centroid rows broadcast
+    (k 1-row crossJoins) and the argmin folds map-side per row
+    (array_min over (d2, cid) structs). The pair join shuffles on the
+    cluster id; its per-reducer work is bounded by the cluster size, which
+    is the k-vs-cluster-size tradeoff the operator exposes."""
+    iv = emb.select(
+        F.col(id_col).alias("vid"),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("v"),
+    )
+    assigned = iv
+    for j in range(k):
+        cj = F.broadcast(
+            iv.filter(F.col("vid") == j).select(F.col("v").alias(f"cv{j}"))
+        )
+        assigned = assigned.crossJoin(cj)
+    d2s = ", ".join(
+        f"named_struct('d2', aggregate(zip_with(v, cv{j}, "
+        f"(x, y) -> (x - y) * (x - y)), 0L, (acc, e) -> acc + e), "
+        f"'cid', CAST({j} AS BIGINT))"
+        for j in range(k)
+    )
+    assigned = (
+        assigned.selectExpr("vid", "v", f"array_min(array({d2s})) AS best")
+        .selectExpr(
+            "vid",
+            "v",
+            "best.cid AS cluster",
+            "aggregate(zip_with(v, v, (x, y) -> x * y), 0L,"
+            " (acc, e) -> acc + e) AS n2",
+        )
+        .localCheckpoint(eager=False)  # consumers: both pair sides + output
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = a.join(
+        b, (F.expr("a.cluster = b.cluster")) & (F.expr("a.vid < b.vid"))
+    ).selectExpr(
+        "b.vid AS vid",
+        "CAST(round(CAST(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0L,"
+        " (acc, e) -> acc + e) AS DOUBLE)"
+        " / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))"
+        " * 1000000) AS BIGINT) AS cos_micro",
+    )
+    dup = pairs.groupBy("vid").agg(
+        F.max("cos_micro").alias("mx"),
+        F.sum((F.col("cos_micro") >= tau_micro).cast("long")).alias("nd"),
+    )
+    return (
+        assigned.join(dup, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cluster"),
+            F.coalesce(F.col("mx"), F.lit(-1)).cast("long").alias(
+                "max_lower_cos_micro"
+            ),
+            F.coalesce(F.col("nd"), F.lit(0)).cast("long").alias("n_dups_lower"),
+            (F.coalesce(F.col("nd"), F.lit(0)) == 0).cast("int").alias("keep"),
+        )
+        .orderBy(id_col)
+    )

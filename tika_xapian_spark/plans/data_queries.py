@@ -3324,6 +3324,72 @@ FROM kmv_agg a JOIN kmv_exact e ON e.grp = a.grp
 ORDER BY event_type"""
 
 
+def q_embedding_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster-then-pairwise semantic dedup —
+    within-cluster cosine above tau drops the higher id."""
+    return SIM.semdedup(_emb(spark, sf_dir))
+
+
+def _semdedup_oracle(
+    k: int = SIM.SEMDEDUP_K, tau: int = SIM.SEMDEDUP_TAU_MICRO
+) -> str:
+    return f"""
+WITH sd_iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+sd_el AS (
+  SELECT vec_id, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM sd_iv
+),
+sd_ce AS (
+  SELECT vec_id AS cid, generate_subscripts(v, 1) AS d, unnest(v) AS x
+  FROM sd_iv WHERE vec_id < {k}
+),
+sd_d AS (
+  SELECT e.vec_id, c.cid, sum((e.x - c.x) * (e.x - c.x)) AS d2
+  FROM sd_el e JOIN sd_ce c USING (d) GROUP BY e.vec_id, c.cid
+),
+sd_asg AS (
+  SELECT vec_id, cid AS cluster
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2 ASC, cid ASC) AS rn
+        FROM sd_d)
+  WHERE rn = 1
+),
+sd_n2 AS (SELECT vec_id, sum(x * x) AS n2 FROM sd_el GROUP BY vec_id),
+sd_pairs AS (
+  SELECT bb.vec_id AS vid, sum(ea.x * eb.x) AS dot,
+         any_value(na.n2) AS na2, any_value(nb.n2) AS nb2,
+         aa.vec_id AS ida
+  FROM sd_asg aa
+  JOIN sd_asg bb ON bb.cluster = aa.cluster AND aa.vec_id < bb.vec_id
+  JOIN sd_el ea ON ea.vec_id = aa.vec_id
+  JOIN sd_el eb ON eb.vec_id = bb.vec_id AND eb.d = ea.d
+  JOIN sd_n2 na ON na.vec_id = aa.vec_id
+  JOIN sd_n2 nb ON nb.vec_id = bb.vec_id
+  GROUP BY aa.vec_id, bb.vec_id
+),
+sd_cos AS (
+  SELECT vid,
+         CAST(round(dot::DOUBLE / (sqrt(na2::DOUBLE) * sqrt(nb2::DOUBLE))
+              * 1000000) AS BIGINT) AS cos_micro
+  FROM sd_pairs
+),
+sd_dup AS (
+  SELECT vid AS vec_id, max(cos_micro) AS mx,
+         count(*) FILTER (WHERE cos_micro >= {tau}) AS nd
+  FROM sd_cos GROUP BY vid
+)
+SELECT a.vec_id, a.cluster::BIGINT AS cluster,
+       coalesce(d.mx, -1)::BIGINT AS max_lower_cos_micro,
+       coalesce(d.nd, 0)::BIGINT AS n_dups_lower,
+       (coalesce(d.nd, 0) = 0)::INT AS keep
+FROM sd_asg a LEFT JOIN sd_dup d ON d.vec_id = a.vec_id
+ORDER BY a.vec_id"""
+
+
 DATA_QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
@@ -3399,6 +3465,7 @@ DATA_QUERIES = {
     "dsir_importance": q_dsir_importance,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "kmv_user_distinct": q_kmv_distinct,
+    "embedding_semdedup": q_embedding_semdedup,
 }
 
 
@@ -3439,6 +3506,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "dsir_importance": _dsir_oracle(),
         "cms_heavy_hitters": _cms_oracle(),
         "kmv_user_distinct": _kmv_oracle(),
+        "embedding_semdedup": _semdedup_oracle(),
         "curate_corpus": _curate_oracle(),
         "curate_corpus_gopher": _curate_gopher_oracle(),
         "url_dedup": ORACLE_URL_DEDUP,
