@@ -259,3 +259,52 @@ def latest_snapshot(
         F.col("_best._id").alias("kept_id"),
         F.col("_best._ts").alias("kept_ts"),
     )
+
+
+def robots_filter(
+    urls: DataFrame, url_col: str, rules: DataFrame
+) -> DataFrame:
+    """(url, canonical_url, host, matched_prefix, allowed): robots-exclusion
+    evaluation per URL under Google's published longest-match semantics
+    (REP, RFC 9309): among the host's rules whose path prefix matches the
+    canonical path+query, the LONGEST prefix wins; on a length tie Allow
+    beats Disallow; no matching rule means allowed.
+
+    ``rules`` is (host, path_prefix, allow) — one row per robots.txt line.
+    Scale shape: a crawl's rule table is bounded by the host count, so it
+    BROADCASTS; the prefix match is a broadcast equi-join on host plus a
+    startswith filter, and the winner is one map-side-combined
+    max(struct(len, allow)) per url — a single corpus-scale shuffle on the
+    url, no regex engine in the loop."""
+    canon = urls.select(
+        F.col(url_col).alias("url"),
+        canonical_url(url_col).alias("canonical_url"),
+        host_of(url_col).alias("host"),
+    ).withColumn(
+        "path_q",
+        F.expr("substring(canonical_url, length(concat('https://', host)) + 1)"),
+    )
+    matched = canon.join(F.broadcast(rules), "host", "left").withColumn(
+        "_hit",
+        F.when(
+            F.col("path_prefix").isNotNull()
+            & F.col("path_q").startswith(F.col("path_prefix")),
+            F.struct(
+                F.length("path_prefix").alias("l"),
+                F.col("allow").cast("int").alias("a"),
+                F.col("path_prefix").alias("p"),
+            ),
+        ),
+    )
+    won = matched.groupBy("url").agg(
+        F.first("canonical_url").alias("canonical_url"),
+        F.first("host").alias("host"),
+        F.max("_hit").alias("w"),
+    )
+    return won.select(
+        "url",
+        "canonical_url",
+        "host",
+        F.coalesce(F.col("w.p"), F.lit("")).alias("matched_prefix"),
+        F.coalesce(F.col("w.a") == 1, F.lit(True)).cast("int").alias("allowed"),
+    ).orderBy("url")

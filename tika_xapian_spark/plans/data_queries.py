@@ -1873,6 +1873,74 @@ urls AS (
 )"""
 
 
+def q_url_robots_filter(spark, sf_dir):
+    """Robots-exclusion evaluation (RFC 9309 longest-match semantics) of
+    every distinct crawl URL against a per-host rule table synthesized
+    deterministically from the source id: each host disallows the
+    '/dir/p{h}' prefix (h = numeric source suffix mod 7) but re-allows the
+    longer '/dir/p{h}?' query variant — so the allow-override, the
+    longest-match tie-break, and the default-allow path all discriminate."""
+    from ..operators import weburl as W
+
+    src = _docs(spark, sf_dir).select("source").distinct()
+    h = (F.substring(F.col("source"), 4, 10).cast("int") % 7).cast("string")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    rules = src.select(
+        host.alias("host"),
+        F.concat(F.lit("/dir/p"), h).alias("path_prefix"),
+        F.lit(False).alias("allow"),
+    ).unionByName(
+        src.select(
+            host.alias("host"),
+            F.concat(F.lit("/dir/p"), h, F.lit("?")).alias("path_prefix"),
+            F.lit(True).alias("allow"),
+        )
+    )
+    return W.robots_filter(
+        _synth_urls(spark, sf_dir).select("url").distinct(), "url", rules
+    )
+
+
+ORACLE_URL_ROBOTS = f"""
+WITH {_URL_SYNTH_SQL.strip()},
+rb_du AS (
+  SELECT url, canonical_url,
+         split_part(substr(canonical_url, 9), '/', 1) AS host,
+         substr(substr(canonical_url, 9),
+                length(split_part(substr(canonical_url, 9), '/', 1)) + 1)
+           AS path_q
+  FROM (SELECT DISTINCT url, canonical_url FROM urls)
+),
+rb_src AS (SELECT DISTINCT source FROM documents),
+rb_rules AS (
+  SELECT source || '.example.com' AS host,
+         '/dir/p' || (substr(source, 4)::INT % 7) AS path_prefix,
+         FALSE AS allow
+  FROM rb_src
+  UNION ALL
+  SELECT source || '.example.com',
+         '/dir/p' || (substr(source, 4)::INT % 7) || '?', TRUE
+  FROM rb_src
+),
+rb_m AS (
+  SELECT d.url, d.canonical_url, d.host, r.path_prefix, r.allow
+  FROM rb_du d
+  LEFT JOIN rb_rules r
+    ON r.host = d.host AND starts_with(d.path_q, r.path_prefix)
+),
+rb_rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY url
+    ORDER BY (path_prefix IS NOT NULL) DESC, length(path_prefix) DESC,
+             allow::INT DESC, path_prefix DESC) AS rn
+  FROM rb_m
+)
+SELECT url, canonical_url, host,
+       coalesce(path_prefix, '') AS matched_prefix,
+       CASE WHEN path_prefix IS NULL THEN 1 ELSE allow::INT END AS allowed
+FROM rb_rk WHERE rn = 1 ORDER BY url"""
+
+
 def q_url_dedup(spark, sf_dir):
     """Exact URL dedup on the canonical form over synthesized crawl-messy
     URLs (operators/weburl.py)."""
@@ -3466,6 +3534,7 @@ DATA_QUERIES = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "kmv_user_distinct": q_kmv_distinct,
     "embedding_semdedup": q_embedding_semdedup,
+    "url_robots_filter": q_url_robots_filter,
 }
 
 
@@ -3507,6 +3576,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "cms_heavy_hitters": _cms_oracle(),
         "kmv_user_distinct": _kmv_oracle(),
         "embedding_semdedup": _semdedup_oracle(),
+        "url_robots_filter": ORACLE_URL_ROBOTS,
         "curate_corpus": _curate_oracle(),
         "curate_corpus_gopher": _curate_gopher_oracle(),
         "url_dedup": ORACLE_URL_DEDUP,
