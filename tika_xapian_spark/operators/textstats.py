@@ -1153,3 +1153,53 @@ def dsir_importance(
             .alias("dsir_per_feat_micro"),
         )
     )
+
+
+# ------------------------------------------------------------- readability
+
+
+def readability(docs: DataFrame, key: str, text_col: str = "text") -> DataFrame:
+    """(doc, n_words, n_sentences, n_syllables, flesch_micro): Flesch
+    reading-ease with the standard crawl-filter approximations — sentences
+    are [.!?]+ runs (floor 1), syllables are [aeiouy]+ vowel-group runs:
+
+      flesch = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+
+    The readability band is a cheap complexity prior used alongside the
+    Gopher/C4 rules when stratifying a pretraining mix. Pure map-side
+    column algebra: two regexp run-counts and one token count per row,
+    zero shuffles, whole-stage codegen."""
+    staged = _with_tokens(docs, key, text_col)
+    return staged.select(
+        "doc",
+        F.size("toks").cast("long").alias("n_words"),
+        F.greatest(
+            F.expr("size(regexp_extract_all(text, '[.!?]+', 0))"), F.lit(1)
+        )
+        .cast("long")
+        .alias("n_sentences"),
+        F.expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
+        .cast("long")
+        .alias("n_syllables"),
+    ).select(
+        "doc",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                (
+                    F.lit(206.835)
+                    - F.lit(1.015)
+                    * (F.col("n_words").cast("double") / F.col("n_sentences"))
+                    - F.lit(84.6)
+                    * (F.col("n_syllables").cast("double") / F.col("n_words"))
+                )
+                * 1_000_000
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("flesch_micro"),
+    )

@@ -3458,6 +3458,36 @@ FROM sd_asg a LEFT JOIN sd_dup d ON d.vec_id = a.vec_id
 ORDER BY a.vec_id"""
 
 
+def q_text_readability(spark, sf_dir):
+    """Flesch reading-ease per doc (vowel-group syllables, [.!?]+ sentence
+    runs) — the complexity prior for mix stratification."""
+    return (
+        T.readability(_docs(spark, sf_dir), key="doc_id")
+        .withColumnRenamed("doc", "doc_id")
+        .transform(lambda d: _ordered_perdoc(d, "doc_id"))
+    )
+
+
+ORACLE_READABILITY = f"""
+WITH {_TOK_CTE.lstrip()},
+rd_w AS (SELECT doc_id, count(*)::BIGINT AS n_words FROM tok GROUP BY doc_id),
+rd_f AS (
+  SELECT d.doc_id,
+         coalesce(w.n_words, 0) AS n_words,
+         greatest(len(regexp_extract_all(d.text, '[.!?]+')), 1)::BIGINT
+           AS n_sentences,
+         len(regexp_extract_all(lower(d.text), '[aeiouy]+'))::BIGINT
+           AS n_syllables
+  FROM documents d LEFT JOIN rd_w w ON w.doc_id = d.doc_id
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 THEN CAST(round(
+         (206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+                  - 84.6 * (n_syllables::DOUBLE / n_words)) * 1000000)
+         AS BIGINT) ELSE 0 END AS flesch_micro
+FROM rd_f ORDER BY doc_id"""
+
+
 DATA_QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
@@ -3535,6 +3565,7 @@ DATA_QUERIES = {
     "kmv_user_distinct": q_kmv_distinct,
     "embedding_semdedup": q_embedding_semdedup,
     "url_robots_filter": q_url_robots_filter,
+    "text_readability": q_text_readability,
 }
 
 
@@ -3577,6 +3608,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "kmv_user_distinct": _kmv_oracle(),
         "embedding_semdedup": _semdedup_oracle(),
         "url_robots_filter": ORACLE_URL_ROBOTS,
+        "text_readability": ORACLE_READABILITY,
         "curate_corpus": _curate_oracle(),
         "curate_corpus_gopher": _curate_gopher_oracle(),
         "url_dedup": ORACLE_URL_DEDUP,
