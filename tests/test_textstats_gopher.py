@@ -236,6 +236,19 @@ class TestCurationLibrarySurface:
         n_in = docs.count()
         assert 0 < len(kept) < n_in
 
+    def test_clf_gate_matches_driver_query(self, spark):
+        from tika_xapian_spark.plans.curation import curate_docs
+        from tika_xapian_spark.plans.data_queries import q_curate_corpus_clf
+
+        sf = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        kept = {r["doc_id"] for r in curate_docs(docs, gate="clf").collect()}
+        want = {r["doc_id"] for r in q_curate_corpus_clf(spark, sf).collect()}
+        assert kept == want
+        # the classifier margin actually discriminates
+        n_in = docs.count()
+        assert 0 < len(kept) < n_in
+
     def test_bad_gate_raises(self, spark):
         from tika_xapian_spark.plans.curation import curate_docs
 

@@ -44,10 +44,12 @@ def main(argv: list[str] | None = None) -> int:
     pd.add_argument("--out", required=True, help="curated output parquet dir")
     pd.add_argument("--key", default="doc_id")
     pd.add_argument(
-        "--gate", choices=["classic", "gopher", "ccnet"], default="gopher",
+        "--gate", choices=["classic", "gopher", "ccnet", "clf"],
+        default="gopher",
         help="quality gate: 'classic' (length/stopword composite), "
-        "'gopher' (Rae et al. rule set + repetition cap), or 'ccnet' "
-        "(exact dedup + corpus-LM perplexity terciles, no minhash stage)",
+        "'gopher' (Rae et al. rule set + repetition cap), 'ccnet' "
+        "(exact dedup + corpus-LM perplexity terciles, no minhash stage), "
+        "or 'clf' (hashed linear classifier margin >= 0)",
     )
     pd.add_argument("--min-stop", type=int, default=1)
     pd.add_argument(

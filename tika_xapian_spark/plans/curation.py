@@ -55,9 +55,9 @@ def curate_docs(
     max_bucket_size: int | None = None,
     star_above: int | None = STAR_ABOVE,
 ) -> DataFrame:
-    if gate not in ("classic", "gopher", "ccnet"):
+    if gate not in ("classic", "gopher", "ccnet", "clf"):
         raise ValueError(
-            f"gate must be 'classic', 'gopher' or 'ccnet', got {gate!r}"
+            f"gate must be 'classic', 'gopher', 'ccnet' or 'clf', got {gate!r}"
         )
     lang = T.lang_id(docs, key=key, text_col=text_col).select(
         F.col("doc").alias(key), "predicted_lang"
@@ -86,7 +86,18 @@ def curate_docs(
             .filter(F.col("bucket") != "tail")
             .drop("bucket")
         )
-    if gate == "classic":
+    if gate == "clf":
+        # model-based filter (GPT-3/LLaMA style): hashed linear classifier
+        # score >= 0 stands in for the trained quality model's margin
+        clf = T.quality_classifier(docs, key=key, text_col=text_col).select(
+            F.col("doc").alias(key), "clf_score"
+        )
+        kept = (
+            kept.join(clf, key)
+            .filter(F.col("clf_score") >= 0)
+            .drop("clf_score")
+        )
+    elif gate == "classic":
         qual = T.quality_features(docs, key=key, text_col=text_col).select(
             F.col("doc").alias(key), "quality_micro"
         )

@@ -1213,6 +1213,88 @@ WHERE l.predicted_lang = 'en'
 ORDER BY d.doc_id"""
 
 
+def q_curate_corpus_clf(spark, sf_dir):
+    """Curation v4 — model-based filtering (GPT-3/LLaMA style): language
+    filter (en) -> classifier margin >= 0 (hashed linear stand-in for the
+    trained quality model) -> exact-dup canonical only -> near-dup
+    removal. Single-source-of-truth composition: every stage is an
+    oracle-checked operator and the composed oracle splices the standalone
+    stage oracles' own CTE text."""
+    docs = _docs(spark, sf_dir)
+    lang = T.lang_id(docs, key="doc_id").select(
+        F.col("doc").alias("doc_id"), "predicted_lang"
+    )
+    clf = T.quality_classifier(docs, key="doc_id").select(
+        F.col("doc").alias("doc_id"), "clf_score", "clf_margin_micro"
+    )
+    exact = D.exact_duplicates(docs, key="doc_id").select(
+        F.col("doc").alias("doc_id"), "canonical_id"
+    )
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    nd_drop = (
+        pairs.filter(F.col("jaccard_micro") >= CURATE_JACCARD_MIN)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.select("doc_id")
+        .join(lang, "doc_id")
+        .filter(F.col("predicted_lang") == "en")
+        .join(clf, "doc_id")
+        .filter(F.col("clf_score") >= 0)
+        .join(exact, "doc_id")
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .join(nd_drop, "doc_id", "left_anti")
+        .select("doc_id", "clf_margin_micro")
+        .orderBy("doc_id")
+    )
+
+
+def _curate_clf_oracle(j_thresh: int = CURATE_JACCARD_MIN) -> str:
+    """Spliced from the standalone langid / classifier / minhash oracle
+    texts — same machinery as _curate_oracle (single source of truth)."""
+    tokc = _TOK_CTE.strip()
+
+    def split_parts(sql: str, select_marker: str):
+        rest = sql.split(tokc, 1)[1].lstrip(",\n")
+        ctes, sel = rest.rsplit(select_marker, 1)
+        sel = (select_marker.lstrip("\n") + sel).rsplit("ORDER BY", 1)[0]
+        return ctes.rstrip().rstrip(","), sel
+
+    lang_ctes, lang_sel = split_parts(_langid_oracle(), "\nSELECT doc_id,")
+    clf_ctes, clf_sel = split_parts(
+        _quality_classifier_oracle(), "\nSELECT d.doc_id,"
+    )
+    mh_ctes, mh_sel = split_parts(ORACLE_MINHASH_PAIRS, "\nSELECT c.doc_a,")
+    return f"""
+WITH {_TOK_CTE.lstrip()},
+{lang_ctes},
+lang AS ({lang_sel}),
+{clf_ctes},
+clf AS ({clf_sel}),
+exact_h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+exact_g AS (
+  SELECT content_hash, min(doc_id) AS canonical_id
+  FROM exact_h GROUP BY content_hash
+),
+{mh_ctes},
+jac AS ({mh_sel}),
+nd_drop AS (
+  SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard_micro >= {j_thresh}
+)
+SELECT d.doc_id, c.clf_margin_micro
+FROM documents d
+JOIN lang l ON l.doc_id = d.doc_id
+JOIN clf c ON c.doc_id = d.doc_id
+JOIN exact_h h ON h.doc_id = d.doc_id
+JOIN exact_g g ON g.content_hash = h.content_hash
+WHERE l.predicted_lang = 'en'
+  AND c.clf_score >= 0
+  AND g.canonical_id = d.doc_id
+  AND d.doc_id NOT IN (SELECT doc_id FROM nd_drop)
+ORDER BY d.doc_id"""
+
+
 CURATE_TOP2_MAX = 250_000  # drop docs whose top 2-gram covers > 25% of chars
 
 
@@ -3566,6 +3648,7 @@ DATA_QUERIES = {
     "embedding_semdedup": q_embedding_semdedup,
     "url_robots_filter": q_url_robots_filter,
     "text_readability": q_text_readability,
+    "curate_corpus_clf": q_curate_corpus_clf,
 }
 
 
@@ -3609,6 +3692,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "embedding_semdedup": _semdedup_oracle(),
         "url_robots_filter": ORACLE_URL_ROBOTS,
         "text_readability": ORACLE_READABILITY,
+        "curate_corpus_clf": _curate_clf_oracle(),
         "curate_corpus": _curate_oracle(),
         "curate_corpus_gopher": _curate_gopher_oracle(),
         "url_dedup": ORACLE_URL_DEDUP,
