@@ -154,6 +154,47 @@ def bpe_merges(
     return out.repartition(1).sortWithinPartitions("merge_rank")
 
 
+def _trained_vocab(
+    docs: DataFrame, key: str, text_col: str, n_merges: int
+) -> DataFrame:
+    """(token, n_sub, cnt): the word dict rewritten under the first
+    ``n_merges`` trained rules — the word -> subword-count lookup both
+    encode-side consumers share. A merge round past pair exhaustion
+    yields a NULL winner and keeps the dict unchanged (encode-side
+    equivalent of training's "stop when dry")."""
+    wf = word_freq_dict(docs, key, text_col)
+    d = wf.select(
+        F.col("word").alias("token"), _encode("word").alias("s"), "cnt"
+    ).localCheckpoint(eager=False)
+    for _ in range(n_merges):
+        best = _best_pair(_pair_counts(d.select("s", "cnt")))
+        d = (
+            d.crossJoin(F.broadcast(best))
+            .select(
+                "token",
+                F.when(F.col("l").isNull(), F.col("s"))
+                .otherwise(
+                    F.replace(
+                        F.col("s"),
+                        F.concat(F.lit("|"), F.col("l"), F.lit("||"),
+                                 F.col("r"), F.lit("|")),
+                        F.concat(F.lit("|"), F.col("l"), F.col("r"),
+                                 F.lit("|")),
+                    )
+                )
+                .alias("s"),
+                "cnt",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return d.select(
+        "token",
+        F.expr(r"size(split(trim(BOTH '|' FROM s), '\\|\\|'))")
+        .cast("long").alias("n_sub"),
+        "cnt",
+    )
+
+
 def bpe_encode(
     docs: DataFrame,
     key: str,
@@ -185,37 +226,7 @@ def bpe_encode(
     from .skewjoin import skew_safe_count_join
     from .textstats import doc_term_tf
 
-    wf = word_freq_dict(docs, key, text_col)
-    d = wf.select(
-        F.col("word").alias("token"), _encode("word").alias("s"), "cnt"
-    ).localCheckpoint(eager=False)
-    for _ in range(n_merges):
-        best = _best_pair(_pair_counts(d.select("s", "cnt")))
-        d = (
-            d.crossJoin(F.broadcast(best))
-            .select(
-                "token",
-                F.when(F.col("l").isNull(), F.col("s"))
-                .otherwise(
-                    F.replace(
-                        F.col("s"),
-                        F.concat(F.lit("|"), F.col("l"), F.lit("||"),
-                                 F.col("r"), F.lit("|")),
-                        F.concat(F.lit("|"), F.col("l"), F.col("r"),
-                                 F.lit("|")),
-                    )
-                )
-                .alias("s"),
-                "cnt",
-            )
-            .localCheckpoint(eager=False)
-        )
-    vocab = d.select(
-        "token",
-        F.expr(r"size(split(trim(BOTH '|' FROM s), '\\|\\|'))")
-        .cast("long").alias("n_sub"),
-        "cnt",
-    )
+    vocab = _trained_vocab(docs, key, text_col, n_merges)
     tf = doc_term_tf(docs, key, text_col)
     joined = skew_safe_count_join(tf, "token", vocab, "cnt")
     return (
@@ -227,4 +238,56 @@ def bpe_encode(
                 "CAST(sum(tf * n_sub) * 1000000 div sum(tf) AS BIGINT)"
             ).alias("tokens_per_word_micro"),
         )
+    )
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    key: str,
+    group_col: str,
+    text_col: str = "text",
+    n_merges: int = N_MERGES,
+) -> DataFrame:
+    """(group, n_words, n_bpe_tokens, n_chars, subwords_per_word_micro,
+    chars_per_subword_micro): tokenizer FERTILITY profile per corpus slice
+    (language, source, domain): how many subwords the trained BPE spends
+    per word and how many characters each subword carries — the numbers a
+    tokenizer-budget review reads before fixing a vocab size (fertility
+    gaps across languages are the classic multilingual-tokenizer failure).
+
+    Composition of the bpe_encode machinery: merges train once on the
+    word-frequency dict; the per-slice rollup rides the same map-side RLE
+    (doc, token, tf) table through the same hot/cold skew join — the
+    grouping column is CARRIED in the doc key struct, so no corpus-scale
+    join-back is ever needed (the source_quality_profile carry-column
+    pattern). Integer-exact: floor-div micros of exact bigint sums."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    from .skewjoin import skew_safe_count_join
+    from .textstats import doc_term_tf
+
+    vocab = _trained_vocab(docs, key, text_col, n_merges)
+    carried = docs.select(
+        F.struct(F.col(key).alias("id"), F.col(group_col).alias("grp")).alias(
+            "_dockey"
+        ),
+        F.col(text_col).alias(text_col),
+    )
+    tf = doc_term_tf(carried, "_dockey", text_col)
+    joined = skew_safe_count_join(tf, "token", vocab, "cnt")
+    return (
+        joined.groupBy(F.col("doc.grp").alias(group_col))
+        .agg(
+            F.sum("tf").cast("long").alias("n_words"),
+            F.expr("CAST(sum(tf * n_sub) AS BIGINT)").alias("n_bpe_tokens"),
+            F.expr("CAST(sum(tf * length(token)) AS BIGINT)").alias("n_chars"),
+            F.expr(
+                "CAST(sum(tf * n_sub) * 1000000 div sum(tf) AS BIGINT)"
+            ).alias("subwords_per_word_micro"),
+            F.expr(
+                "CAST(sum(tf * length(token)) * 1000000 div sum(tf * n_sub)"
+                " AS BIGINT)"
+            ).alias("chars_per_subword_micro"),
+        )
+        .orderBy(group_col)
     )

@@ -3570,6 +3570,36 @@ SELECT doc_id, n_words, n_sentences, n_syllables,
 FROM rd_f ORDER BY doc_id"""
 
 
+def q_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility per language under the corpus-trained BPE:
+    subwords/word and chars/subword per lang slice — the multilingual
+    vocab-budget review table."""
+    return B.bpe_fertility(
+        _docs(spark, sf_dir), key="doc_id", group_col="lang",
+        n_merges=B.N_MERGES,
+    )
+
+
+def _bpe_fertility_oracle(n_merges: int = B.N_MERGES) -> str:
+    """Reuses the bpe_encode oracle's trained-vocab CTE chain verbatim
+    (single source of truth), swapping only the final rollup select."""
+    base = _bpe_encode_oracle(n_merges)
+    ctes = base.rsplit("\nSELECT t.doc_id AS doc,", 1)[0]
+    return (
+        ctes
+        + """
+SELECT d.lang, count(*)::BIGINT AS n_words,
+       CAST(sum(v.n_sub) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(length(t.w)) AS BIGINT) AS n_chars,
+       CAST(sum(v.n_sub) * 1000000 // count(*) AS BIGINT)
+         AS subwords_per_word_micro,
+       CAST(sum(length(t.w)) * 1000000 // sum(v.n_sub) AS BIGINT)
+         AS chars_per_subword_micro
+FROM toks t JOIN vocab v USING (w) JOIN documents d ON d.doc_id = t.doc_id
+GROUP BY d.lang ORDER BY d.lang"""
+    )
+
+
 DATA_QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
@@ -3649,6 +3679,7 @@ DATA_QUERIES = {
     "url_robots_filter": q_url_robots_filter,
     "text_readability": q_text_readability,
     "curate_corpus_clf": q_curate_corpus_clf,
+    "bpe_fertility": q_bpe_fertility,
 }
 
 
@@ -3693,6 +3724,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "url_robots_filter": ORACLE_URL_ROBOTS,
         "text_readability": ORACLE_READABILITY,
         "curate_corpus_clf": _curate_clf_oracle(),
+        "bpe_fertility": _bpe_fertility_oracle(),
         "curate_corpus": _curate_oracle(),
         "curate_corpus_gopher": _curate_gopher_oracle(),
         "url_dedup": ORACLE_URL_DEDUP,
