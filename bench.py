@@ -150,6 +150,10 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "cap_per_host",  # exact two-level salted top-k per host (round 6)
         "text_bigram_novelty",  # first-seen table + skew-split join (round 6)
         "embedding_kmeans_step",  # broadcast argmin + one wide agg (round 6)
+        "quality_classifier_score",  # zero-shuffle hashed linear filter (round 6)
+        "dsir_importance",  # hashed-bigram importance, broadcast ratio probe (round 6)
+        "embedding_semdedup",  # broadcast-centroid assign + in-cluster pairs (round 6)
+        "cms_heavy_hitters",  # count-min sketch, broadcast counter table (round 6)
         "tpch_pricing_summary",
         "tpch_revenue_forecast",  # Q6 pure pushed-down scan baseline (round 6)
         "tpch_waiting_suppliers",  # Q21 via two-level aggregation (round 6)

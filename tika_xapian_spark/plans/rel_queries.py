@@ -724,6 +724,46 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
 ORDER BY purchase_id, click_id"""
 
 
+def q_events_stream_kmv(spark, sf_dir):
+    """Distinct-user KMV sketch as a custom STATEFUL streaming operator
+    (streaming/sketch_stream.py): per event-type state is the k smallest
+    distinct user hashes — constant size, exactly mergeable across
+    micro-batches — finalized by a per-type sentinel across a checkpointed
+    restart. The final sketch equals the batch sketch over the same rows,
+    so a plain-SQL oracle gates the streaming path."""
+    from ..streaming.sketch_stream import run_stream_kmv
+    from .workdirs import work_dir
+
+    work = work_dir("stream_kmv", f"{sf_dir}/events.parquet", fresh=True)
+    return (
+        run_stream_kmv(spark, f"{sf_dir}/events.parquet", work)
+        .orderBy("event_type")
+        .localCheckpoint()
+    )
+
+
+ORACLE_EVENTS_STREAM_KMV = """
+WITH kmv_h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+),
+kmv_ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM kmv_h
+),
+kmv_agg AS (
+  SELECT event_type, max(h) AS h_k, count(*) AS n_mins
+  FROM kmv_ranked WHERE rn <= 16 GROUP BY event_type
+)
+SELECT event_type,
+       CAST(CASE WHEN n_mins < 16 THEN n_mins
+            ELSE floor(15.0 * 1152921504606846976.0 / h_k) END AS BIGINT)
+         AS kmv_estimate
+FROM kmv_agg ORDER BY event_type"""
+
+
 def q_events_trailing_window(spark, sf_dir):
     """RANGE-frame window — the time-based sliding frame ROWS frames can't
     express: per event, the same user's event count and spend over the
@@ -1969,6 +2009,7 @@ REL_QUERIES = {
     "events_asof_attribution": q_events_asof_attribution,
     "tpch_nation_volume": q_tpch_nation_volume,
     "events_stream_interval_join": q_events_stream_interval_join,
+    "events_stream_kmv": q_events_stream_kmv,
     "events_pivot": q_events_pivot,
     "events_trailing_window": q_events_trailing_window,
     "tpch_rollup_revenue": q_tpch_rollup_revenue,
@@ -2015,6 +2056,7 @@ def rel_oracle_sqls() -> dict[str, str]:
         "events_asof_attribution": ORACLE_EVENTS_ASOF,
         "tpch_nation_volume": ORACLE_TPCH_NATION_VOLUME,
         "events_stream_interval_join": ORACLE_EVENTS_INTERVAL_JOIN,
+        "events_stream_kmv": ORACLE_EVENTS_STREAM_KMV,
         "events_pivot": ORACLE_EVENTS_PIVOT,
         "events_trailing_window": ORACLE_EVENTS_TRAILING,
         "tpch_rollup_revenue": ORACLE_TPCH_ROLLUP,
