@@ -807,3 +807,11 @@ class TestBpePlan:
         )
         merged = wf.crossJoin(FF.broadcast(_best_pair(_pair_counts(wf))))
         assert "BroadcastNestedLoopJoin" in plan_of(merged)
+
+
+class TestSemDedupSeedGuard:
+    def test_missing_or_duplicate_seed_raises(self, spark):
+        rows = [(i, [float(i % 7) / 7.0] * 64) for i in range(1, 20)]  # no id 0
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="seed id"):
+            SIM.semdedup(df, k=4)

@@ -234,3 +234,33 @@ class TestCanonicalFuzz:
         )
         for r in twice.collect():
             assert r["c2"] == r["c1"], (r["url"], r["c1"], r["c2"])
+
+
+class TestRobotsFilter:
+    def test_http_and_port_paths_align(self, spark):
+        """path_q must come structurally from the canonical authority — an
+        http scheme or a retained non-default port must not misalign the
+        prefix match (the hardcoded-'https://' skip bug)."""
+        from tika_xapian_spark.operators.weburl import robots_filter
+
+        urls = spark.createDataFrame(
+            [
+                ("http://plain.com/private/x",),
+                ("https://ported.com:8080/private/x",),
+                ("https://ok.com/public/x",),
+            ],
+            "url string",
+        )
+        rules = spark.createDataFrame(
+            [
+                ("plain.com", "/private", False),
+                ("ported.com", "/private", False),
+                ("ok.com", "/private", False),
+            ],
+            "host string, path_prefix string, allow boolean",
+        )
+        out = {r.url: r for r in robots_filter(urls, "url", rules).collect()}
+        assert out["http://plain.com/private/x"].allowed == 0
+        assert out["https://ported.com:8080/private/x"].allowed == 0
+        assert out["https://ok.com/public/x"].allowed == 1
+        assert out["http://plain.com/private/x"].matched_prefix == "/private"

@@ -643,7 +643,6 @@ def semdedup(
     vec_col: str = "embedding",
     k: int = SEMDEDUP_K,
     tau_micro: int = SEMDEDUP_TAU_MICRO,
-    dim: int = 64,
 ) -> DataFrame:
     """(vec_id, cluster, max_lower_cos_micro, n_dups_lower, keep): semantic
     deduplication (SemDeDup, Abbas et al. 2023): cluster the embedding
@@ -672,6 +671,18 @@ def semdedup(
             f"CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
         ).alias("v"),
     )
+    # loud seed guard: a missing id in [0,k) would make its 1-row centroid
+    # crossJoin a 0-row frame and ANNIHILATE the whole corpus silently (a
+    # duplicated id would row-multiply it). The check is one bounded
+    # pushed-filter scan collecting <= k ids.
+    seed_ids = sorted(
+        r[0] for r in iv.filter(F.col("vid") < k).select("vid").collect()
+    )
+    if seed_ids != list(range(k)):
+        raise ValueError(
+            f"semdedup needs exactly one vector for every seed id in "
+            f"[0,{k}); found {seed_ids}"
+        )
     assigned = iv
     for j in range(k):
         cj = F.broadcast(

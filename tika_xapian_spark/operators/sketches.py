@@ -17,11 +17,11 @@ you would keep only the sketch side.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .textstats import doc_term_tf
+from .textstats import doc_term_tf, hash60_sql
 
 CMS_DEPTH = 3
 CMS_WIDTH = 32
@@ -30,10 +30,9 @@ KMV_K = 16
 KMV_SPACE = float(16**15)
 
 
-def _hash60(col_sql: str) -> str:
-    """SQL fragment: uniform 60-bit hash of a string expression (the
-    conv(md5) trick — DuckDB mirror is ('0x'||substr(md5(x),1,15))::BIGINT)."""
-    return f"cast(conv(substr(md5({col_sql}),1,15),16,10) as bigint)"
+# one shared definition with the classifier/DSIR feature hash — the DuckDB
+# mirrors of all of them must stay bit-identical (textstats.hash60_sql)
+_hash60 = hash60_sql
 
 
 def cms_heavy_hitters(

@@ -991,6 +991,14 @@ def cooccurrence_pmi(
 
 
 # ------------------------------------------------------- quality classifier
+def hash60_sql(col_sql: str) -> str:
+    """SQL fragment: uniform 60-bit hash of a string expression (the
+    conv(md5) trick). The DuckDB oracle mirror is
+    ``('0x'||substr(md5(x),1,15))::BIGINT`` — the two must stay
+    bit-identical, so every operator shares this one definition."""
+    return f"cast(conv(substr(md5({col_sql}),1,15),16,10) as bigint)"
+
+
 
 CLF_BUCKETS = 64
 CLF_WEIGHT_MOD = 2001  # weights land in [-1000, 1000]
@@ -1000,10 +1008,7 @@ def _clf_weight_sql(term_sql: str, n_buckets: int) -> str:
     """SQL fragment: the classifier weight of one token — feature bucket by
     md5, weight by a second md5 of the bucket id. Identical algebra runs in
     the DuckDB oracle (conv(hex,16,10) == ('0x'||hex)::BIGINT)."""
-    bucket = (
-        f"pmod(cast(conv(substr(md5({term_sql}),1,15),16,10) as bigint), "
-        f"{n_buckets})"
-    )
+    bucket = f"pmod({hash60_sql(term_sql)}, {n_buckets})"
     return (
         f"(pmod(cast(conv(substr(md5(concat('w', cast({bucket} as string))),"
         f"1,8),16,10) as bigint), {CLF_WEIGHT_MOD}) - 1000)"
@@ -1100,10 +1105,9 @@ def dsir_importance(
         .select(
             F.col("doc.id").alias("doc"),
             F.col("doc.tgt").alias("tgt"),
-            F.expr(
-                f"pmod(cast(conv(substr(md5(token),1,15),16,10) as bigint),"
-                f" {n_buckets})"
-            ).alias("bucket"),
+            F.expr(f"pmod({hash60_sql('token')}, {n_buckets})").alias(
+                "bucket"
+            ),
             "tf",
         )
         .localCheckpoint(eager=False)  # consumers: raw counts, target
@@ -1125,6 +1129,12 @@ def dsir_importance(
     spine = docs.sparkSession.range(n_buckets).select(
         F.col("id").cast("long").alias("bucket")
     )
+    # per-bucket log ratio quantized to integer NANO units in one
+    # deterministic per-row expression (B rows): the per-doc accumulation
+    # then sums exact bigints, so no cross-row double summation whose
+    # order could flip a rounded micro between engines (the
+    # embedding_label_similarity rule — log2's last ulp stays confined to
+    # the single scalar quantization)
     lr = (
         spine.join(cr, "bucket", "left")
         .join(ct, "bucket", "left")
@@ -1132,12 +1142,17 @@ def dsir_importance(
         .crossJoin(t_tot)
         .select(
             "bucket",
-            (
-                F.log2(F.coalesce(F.col("c_t"), F.lit(0)) + 1)
-                - F.log2(F.col("_tt") + n_buckets)
-                - F.log2(F.coalesce(F.col("c_r"), F.lit(0)) + 1)
-                + F.log2(F.col("_rt") + n_buckets)
-            ).alias("w"),
+            F.round(
+                (
+                    F.log2(F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                    - F.log2(F.col("_tt") + n_buckets)
+                    - F.log2(F.coalesce(F.col("c_r"), F.lit(0)) + 1)
+                    + F.log2(F.col("_rt") + n_buckets)
+                )
+                * 1_000_000_000
+            )
+            .cast("long")
+            .alias("w_nano"),
         )
     )
     return (
@@ -1145,10 +1160,13 @@ def dsir_importance(
         .groupBy("doc")
         .agg(
             F.sum("tf").cast("long").alias("n_feats"),
-            F.round(F.sum(F.col("tf") * F.col("w")) * 1_000_000)
+            F.round(F.sum(F.col("tf") * F.col("w_nano")) / 1_000.0)
             .cast("long")
             .alias("dsir_logw_micro"),
-            F.round(F.sum(F.col("tf") * F.col("w")) / F.sum("tf") * 1_000_000)
+            F.round(
+                F.sum(F.col("tf") * F.col("w_nano"))
+                / (F.lit(1_000.0) * F.sum("tf"))
+            )
             .cast("long")
             .alias("dsir_per_feat_micro"),
         )

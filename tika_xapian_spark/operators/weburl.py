@@ -281,8 +281,17 @@ def robots_filter(
         canonical_url(url_col).alias("canonical_url"),
         host_of(url_col).alias("host"),
     ).withColumn(
+        # path+query extracted STRUCTURALLY from the canonical form (first
+        # '/' after the authority — which may keep a non-default port and
+        # any scheme), never by skipping a hardcoded 'https://'+host
+        # prefix: an http or :8080 canonical would misalign that skip and
+        # silently report every rule as non-matching
         "path_q",
-        F.expr("substring(canonical_url, length(concat('https://', host)) + 1)"),
+        F.regexp_extract(
+            F.col("canonical_url"),
+            r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/.*)$",
+            1,
+        ),
     )
     matched = canon.join(F.broadcast(rules), "host", "left").withColumn(
         "_hit",

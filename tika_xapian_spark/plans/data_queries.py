@@ -1167,20 +1167,26 @@ def q_curate_corpus(spark, sf_dir):
     )
 
 
+def _split_oracle_parts(sql: str, select_marker: str):
+    """Split a standalone oracle's SQL into (cte_chain, final_select) for
+    CTE-splicing into a composed oracle — the single definition all
+    curate_* compositions share: everything after the shared _TOK_CTE up
+    to the final select becomes reusable CTE text; the final select loses
+    its ORDER BY (the composed oracle orders once at the end)."""
+    tokc = _TOK_CTE.strip()
+    rest = sql.split(tokc, 1)[1].lstrip(",\n")
+    ctes, sel = rest.rsplit(select_marker, 1)
+    sel = (select_marker.lstrip("\n") + sel).rsplit("ORDER BY", 1)[0]
+    return ctes.rstrip().rstrip(","), sel
+
+
 def _curate_oracle(
     q_thresh: int = CURATE_QUALITY_MIN, j_thresh: int = CURATE_JACCARD_MIN
 ) -> str:
     """Composed from the published standalone oracle texts (langid, quality,
     minhash pairs) by splitting out their CTE chains — single source of
     truth; if a stage oracle changes, this one follows."""
-    tokc = _TOK_CTE.strip()
-
-    def split_parts(sql: str, select_marker: str):
-        rest = sql.split(tokc, 1)[1].lstrip(",\n")
-        ctes, sel = rest.rsplit(select_marker, 1)
-        sel = (select_marker.lstrip("\n") + sel).rsplit("ORDER BY", 1)[0]
-        return ctes.rstrip().rstrip(","), sel
-
+    split_parts = _split_oracle_parts
     lang_ctes, lang_sel = split_parts(_langid_oracle(), "\nSELECT doc_id,")
     q_ctes, q_sel = split_parts(_quality_oracle(), "\nSELECT doc_id,")
     mh_ctes, mh_sel = split_parts(ORACLE_MINHASH_PAIRS, "\nSELECT c.doc_a,")
@@ -1253,14 +1259,7 @@ def q_curate_corpus_clf(spark, sf_dir):
 def _curate_clf_oracle(j_thresh: int = CURATE_JACCARD_MIN) -> str:
     """Spliced from the standalone langid / classifier / minhash oracle
     texts — same machinery as _curate_oracle (single source of truth)."""
-    tokc = _TOK_CTE.strip()
-
-    def split_parts(sql: str, select_marker: str):
-        rest = sql.split(tokc, 1)[1].lstrip(",\n")
-        ctes, sel = rest.rsplit(select_marker, 1)
-        sel = (select_marker.lstrip("\n") + sel).rsplit("ORDER BY", 1)[0]
-        return ctes.rstrip().rstrip(","), sel
-
+    split_parts = _split_oracle_parts
     lang_ctes, lang_sel = split_parts(_langid_oracle(), "\nSELECT doc_id,")
     clf_ctes, clf_sel = split_parts(
         _quality_classifier_oracle(), "\nSELECT d.doc_id,"
@@ -1346,14 +1345,7 @@ def _curate_gopher_oracle(
     """Spliced from the standalone langid / gopher_quality /
     gopher_repetition / minhash-pairs oracle texts (same machinery as
     _curate_oracle)."""
-    tokc = _TOK_CTE.strip()
-
-    def split_parts(sql: str, select_marker: str):
-        rest = sql.split(tokc, 1)[1].lstrip(",\n")
-        ctes, sel = rest.rsplit(select_marker, 1)
-        sel = (select_marker.lstrip("\n") + sel).rsplit("ORDER BY", 1)[0]
-        return ctes.rstrip().rstrip(","), sel
-
+    split_parts = _split_oracle_parts
     lang_ctes, lang_sel = split_parts(_langid_oracle(), "\nSELECT doc_id,")
     gq_ctes, gq_sel = split_parts(_gopher_quality_oracle(), "\nSELECT doc_id,")
     rep_ctes, rep_sel = split_parts(ORACLE_GOPHER_REP, "\nSELECT d.doc_id,")
@@ -1598,14 +1590,7 @@ def q_curate_corpus_ccnet(spark, sf_dir):
 def _curate_ccnet_oracle() -> str:
     """Spliced from the standalone langid / ppl-bucket oracle texts (same
     machinery as _curate_oracle — single source of truth)."""
-    tokc = _TOK_CTE.strip()
-
-    def split_parts(sql: str, select_marker: str):
-        rest = sql.split(tokc, 1)[1].lstrip(",\n")
-        ctes, sel = rest.rsplit(select_marker, 1)
-        sel = (select_marker.lstrip("\n") + sel).rsplit("ORDER BY", 1)[0]
-        return ctes.rstrip().rstrip(","), sel
-
+    split_parts = _split_oracle_parts
     lang_ctes, lang_sel = split_parts(_langid_oracle(), "\nSELECT doc_id,")
     ppl_ctes, ppl_sel = split_parts(ORACLE_PPL_BUCKETS, "\nSELECT lp.doc_id,")
     return f"""
@@ -3384,16 +3369,18 @@ dsir_tot AS (
 ),
 dsir_lr AS (
   SELECT b.bucket,
-         log2(coalesce(ct.c_t, 0) + 1) - log2(t.t_tot + {n_buckets})
-           - log2(coalesce(cr.c_r, 0) + 1) + log2(t.r_tot + {n_buckets}) AS w
+         CAST(round((log2(coalesce(ct.c_t, 0) + 1) - log2(t.t_tot + {n_buckets})
+           - log2(coalesce(cr.c_r, 0) + 1) + log2(t.r_tot + {n_buckets}))
+           * 1000000000) AS BIGINT) AS w_nano
   FROM (SELECT unnest(range({n_buckets})) AS bucket) b
   LEFT JOIN dsir_cr cr ON cr.bucket = b.bucket
   LEFT JOIN dsir_ct ct ON ct.bucket = b.bucket, dsir_tot t
 )
 SELECT f.doc_id,
        sum(f.tf)::BIGINT AS n_feats,
-       CAST(round(sum(f.tf * l.w) * 1000000) AS BIGINT) AS dsir_logw_micro,
-       CAST(round(sum(f.tf * l.w) / sum(f.tf) * 1000000) AS BIGINT)
+       CAST(round(sum(f.tf * l.w_nano) / 1000.0) AS BIGINT)
+         AS dsir_logw_micro,
+       CAST(round(sum(f.tf * l.w_nano) / (1000.0 * sum(f.tf))) AS BIGINT)
          AS dsir_per_feat_micro
 FROM dsir_feats f JOIN dsir_lr l ON l.bucket = f.bucket
 GROUP BY f.doc_id ORDER BY f.doc_id"""
@@ -3407,7 +3394,7 @@ def q_cms_heavy_hitters(spark, sf_dir):
 
 
 def _cms_oracle(
-    depth: int = 3, width: int = 32, top_k: int = 20
+    depth: int = SK.CMS_DEPTH, width: int = SK.CMS_WIDTH, top_k: int = 20
 ) -> str:
     return f"""
 WITH {_TOK_CTE.lstrip()},
@@ -3446,8 +3433,8 @@ def q_kmv_distinct(spark, sf_dir):
     return SK.kmv_distinct(ev, group_col="event_type", value_col="user_id")
 
 
-def _kmv_oracle(k: int = 16) -> str:
-    space = float(16**15)
+def _kmv_oracle(k: int = SK.KMV_K) -> str:
+    space = SK.KMV_SPACE
     est = f"""CAST(CASE WHEN a.n_mins < {k} THEN a.n_mins
          ELSE floor({float(k - 1)} * {space} / a.h_k) END AS BIGINT)"""
     return f"""

@@ -742,7 +742,10 @@ def q_events_stream_kmv(spark, sf_dir):
     )
 
 
-ORACLE_EVENTS_STREAM_KMV = """
+def _stream_kmv_oracle() -> str:
+    from ..operators.sketches import KMV_K, KMV_SPACE
+
+    return f"""
 WITH kmv_h AS (
   SELECT DISTINCT event_type,
          ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
@@ -755,11 +758,11 @@ kmv_ranked AS (
 ),
 kmv_agg AS (
   SELECT event_type, max(h) AS h_k, count(*) AS n_mins
-  FROM kmv_ranked WHERE rn <= 16 GROUP BY event_type
+  FROM kmv_ranked WHERE rn <= {KMV_K} GROUP BY event_type
 )
 SELECT event_type,
-       CAST(CASE WHEN n_mins < 16 THEN n_mins
-            ELSE floor(15.0 * 1152921504606846976.0 / h_k) END AS BIGINT)
+       CAST(CASE WHEN n_mins < {KMV_K} THEN n_mins
+            ELSE floor({float(KMV_K - 1)} * {KMV_SPACE} / h_k) END AS BIGINT)
          AS kmv_estimate
 FROM kmv_agg ORDER BY event_type"""
 
@@ -2056,7 +2059,7 @@ def rel_oracle_sqls() -> dict[str, str]:
         "events_asof_attribution": ORACLE_EVENTS_ASOF,
         "tpch_nation_volume": ORACLE_TPCH_NATION_VOLUME,
         "events_stream_interval_join": ORACLE_EVENTS_INTERVAL_JOIN,
-        "events_stream_kmv": ORACLE_EVENTS_STREAM_KMV,
+        "events_stream_kmv": _stream_kmv_oracle(),
         "events_pivot": ORACLE_EVENTS_PIVOT,
         "events_trailing_window": ORACLE_EVENTS_TRAILING,
         "tpch_rollup_revenue": ORACLE_TPCH_ROLLUP,
