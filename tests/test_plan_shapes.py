@@ -809,6 +809,20 @@ class TestBpePlan:
         assert "BroadcastNestedLoopJoin" in plan_of(merged)
 
 
+class TestHardNegatives:
+    def test_banded_equijoin_different_labels(self, emb):
+        """The mining candidate generator must stay a (band, bucket)
+        equi-join — never a corpus cartesian — and every mined negative
+        must carry a different label than its anchor."""
+        df = SIM.hard_negatives(emb)
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        out = df.collect()
+        assert len(out) > 0
+        assert all(r.label != r.neg_label for r in out)
+
+
 class TestSemDedupSeedGuard:
     def test_missing_or_duplicate_seed_raises(self, spark):
         rows = [(i, [float(i % 7) / 7.0] * 64) for i in range(1, 20)]  # no id 0

@@ -733,3 +733,96 @@ def semdedup(
         )
         .orderBy(id_col)
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    bands: tuple[tuple[int, ...], ...] = EMB_PAIR_BANDS,
+) -> DataFrame:
+    """(vec_id, label, neg_id, neg_label, cos_micro): contrastive
+    hard-negative mining — for every anchor, the most similar vector with
+    a DIFFERENT label among its banded sign-LSH candidates (ties: lowest
+    neg_id). The mining stage behind contrastive/embedding training: in-
+    batch random negatives are easy; the hard ones live in the anchor's
+    own LSH neighborhood, which is exactly the candidate set this reuses.
+
+    Scale shape: identical to pairwise_cosine_dedup — the candidate
+    generator is the union over bands of equi-joins on (band, bucket), so
+    per-band blocks are n²/2^w, never a corpus cartesian; the per-anchor
+    argmax is one scalar groupBy (cosine computed once per unordered pair,
+    then both directions emitted). Anchors whose buckets contain no
+    different-label vector are omitted — at training time those anchors
+    simply take random negatives."""
+    with_bands = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lbl"),
+        _as_double(vec_col).alias("v"),
+        *[
+            sign_bucket(vec_col, dims).alias(f"bb{i}")
+            for i, dims in enumerate(bands)
+        ],
+    )
+    banded = with_bands.select(
+        "id",
+        "lbl",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.col(f"bb{i}").alias("bval")
+                    )
+                    for i in range(len(bands))
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "id", "lbl", "v",
+        F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"),
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("lbl").alias("lbl_a"),
+        F.col("v").alias("va"), "band", "bval",
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("lbl").alias("lbl_b"),
+        F.col("v").alias("vb"), "band", "bval",
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    pairs = (
+        a.join(b, ["band", "bval"])
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("lbl_a") != F.col("lbl_b")))
+        .select(
+            "id_a", "lbl_a", "id_b", "lbl_b",
+            F.round(cos * 1_000_000).cast("long").alias("cos_micro"),
+        )
+    )
+    both = pairs.selectExpr(
+        "id_a AS vid", "lbl_a AS label", "id_b AS neg_id",
+        "lbl_b AS neg_label", "cos_micro",
+    ).unionByName(
+        pairs.selectExpr(
+            "id_b AS vid", "lbl_b AS label", "id_a AS neg_id",
+            "lbl_a AS neg_label", "cos_micro",
+        )
+    )
+    best = both.groupBy("vid").agg(
+        F.max(
+            F.struct(
+                F.col("cos_micro").alias("c"),
+                (-F.col("neg_id")).alias("nneg"),
+                F.col("label").alias("l"),
+                F.col("neg_label").alias("nl"),
+            )
+        ).alias("w")
+    )
+    return best.select(
+        F.col("vid").alias(id_col),
+        F.col("w.l").alias(label_col),
+        (-F.col("w.nneg")).alias("neg_id"),
+        F.col("w.nl").alias("neg_label"),
+        F.col("w.c").alias("cos_micro"),
+    ).orderBy(id_col)

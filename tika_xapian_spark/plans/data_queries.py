@@ -657,6 +657,43 @@ ORDER BY cos_micro DESC, id_a, id_b
 LIMIT 20"""
 
 
+def q_embedding_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: per anchor, the most similar
+    DIFFERENT-label vector among its banded sign-LSH candidates
+    (operators/similarity.py::hard_negatives)."""
+    return SIM.hard_negatives(_emb(spark, sf_dir))
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH hn_banded AS (
+  {"  UNION ALL ".join(
+      f"SELECT vec_id, label, embedding, {i} AS band, "
+      f"({_bucket_sql('embedding', dims)}) AS bval FROM embeddings "
+      for i, dims in enumerate(SIM.EMB_PAIR_BANDS)
+  )}
+),
+hn_cand AS (
+  SELECT a.vec_id AS vid, a.label AS label,
+         b.vec_id AS neg_id, b.label AS neg_label,
+         CAST(round(
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+           * 1000000) AS BIGINT) AS cos_micro
+  FROM hn_banded a JOIN hn_banded b
+    ON a.band = b.band AND a.bval = b.bval
+   AND a.vec_id <> b.vec_id AND a.label <> b.label
+),
+hn_rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vid ORDER BY cos_micro DESC, neg_id ASC) AS rn
+  FROM (SELECT DISTINCT vid, label, neg_id, neg_label, cos_micro FROM hn_cand)
+)
+SELECT vid AS vec_id, label, neg_id, neg_label, cos_micro
+FROM hn_rk WHERE rn = 1 ORDER BY vec_id"""
+
+
 # --------------------------------------------------------------- textstats
 
 
@@ -3667,6 +3704,7 @@ DATA_QUERIES = {
     "text_readability": q_text_readability,
     "curate_corpus_clf": q_curate_corpus_clf,
     "bpe_fertility": q_bpe_fertility,
+    "embedding_hard_negatives": q_embedding_hard_negatives,
 }
 
 
@@ -3712,6 +3750,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "text_readability": ORACLE_READABILITY,
         "curate_corpus_clf": _curate_clf_oracle(),
         "bpe_fertility": _bpe_fertility_oracle(),
+        "embedding_hard_negatives": ORACLE_HARD_NEGATIVES,
         "curate_corpus": _curate_oracle(),
         "curate_corpus_gopher": _curate_gopher_oracle(),
         "url_dedup": ORACLE_URL_DEDUP,
