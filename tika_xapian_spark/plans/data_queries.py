@@ -1331,6 +1331,109 @@ WHERE l.predicted_lang = 'en'
 ORDER BY d.doc_id"""
 
 
+def q_quality_gate_matrix(spark, sf_dir):
+    """Per-doc agreement matrix of all four curation gates (classic
+    composite, Gopher rules + repetition cap, CCNet perplexity tercile,
+    classifier margin) — the ensemble view a Dolma-style pipeline consults
+    before picking its filter stack: which docs do the gates agree on, and
+    how many gates does each doc pass."""
+    docs = _docs(spark, sf_dir)
+    qual = T.quality_features(docs, key="doc_id").select(
+        F.col("doc").alias("doc_id"),
+        (F.col("quality_micro") >= CURATE_QUALITY_MIN)
+        .cast("int")
+        .alias("passes_classic"),
+    )
+    gq = T.gopher_quality(docs, key="doc_id", min_stop=1).select(
+        F.col("doc").alias("doc_id"), "passes"
+    )
+    rep = T.gopher_repetition(docs, key="doc_id").select(
+        F.col("doc").alias("doc_id"), "top_2gram_char_frac_micro"
+    )
+    ppl = T.ppl_buckets(docs, key="doc_id").select(
+        F.col("doc").alias("doc_id"),
+        (F.col("bucket") != "tail").cast("int").alias("passes_ccnet"),
+    )
+    clf = T.quality_classifier(docs, key="doc_id").select(
+        F.col("doc").alias("doc_id"),
+        (F.col("clf_score") >= 0).cast("int").alias("passes_clf"),
+    )
+    n = (
+        F.col("passes_classic")
+        + F.col("passes_gopher")
+        + F.col("passes_ccnet")
+        + F.col("passes_clf")
+    )
+    return (
+        qual.join(gq, "doc_id")
+        .join(rep, "doc_id")
+        .withColumn(
+            "passes_gopher",
+            (
+                (F.col("passes") == 1)
+                & (F.col("top_2gram_char_frac_micro") <= CURATE_TOP2_MAX)
+            ).cast("int"),
+        )
+        .join(ppl, "doc_id")
+        .join(clf, "doc_id")
+        .select(
+            "doc_id",
+            "passes_classic",
+            "passes_gopher",
+            "passes_ccnet",
+            "passes_clf",
+            n.cast("long").alias("n_gates_passed"),
+            (n == 4).cast("int").alias("all_pass"),
+        )
+        .transform(lambda d: _ordered_perdoc(d, "doc_id"))
+    )
+
+
+def _gate_matrix_oracle() -> str:
+    """All four gate conditions spliced from the standalone stage oracle
+    texts (single source of truth, same machinery as the curate_*
+    compositions)."""
+    split_parts = _split_oracle_parts
+    q_ctes, q_sel = split_parts(_quality_oracle(), "\nSELECT doc_id,")
+    g_ctes, g_sel = split_parts(_gopher_quality_oracle(), "\nSELECT doc_id,")
+    r_ctes, r_sel = split_parts(ORACLE_GOPHER_REP, "\nSELECT d.doc_id,")
+    p_ctes, p_sel = split_parts(ORACLE_PPL_BUCKETS, "\nSELECT lp.doc_id,")
+    c_ctes, c_sel = split_parts(
+        _quality_classifier_oracle(), "\nSELECT d.doc_id,"
+    )
+    n = (
+        "((q.quality_micro >= {qmin})::INT + (g.passes = 1 AND"
+        " r.top_2gram_char_frac_micro <= {top2})::INT +"
+        " (p.bucket <> 'tail')::INT + (c.clf_score >= 0)::INT)"
+    ).format(qmin=CURATE_QUALITY_MIN, top2=CURATE_TOP2_MAX)
+    return f"""
+WITH {_TOK_CTE.lstrip()},
+{q_ctes},
+qual AS ({q_sel}),
+{g_ctes},
+gq AS ({g_sel}),
+{r_ctes},
+grep AS ({r_sel}),
+{p_ctes},
+pplb AS ({p_sel}),
+{c_ctes},
+clf AS ({c_sel})
+SELECT q.doc_id,
+       (q.quality_micro >= {CURATE_QUALITY_MIN})::INT AS passes_classic,
+       (g.passes = 1 AND r.top_2gram_char_frac_micro <= {CURATE_TOP2_MAX})::INT
+         AS passes_gopher,
+       (p.bucket <> 'tail')::INT AS passes_ccnet,
+       (c.clf_score >= 0)::INT AS passes_clf,
+       {n}::BIGINT AS n_gates_passed,
+       ({n} = 4)::INT AS all_pass
+FROM qual q
+JOIN gq g ON g.doc_id = q.doc_id
+JOIN grep r ON r.doc_id = q.doc_id
+JOIN pplb p ON p.doc_id = q.doc_id
+JOIN clf c ON c.doc_id = q.doc_id
+ORDER BY q.doc_id"""
+
+
 CURATE_TOP2_MAX = 250_000  # drop docs whose top 2-gram covers > 25% of chars
 
 
@@ -3705,6 +3808,7 @@ DATA_QUERIES = {
     "curate_corpus_clf": q_curate_corpus_clf,
     "bpe_fertility": q_bpe_fertility,
     "embedding_hard_negatives": q_embedding_hard_negatives,
+    "quality_gate_matrix": q_quality_gate_matrix,
 }
 
 
@@ -3751,6 +3855,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "curate_corpus_clf": _curate_clf_oracle(),
         "bpe_fertility": _bpe_fertility_oracle(),
         "embedding_hard_negatives": ORACLE_HARD_NEGATIVES,
+        "quality_gate_matrix": _gate_matrix_oracle(),
         "curate_corpus": _curate_oracle(),
         "curate_corpus_gopher": _curate_gopher_oracle(),
         "url_dedup": ORACLE_URL_DEDUP,
