@@ -74,6 +74,19 @@ def main(argv: list[str] | None = None) -> int:
                     help="WAND candidate pruning for pure OR term queries (exact)")
     pq.add_argument("--master", default=None)
 
+    pe = sub.add_parser(
+        "explain",
+        help="print a registered query's executed plan + plan-lint verdicts "
+        "(exit 1 on a violation: cartesian / nested-loop / row-Python / "
+        "no-codegen)",
+    )
+    pe.add_argument("--query", required=True, help="registered query name")
+    pe.add_argument(
+        "--sf", default="/root/testdata/sf0.001", help="sf dir with the parquet tables"
+    )
+    pe.add_argument("--full", action="store_true", help="print the whole plan")
+    pe.add_argument("--master", default=None)
+
     args = p.parse_args(argv)
 
     from .session import get_spark
@@ -90,6 +103,22 @@ def main(argv: list[str] | None = None) -> int:
             from .streaming.resume import compact_stream_postings
 
             print(json.dumps(compact_stream_postings(spark, args.out, args.buckets)))
+        elif args.cmd == "explain":
+            import __spark_entry__ as entrymod
+
+            from .plans.planlint import lint_df
+
+            qs = entrymod.queries()
+            if args.query not in qs:
+                print(f"unknown query {args.query!r}", file=sys.stderr)
+                return 2
+            df = qs[args.query](spark, args.sf)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            rep = lint_df(df)
+            print(plan if args.full else "\n".join(plan.splitlines()[:40]))
+            print(json.dumps({"ok": rep.ok, "violations": rep.violations,
+                              "info": rep.info}))
+            return 0 if rep.ok else 1
         elif args.cmd == "curate":
             from pyspark.sql import functions as F
 
