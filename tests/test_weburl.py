@@ -264,3 +264,64 @@ class TestRobotsFilter:
         assert out["https://ported.com:8080/private/x"].allowed == 0
         assert out["https://ok.com/public/x"].allowed == 1
         assert out["http://plain.com/private/x"].matched_prefix == "/private"
+
+
+class TestRobotsPropertyVsPython:
+    def test_seeded_random_cases_match_python_reference(self, spark):
+        """500 seeded-random (url, rule-table) cases in ONE Spark job vs a
+        direct Python implementation of the RFC 9309 longest-match rule
+        (longest prefix wins; Allow beats Disallow on ties; default
+        allow). Urls are constructed already-canonical (no www/tracking/
+        fragment/default port/trailing slash) so the reference's
+        structural path+query equals the operator's canonical path."""
+        import random
+
+        from tika_xapian_spark.operators.weburl import robots_filter
+
+        rng = random.Random(20260818)
+        hosts = [f"h{i}.test" for i in range(5)]
+        segs = ["/a", "/ab", "/abc", "/b", "/b/c", "/c"]
+        rules_py: dict[str, list[tuple[str, bool]]] = {h: [] for h in hosts}
+        for h in hosts:
+            for p in rng.sample(segs, rng.randint(0, 4)):
+                rules_py[h].append((p, rng.random() < 0.5))
+            # a deliberate tie pair on one host: same prefix both ways
+            if rng.random() < 0.5:
+                rules_py[h] += [("/a", True), ("/a", False)]
+        urls = []
+        for i in range(500):
+            h = rng.choice(hosts)
+            scheme = rng.choice(["http", "https"])
+            port = rng.choice(["", ":8080"])
+            path = rng.choice(segs + ["/z", "/abcd"])
+            q = rng.choice(["", "?a=1"])
+            urls.append(f"{scheme}://{h}{port}{path}{q}")
+        urls = sorted(set(urls))
+
+        def ref(url):
+            rest = url.split("://", 1)[1]
+            hostport, slash, tail = rest.partition("/")
+            host = hostport.split(":")[0]
+            path_q = slash + tail
+            hits = [
+                (len(p), int(a), p)
+                for p, a in rules_py[host]
+                if path_q.startswith(p)
+            ]
+            if not hits:
+                return (1, "")
+            l, a, p = max(hits)
+            return (a, p)
+
+        udf = spark.createDataFrame([(u,) for u in urls], "url string")
+        rdf = spark.createDataFrame(
+            [(h, p, a) for h, rs in rules_py.items() for p, a in rs],
+            "host string, path_prefix string, allow boolean",
+        )
+        got = {
+            r.url: (r.allowed, r.matched_prefix)
+            for r in robots_filter(udf, "url", rdf).collect()
+        }
+        assert len(got) == len(urls)
+        for u in urls:
+            assert got[u] == ref(u), (u, got[u], ref(u), rules_py)
