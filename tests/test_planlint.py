@@ -67,3 +67,53 @@ class TestExplainCli:
         from tika_xapian_spark.__main__ import main
 
         assert main(["explain", "--query", "nope"]) == 2
+
+
+class TestRegistrySweep:
+    def test_no_cartesian_or_row_python_across_registry_slice(self, spark):
+        """Every cheap-to-construct registered query (plan build only, no
+        execution) must lint clean — institutionalizes the plan-shape bar
+        across the registry rather than only the hand-pinned operators.
+        Streaming/ANN/iterative queries are excluded: their *construction*
+        runs jobs (two-phase streams, written-index builds, checkpointed
+        rounds), which belongs to their own tests."""
+        import __spark_entry__ as entrymod
+
+        sf = "/root/testdata/sf0.001"
+        names = [
+            "dedup_exact", "dedup_minhash_signature", "dedup_minhash_pairs",
+            "dedup_ngram_pairs", "dedup_simhash_pairs", "text_simhash",
+            "decontaminate", "boilerplate_ngrams", "dedup_within_doc_lines",
+            "text_langid", "text_quality", "gopher_repetition",
+            "gopher_quality", "text_readability", "quality_classifier_score",
+            "dsir_importance", "cms_heavy_hitters", "kmv_user_distinct",
+            "text_unigram_logppl", "text_bigram_logppl", "tfidf_top_terms",
+            "text_char_entropy", "text_bigram_novelty", "vocab_coverage",
+            "cooccurrence_pmi", "url_dedup", "url_host_profile",
+            "url_robots_filter", "url_latest_snapshot", "embedding_top_pairs",
+            # embedding_label_similarity deliberately absent: its inequality
+            # self-join runs over the POST-AGGREGATION centroid table (k
+            # label rows), a bounded O(k²) BNLJ its docstring justifies —
+            # the linter can't see the side is label-bounded
+            "embedding_quantize",
+            "ann_cosine_topk", "ann_range_search", "doc_fingerprint",
+            "token_count", "sample_stratified", "mix_sources", "token_budget",
+            "tpch_pricing_summary", "tpch_top_customers", "tpch_region_revenue",
+            "tpch_shipping_priority", "tpch_local_supplier_volume",
+            "tpch_returned_items", "tpch_promo_revenue", "tpch_order_priority",
+            "tpch_nation_volume", "tpch_revenue_forecast",
+            "tpch_late_shipments", "tpch_market_share",
+            "tpch_waiting_suppliers", "tpch_product_profit",
+            "events_sessionized", "events_windowed", "events_funnel",
+            "events_pivot", "events_asof_attribution", "events_top_users",
+            "quality_gate_matrix", "embedding_hard_negatives",
+        ]
+        from tika_xapian_spark.plans.planlint import lint_df
+
+        qs = entrymod.queries()
+        bad = {}
+        for name in names:
+            rep = lint_df(qs[name](spark, sf))
+            if not rep.ok:
+                bad[name] = rep.violations
+        assert not bad, bad
