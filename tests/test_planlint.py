@@ -50,11 +50,21 @@ class TestLintRules:
 
 
 class TestExplainCli:
-    def test_explain_good_query_exits_zero(self, spark, capsys):
+    @staticmethod
+    def _no_stop(monkeypatch):
+        # main() stops the session it get_spark()'d — which IS the shared
+        # test session (getOrCreate). Killing it here would break every
+        # later test in the run.
+        from pyspark.sql import SparkSession
+
+        monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+
+    def test_explain_good_query_exits_zero(self, spark, capsys, monkeypatch):
         import json
 
         from tika_xapian_spark.__main__ import main
 
+        self._no_stop(monkeypatch)
         rc = main(
             ["explain", "--query", "quality_classifier_score",
              "--sf", "/root/testdata/sf0.001"]
@@ -63,9 +73,10 @@ class TestExplainCli:
         verdict = json.loads(out.strip().splitlines()[-1])
         assert rc == 0 and verdict["ok"]
 
-    def test_explain_unknown_query_exits_two(self, spark):
+    def test_explain_unknown_query_exits_two(self, spark, monkeypatch):
         from tika_xapian_spark.__main__ import main
 
+        self._no_stop(monkeypatch)
         assert main(["explain", "--query", "nope"]) == 2
 
 
