@@ -291,3 +291,44 @@ def token_budget_allocation(
              .otherwise(F.lit(0))).cast("bigint").alias("quota"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    key: str,
+    strata_col: str,
+    weight_col: str,
+    k: int = 20,
+    seed: str = "esample",
+) -> DataFrame:
+    """(key, stratum, weight, es_key_nano, rank): deterministic weighted
+    sampling WITHOUT replacement per stratum — Efraimidis–Spirakis (2006)
+    A-Res: each row draws u = hash-uniform(0,1) and ranks by u^(1/w); the
+    top-k per stratum is a weight-proportional sample. The ranking uses the
+    monotone log form ln(u)/w (larger = better), quantized to integer
+    NANO units so the cross-engine comparison is on exact integers.
+
+    This is the quality-weighted mixture draw of a curation pipeline
+    ("sample 1M docs per language, proportional to the quality score") with
+    hash-determinism: membership is a pure function of (key, seed, weight),
+    so retries, ablations and resumed runs pick the same rows. Zero-shuffle
+    key computation; one per-stratum rank window (for the two-level salted
+    form at jumbo strata, compose cap_per_group — same contract)."""
+    from pyspark.sql.window import Window
+
+    u = (sample_hash_micro(key, seed) + F.lit(0.5)) / F.lit(float(MICRO))
+    w = F.col(weight_col).cast("double") + F.lit(1.0)
+    es = docs.select(
+        F.col(key),
+        F.col(strata_col).alias("stratum"),
+        F.col(weight_col).alias("weight"),
+        F.floor(F.log(u) / w * 1_000_000_000).cast("long").alias("es_key_nano"),
+    )
+    win = Window.partitionBy("stratum").orderBy(
+        F.desc("es_key_nano"), F.asc(key)
+    )
+    return (
+        es.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .orderBy("stratum", "rank")
+    )

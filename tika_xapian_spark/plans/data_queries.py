@@ -1331,6 +1331,45 @@ WHERE l.predicted_lang = 'en'
 ORDER BY d.doc_id"""
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sampling without replacement: top-20
+    per language by u^(1/w) rank keys, w = quality score + 1 — the
+    deterministic quality-proportional mixture draw
+    (operators/sampling.py::weighted_sample)."""
+    from ..operators import sampling as SA
+
+    docs = _docs(spark, sf_dir)
+    qual = T.quality_features(docs, key="doc_id").select(
+        F.col("doc").alias("doc_id"), "quality_micro"
+    )
+    return SA.weighted_sample(
+        docs.select("doc_id", "lang").join(qual, "doc_id"),
+        key="doc_id",
+        strata_col="lang",
+        weight_col="quality_micro",
+    )
+
+
+def _sample_weighted_oracle(k: int = 20, seed: str = "esample") -> str:
+    q_ctes, q_sel = _split_oracle_parts(_quality_oracle(), "\nSELECT doc_id,")
+    return f"""
+WITH {_TOK_CTE.lstrip()},
+{q_ctes},
+qual AS ({q_sel}),
+es AS (
+  SELECT d.doc_id, d.lang AS stratum, q.quality_micro AS weight,
+         CAST(floor(
+           ln((((('0x' || substr(md5('{seed}:' || d.doc_id::VARCHAR), 1, 15))::BIGINT)
+                % 1000000) + 0.5) / 1000000.0)
+           / (q.quality_micro + 1.0) * 1000000000) AS BIGINT) AS es_key_nano
+  FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+)
+SELECT doc_id, stratum, weight, es_key_nano, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY stratum
+        ORDER BY es_key_nano DESC, doc_id ASC) AS rank FROM es)
+WHERE rank <= {k} ORDER BY stratum, rank"""
+
+
 def q_quality_gate_matrix(spark, sf_dir):
     """Per-doc agreement matrix of all four curation gates (classic
     composite, Gopher rules + repetition cap, CCNet perplexity tercile,
@@ -3809,6 +3848,7 @@ DATA_QUERIES = {
     "bpe_fertility": q_bpe_fertility,
     "embedding_hard_negatives": q_embedding_hard_negatives,
     "quality_gate_matrix": q_quality_gate_matrix,
+    "sample_weighted": q_sample_weighted,
 }
 
 
@@ -3856,6 +3896,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "bpe_fertility": _bpe_fertility_oracle(),
         "embedding_hard_negatives": ORACLE_HARD_NEGATIVES,
         "quality_gate_matrix": _gate_matrix_oracle(),
+        "sample_weighted": _sample_weighted_oracle(),
         "curate_corpus": _curate_oracle(),
         "curate_corpus_gopher": _curate_gopher_oracle(),
         "url_dedup": ORACLE_URL_DEDUP,
