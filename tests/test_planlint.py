@@ -96,7 +96,8 @@ class TestRegistrySweep:
             "dedup_ngram_pairs", "dedup_simhash_pairs", "text_simhash",
             "decontaminate", "boilerplate_ngrams", "dedup_within_doc_lines",
             "text_langid", "text_quality", "gopher_repetition",
-            "gopher_quality", "text_readability", "quality_classifier_score",
+            "gopher_quality", "text_readability", "c4_quality_filter",
+            "quality_classifier_score",
             "dsir_importance", "cms_heavy_hitters", "kmv_user_distinct",
             "text_unigram_logppl", "text_bigram_logppl", "tfidf_top_terms",
             "text_char_entropy", "text_bigram_novelty", "vocab_coverage",

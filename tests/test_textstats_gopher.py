@@ -326,3 +326,63 @@ class TestUnigramLogpplSkewSafe:
         # the occurrence stream itself is never a join input: tf is
         # run-length encoded map-side, so no Generate/explode feeds a join
         assert "Generate explode" not in plan, plan
+
+
+class TestC4Signals:
+    """C4 rules (Raffel et al. 2020) on crafted multi-line punctuated docs —
+    the shapes the synthetic corpus never produces — against hand-computed
+    truths, defaults (terminal punct required, 5-sentence floor)."""
+
+    @pytest.fixture(scope="class")
+    def c4(self, spark):
+        rows = [
+            # 3 lines: kept (punct+words), dropped (no terminal punct),
+            # dropped (javascript)
+            (1, "This line ends properly.\nno terminal punct here\n"
+                "enable javascript to continue."),
+            # lorem ipsum page + short lines
+            (2, "Lorem ipsum dolor sit amet.\nOk line two here."),
+            # curly brace page
+            (3, "function f() { return 1; }\nA real sentence follows here."),
+            # clean passing page: 5 sentences, all lines kept
+            (4, "One good sentence here. Another fine sentence too. "
+                "A third one lands. Fourth keeps going. Fifth closes it."),
+            # too few words per line despite punctuation
+            (5, "Too short.\nAlso no."),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc"]: r for r in T.c4_signals(df, key="doc_id").collect()}
+
+    def test_line_rules(self, c4):
+        r = c4[1]
+        assert r["n_lines"] == 3 and r["n_kept_lines"] == 1
+        # kept chars = len("This line ends properly.") = 24
+        total = 24 + len("no terminal punct here") + len(
+            "enable javascript to continue.")
+        assert r["kept_char_frac_micro"] == round(24 / total * 1_000_000)
+
+    def test_lorem_and_brace_flags(self, c4):
+        assert c4[2]["has_lorem"] == 1 and c4[2]["passes"] == 0
+        assert c4[3]["has_brace"] == 1 and c4[3]["passes"] == 0
+
+    def test_sentence_floor_and_pass(self, c4):
+        assert c4[4]["n_sentences"] == 5 and c4[4]["passes"] == 1
+        assert c4[1]["n_sentences"] == 2 and c4[1]["passes"] == 0
+
+    def test_min_line_words(self, c4):
+        assert c4[5]["n_kept_lines"] == 0 and c4[5]["passes"] == 0
+
+    def test_badword_tokens(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the dup word appears here today fine."),
+             (2, "a clean sentence with plenty of words here.")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc"]: r
+            for r in T.c4_signals(
+                df, key="doc_id", badwords=("dup",), min_sentences=1
+            ).collect()
+        }
+        assert out[1]["n_badword_hits"] == 1 and out[1]["passes"] == 0
+        assert out[2]["n_badword_hits"] == 0 and out[2]["passes"] == 1

@@ -1221,3 +1221,102 @@ def readability(docs: DataFrame, key: str, text_col: str = "text") -> DataFrame:
         .cast("long")
         .alias("flesch_micro"),
     )
+
+
+# ------------------------------------------------------------------ C4 rules
+
+# Page-level blocklist stand-in: the C4 release filters against the public
+# "List of Dirty, Naughty, Obscene..." list; shipping that list is neither
+# useful nor possible here, so the default carries the two C4 literals the
+# paper names explicitly ("lorem ipsum" placeholder text; pages are also
+# dropped on a curly brace). Callers substitute their corpus's list.
+C4_BADWORDS: tuple[str, ...] = ("lorem", "ipsum")
+C4_LINE_BADWORDS: tuple[str, ...] = ("javascript",)
+
+
+def c4_signals(
+    docs: DataFrame,
+    key: str,
+    text_col: str = "text",
+    badwords: tuple[str, ...] = C4_BADWORDS,
+    line_badwords: tuple[str, ...] = C4_LINE_BADWORDS,
+    min_line_words: int = 3,
+    min_sentences: int = 5,
+    require_terminal_punct: bool = True,
+) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2) as per-doc signals
+    plus the composite pass flag.
+
+    Line rules (a line is *kept* when all hold): ends in a terminal
+    punctuation mark (``.!?"``; disable with
+    ``require_terminal_punct=False`` for corpora without punctuation — the
+    gopher_quality ``min_stop`` precedent), has at least ``min_line_words``
+    words, and contains no ``line_badwords`` substring (the paper drops
+    lines with the word "javascript").
+
+    Page rules: at least ``min_sentences`` sentences ([.!?]+ runs), no
+    "lorem ipsum", no curly brace, no ``badwords`` token, and at least one
+    kept line.
+
+    Columns: doc, n_lines, n_kept_lines, kept_char_frac_micro,
+    n_sentences, has_lorem, has_brace, n_badword_hits, passes.
+
+    Signals are computed over the raw text (the paper filters then
+    re-assembles; this table is the review/filter stage, so it reports
+    per-page fractions instead of rewriting the text). Pure map-side
+    column algebra — two linear folds over the line array plus three
+    regexp/token counts per row, zero shuffles.
+    """
+    line_conds = []
+    if require_terminal_punct:
+        line_conds.append("rtrim(l) RLIKE '[.!?\"]$'")
+    line_conds.append(f"size(split(trim(l), ' +')) >= {min_line_words}")
+    for w in line_badwords:
+        line_conds.append(f"NOT contains(lower(l), '{w}')")
+    cond = " AND ".join(line_conds)
+    lines_sql = _lines_sql(text_col)
+    # one fold computes kept-line count and kept chars together; a second
+    # computes total line chars — both reference the line array only in
+    # outer (once-per-row) positions per the HOF-inlining rule
+    kept_sql = (
+        f"aggregate({lines_sql}, named_struct('n', 0L, 'c', 0L), "
+        f"(acc, l) -> IF({cond}, "
+        f"named_struct('n', acc.n + 1L, 'c', acc.c + length(l)), acc))"
+    )
+    total_sql = f"aggregate({lines_sql}, 0L, (acc, l) -> acc + length(l))"
+    staged = _with_tokens(docs, key, text_col).select(
+        "doc",
+        "text",
+        "toks",
+        F.expr(kept_sql).alias("_kept"),
+        F.expr(total_sql).alias("_total_chars"),
+        F.expr(f"size({lines_sql})").cast("long").alias("n_lines"),
+    )
+    bad_arr = F.array(*[F.lit(w) for w in badwords])
+    n_bad = F.size(F.array_intersect(bad_arr, F.col("toks")))
+    n_sentences = F.expr("size(regexp_extract_all(text, '[.!?]+', 0))")
+    has_lorem = F.expr("contains(lower(text), 'lorem ipsum')")
+    has_brace = F.expr("contains(text, '{')")
+    n_kept = F.col("_kept.n")
+    kept_frac = F.when(
+        F.col("_total_chars") > 0,
+        F.col("_kept.c").cast("double") / F.col("_total_chars"),
+    ).otherwise(F.lit(0.0))
+    passes = (
+        (n_sentences >= min_sentences)
+        & ~has_lorem
+        & ~has_brace
+        & (n_bad == 0)
+        & (n_kept > 0)
+    )
+    return staged.select(
+        "doc",
+        "n_lines",
+        n_kept.cast("long").alias("n_kept_lines"),
+        F.round(kept_frac * 1_000_000).cast("long").alias("kept_char_frac_micro"),
+        n_sentences.cast("long").alias("n_sentences"),
+        has_lorem.cast("int").alias("has_lorem"),
+        has_brace.cast("int").alias("has_brace"),
+        n_bad.cast("long").alias("n_badword_hits"),
+        passes.cast("int").alias("passes"),
+    )

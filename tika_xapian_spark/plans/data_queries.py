@@ -3766,7 +3766,96 @@ GROUP BY d.lang ORDER BY d.lang"""
     )
 
 
+# Corpus parameterization of the C4 rules (the gopher_quality min_stop
+# precedent): the synthetic documents carry no punctuation and no newlines,
+# so the terminal-punctuation and sentence-count rules are degenerate here —
+# they are disabled (require_terminal_punct=False, min_sentences=0) and the
+# discriminating rules are the badword blocklist ('dup' stands in for the
+# paper's list; ~14% of docs are badword-free at these lengths) and the
+# >=3-words-per-line floor.
+C4_DRIVER_BADWORDS = ("dup",)
+
+
+def q_c4_quality_filter(spark, sf_dir):
+    """C4 cleaning heuristics (Raffel et al. 2020): kept-line counts under
+    the terminal-punct/min-words/line-badword rules plus the page-level
+    lorem-ipsum / curly-brace / badword / sentence-count flags."""
+    return (
+        T.c4_signals(
+            _docs(spark, sf_dir),
+            key="doc_id",
+            badwords=C4_DRIVER_BADWORDS,
+            min_sentences=0,
+            require_terminal_punct=False,
+        )
+        .withColumnRenamed("doc", "doc_id")
+        .transform(lambda d: _ordered_perdoc(d, "doc_id"))
+    )
+
+
+def _c4_oracle(
+    badwords: tuple[str, ...] = C4_DRIVER_BADWORDS,
+    line_badwords: tuple[str, ...] = T.C4_LINE_BADWORDS,
+    min_line_words: int = 3,
+    min_sentences: int = 0,
+    require_terminal_punct: bool = False,
+) -> str:
+    conds = []
+    if require_terminal_punct:
+        conds.append("regexp_matches(rtrim(l), '[.!?\"]$')")
+    conds.append(
+        f"len(string_split_regex(trim(l), ' +')) >= {min_line_words}"
+    )
+    for w in line_badwords:
+        conds.append(f"NOT contains(lower(l), '{w}')")
+    cond = " AND ".join(conds)
+    bads = ", ".join(f"'{w}'" for w in badwords)
+    return f"""
+WITH {_TOK_CTE.lstrip()},
+c4_ln AS (
+  SELECT doc_id, l
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+  WHERE length(trim(l)) > 0
+),
+c4_ln_agg AS (
+  SELECT doc_id, count(*) AS n_lines,
+         count(*) FILTER (WHERE {cond}) AS n_kept,
+         coalesce(sum(length(l)), 0) AS total_chars,
+         coalesce(sum(length(l)) FILTER (WHERE {cond}), 0) AS kept_chars
+  FROM c4_ln GROUP BY doc_id
+),
+c4_bad AS (
+  SELECT doc_id, count(DISTINCT term) AS n_bad
+  FROM tok WHERE term IN ({bads}) GROUP BY doc_id
+),
+c4_feat AS (
+  SELECT d.doc_id,
+         coalesce(ln.n_lines, 0) AS n_lines,
+         coalesce(ln.n_kept, 0) AS n_kept,
+         coalesce(ln.total_chars, 0) AS total_chars,
+         coalesce(ln.kept_chars, 0) AS kept_chars,
+         len(regexp_extract_all(d.text, '[.!?]+')) AS n_sentences,
+         contains(lower(d.text), 'lorem ipsum') AS has_lorem,
+         contains(d.text, '{{') AS has_brace,
+         coalesce(b.n_bad, 0) AS n_bad
+  FROM documents d
+  LEFT JOIN c4_ln_agg ln ON ln.doc_id = d.doc_id
+  LEFT JOIN c4_bad b ON b.doc_id = d.doc_id
+)
+SELECT doc_id, n_lines::BIGINT AS n_lines, n_kept::BIGINT AS n_kept_lines,
+       CAST(round(CASE WHEN total_chars > 0
+            THEN kept_chars::DOUBLE / total_chars ELSE 0 END * 1000000)
+         AS BIGINT) AS kept_char_frac_micro,
+       n_sentences::BIGINT AS n_sentences,
+       has_lorem::INT AS has_lorem, has_brace::INT AS has_brace,
+       n_bad::BIGINT AS n_badword_hits,
+       CAST((n_sentences >= {min_sentences} AND NOT has_lorem
+         AND NOT has_brace AND n_bad = 0 AND n_kept > 0) AS INT) AS passes
+FROM c4_feat ORDER BY doc_id"""
+
+
 DATA_QUERIES = {
+    "c4_quality_filter": q_c4_quality_filter,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "vocab_coverage": q_vocab_coverage,
@@ -3854,6 +3943,7 @@ DATA_QUERIES = {
 
 def data_oracle_sqls() -> dict[str, str]:
     return {
+        "c4_quality_filter": _c4_oracle(),
         "bpe_merges": _bpe_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
         "vocab_coverage": ORACLE_VOCAB_COVERAGE,
