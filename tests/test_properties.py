@@ -373,3 +373,75 @@ class TestWithinDocLineDedupProperty:
         for i, t in enumerate(texts):
             nl, nk, clean = self._ref(t)
             assert got[i] == (nl, nk, clean), (t, got[i])
+
+
+class TestWinnowingProperty:
+    """The winnowing coverage theorem (Schleimer et al. 2003): two docs
+    sharing any token run of length >= w + k - 1 share at least one
+    SELECTED fingerprint; selection density is bounded by the window count
+    (and in expectation ~2/(w+1) of grams)."""
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(0, 10_000),
+        st.integers(0, 8),  # shared-run length ABOVE the k+w-1 guarantee
+        st.integers(0, 3),
+    )
+    def test_guaranteed_detection(self, seed, extra, pad):
+        import random
+
+        from pyspark.sql import SparkSession
+
+        from tika_xapian_spark.operators.dedup import winnow_fingerprints
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:  # property test may run before any spark fixture
+            from tika_xapian_spark.session import get_spark
+
+            spark = get_spark(master="local[2]", shuffle_partitions=2)
+        k, w = 4, 3
+        rng = random.Random(seed)
+        vocab = [f"v{i}" for i in range(200)]
+        run_len = k + w - 1 + extra
+        shared = [rng.choice(vocab) for _ in range(run_len)]
+        # distinct-token paddings so the run is the only overlap
+        pad_a = [f"a{i}" for i in range(pad + 3)]
+        pad_b = [f"b{i}" for i in range(pad + 5)]
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(pad_a + shared + ["aendone", "aendtwo"])),
+                (2, " ".join(["bhead"] + shared + pad_b)),
+            ],
+            "doc_id long, text string",
+        )
+        fps = winnow_fingerprints(docs, key="doc_id", k=k, w=w)
+        from pyspark.sql import functions as F
+
+        by_doc = {
+            r["doc"]: set(r["s"])
+            for r in fps.groupBy("doc")
+            .agg(F.collect_set("fp").alias("s"))
+            .collect()
+        }
+        assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+
+    def test_density_and_short_doc(self, spark):
+        from tika_xapian_spark.operators.dedup import winnow_fingerprints
+
+        k, w = 5, 4
+        n = 500
+        text = " ".join(f"w{i}" for i in range(n))  # all-distinct tokens
+        docs = spark.createDataFrame(
+            [(1, text), (2, "too short here")],  # doc 2: < k + w - 1 tokens
+            "doc_id long, text string",
+        )
+        rows = winnow_fingerprints(docs, key="doc_id", k=k, w=w).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc"], set()).add(r["fp"])
+        n_windows = (n - k + 1) - w + 1
+        n_sel = len(by_doc[1])
+        assert n_sel <= n_windows
+        # random-hash expectation is 2/(w+1) of gram count; allow wide slack
+        assert n_sel >= (n - k + 1) * 2 // (w + 1) // 2
+        assert 2 not in by_doc

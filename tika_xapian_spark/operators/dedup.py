@@ -925,3 +925,89 @@ aggregate(
         "CAST(_n - size(_kept) AS BIGINT) AS n_dropped",
         "array_join(_kept, '\\n') AS text_clean",
     )
+
+
+# ----------------------------------------------------------- winnowing (MOSS)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    key: str,
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """(doc, fp): the distinct winnowing-selected fingerprints of each doc
+    (Schleimer, Wilkerson & Aiken 2003, the MOSS local algorithm): hash
+    every k-token gram, slide a window of w consecutive hashes, select each
+    window's minimum. The winnowing guarantee: any token run of length
+    >= w + k - 1 shared by two documents contributes at least one COMMON
+    selected fingerprint, at ~2/(w+1) the density of indexing every gram —
+    the scale path for substring-dedup candidate generation
+    (shared_substring_spans indexes every window gram; winnowing indexes a
+    provably-sufficient 2/(w+1) sample).
+
+    Fingerprints are md5 hex digests compared lexicographically (the
+    minhash convention — identical semantics in Spark and DuckDB, no
+    integer conversion needed). Selection is entirely map-side: grams and
+    window minima are built by arrays_zip over shifted slices so every
+    lambda touches only its own element (the HOF re-inlining rule); the
+    only shuffle is the caller's.
+
+    Docs shorter than k + w - 1 tokens yield no windows and therefore no
+    fingerprints (the paper's t-guarantee threshold; callers route short
+    docs to exact dedup, which covers them outright).
+    """
+    staged = docs.select(
+        F.col(key).alias("doc"), tokens_col(text_col).alias("toks")
+    )
+    lg = f"greatest(size(toks) - {k - 1}, 0)"
+    gslices = ", ".join(f"slice(toks, {j}, {lg})" for j in range(1, k + 1))
+    gparts = ", ' ', ".join(f"x['{j}']" for j in range(k))
+    grams = f"transform(arrays_zip({gslices}), x -> md5(concat({gparts})))"
+    hashed = staged.select("doc", F.expr(grams).alias("hs"))
+    lw = f"greatest(size(hs) - {w - 1}, 0)"
+    wslices = ", ".join(f"slice(hs, {j}, {lw})" for j in range(1, w + 1))
+    wmin = ", ".join(f"x['{j}']" for j in range(w))
+    fps = f"array_distinct(transform(arrays_zip({wslices}), x -> least({wmin})))"
+    return hashed.select("doc", F.explode(F.expr(fps)).alias("fp"))
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    key: str,
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int = 1000,
+    top: int = 100,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared): document pairs sharing >= min_shared
+    winnowing fingerprints, strongest first — the MOSS candidate report.
+
+    Same scale discipline as shared_substring_spans: the fingerprint table
+    is materialized once for its three consumers, boilerplate fingerprints
+    are dropped by a cross-document df cap BEFORE the equi-join (a
+    fingerprint in >max_fp_df docs is template text, not evidence), and
+    the pair join is a keyed equi-join — no cartesian anywhere.
+    """
+    fps = winnow_fingerprints(docs, key, text_col, k, w).localCheckpoint()
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct("doc").alias("_df"))
+        .filter(F.col("_df") <= max_fp_df)
+        .select("fp")
+    )
+    fps = fps.join(rare, "fp", "left_semi")
+    a = fps.select(F.col("doc").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
+        .limit(top)
+    )

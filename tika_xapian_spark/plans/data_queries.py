@@ -3766,6 +3766,57 @@ GROUP BY d.lang ORDER BY d.lang"""
     )
 
 
+WINNOW_K = 5
+WINNOW_W = 4
+
+
+def q_dedup_winnow_pairs(spark, sf_dir):
+    """Winnowing (MOSS) near-dup candidates: pairs sharing >= 2 selected
+    fingerprints, strongest first — the 2/(w+1)-density substring-dedup
+    candidate generator."""
+    return D.winnow_pairs(
+        _docs(spark, sf_dir), key="doc_id", k=WINNOW_K, w=WINNOW_W
+    )
+
+
+ORACLE_WINNOW_PAIRS = f"""
+WITH {_TOK_CTE.lstrip()},
+wtoks AS (SELECT doc_id, list(term ORDER BY pos) AS ts FROM tok GROUP BY doc_id),
+wgr AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(ts) - {WINNOW_K} + 1, 0) + 1)) AS i, ts
+  FROM wtoks
+),
+wgrams AS (
+  SELECT doc_id, i,
+         md5(array_to_string(list_slice(ts, i, i + {WINNOW_K} - 1), ' ')) AS h
+  FROM wgr
+),
+whl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM wgrams GROUP BY doc_id),
+wwin AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(hs) - {WINNOW_W} + 1, 0) + 1)) AS i, hs
+  FROM whl
+),
+wfps AS (
+  SELECT DISTINCT doc_id, list_min(list_slice(hs, i, i + {WINNOW_W} - 1)) AS fp
+  FROM wwin
+),
+wrare AS (
+  SELECT fp FROM (
+    SELECT fp, count(DISTINCT doc_id) AS df FROM wfps GROUP BY fp
+  ) WHERE df <= 1000
+),
+wfr AS (SELECT wfps.* FROM wfps JOIN wrare USING (fp)),
+wpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM wfr a JOIN wfr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+)
+SELECT doc_a, doc_b, n_shared::BIGINT AS n_shared
+FROM wpairs ORDER BY n_shared DESC, doc_a, doc_b LIMIT 100"""
+
+
 # Corpus parameterization of the C4 rules (the gopher_quality min_stop
 # precedent): the synthetic documents carry no punctuation and no newlines,
 # so the terminal-punctuation and sentence-count rules are degenerate here —
@@ -3856,6 +3907,7 @@ FROM c4_feat ORDER BY doc_id"""
 
 DATA_QUERIES = {
     "c4_quality_filter": q_c4_quality_filter,
+    "dedup_winnow_pairs": q_dedup_winnow_pairs,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "vocab_coverage": q_vocab_coverage,
@@ -3944,6 +3996,7 @@ DATA_QUERIES = {
 def data_oracle_sqls() -> dict[str, str]:
     return {
         "c4_quality_filter": _c4_oracle(),
+        "dedup_winnow_pairs": ORACLE_WINNOW_PAIRS,
         "bpe_merges": _bpe_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
         "vocab_coverage": ORACLE_VOCAB_COVERAGE,
