@@ -23,3 +23,46 @@ class TestWeightedSample:
         df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
         out = weighted_sample(df, "doc_id", "lang", "w", k=20).collect()
         assert len(out) == 7
+
+
+class TestTemperatureMix:
+    def _mix(self, spark, sizes, alpha=0.5):
+        from tika_xapian_spark.operators.sampling import temperature_mix
+
+        rows = [
+            (f"{s}-{i}", s) for s, n in sizes.items() for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, src string")
+        return {
+            r.stratum: r for r in temperature_mix(df, "src", alpha).collect()
+        }
+
+    def test_weights_sum_exactly_and_flatten(self, spark):
+        out = self._mix(spark, {"big": 900, "small": 9})
+        assert sum(r.weight_micro for r in out.values()) == 1_000_000
+        # natural shares: 990099 / 9901; sqrt flattening: 30/33 vs 3/33
+        assert out["small"].weight_micro > 9_901
+        assert out["big"].weight_micro < 990_099
+        # sqrt(900)=30, sqrt(9)=3 -> exact 10:1 score ratio
+        assert out["big"].score_micro == 30_000_000
+        assert out["small"].score_micro == 3_000_000
+        # boost: small is upsampled (>1x), big downsampled (<1x)
+        assert out["small"].boost_micro > 1_000_000
+        assert out["big"].boost_micro < 1_000_000
+
+    def test_uniform_strata_uniform_weights(self, spark):
+        out = self._mix(spark, {f"s{i}": 50 for i in range(8)})
+        ws = sorted(r.weight_micro for r in out.values())
+        assert sum(ws) == 1_000_000
+        assert ws[-1] - ws[0] <= 1  # largest remainder spreads the slack
+
+    def test_alpha_validation(self, spark):
+        import pytest as _pt
+
+        from tika_xapian_spark.operators.sampling import temperature_mix
+
+        df = spark.createDataFrame([("a", "s")], "doc_id string, src string")
+        with _pt.raises(ValueError):
+            temperature_mix(df, "src", alpha=0.0)
+        with _pt.raises(ValueError):
+            temperature_mix(df, "src", alpha=1.5)

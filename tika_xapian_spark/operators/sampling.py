@@ -332,3 +332,87 @@ def weighted_sample(
         .filter(F.col("rank") <= k)
         .orderBy("stratum", "rank")
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled multinomial mixture weights over strata (the
+    multilingual-sampling rule of XLM-R/mT5: q_i ∝ p_i^alpha, alpha<1
+    flattens the natural distribution toward low-resource strata), with
+    the 10^6 probability mass apportioned EXACTLY by largest remainder
+    (Hamilton's method, as token_budget_allocation) so the weights sum to
+    exactly 1_000_000 across strata.
+
+      score_i  = round(n_i^alpha * 10^6)   (integer; alpha=0.5 runs via
+                 sqrt, which IEEE-754 rounds correctly — bit-identical in
+                 the JVM and C engines; other alphas go through pow, whose
+                 last-ulp behavior is platform-library-defined, so
+                 oracle-gated uses should stick to 0.5)
+      weight_i = (score_i * 10^6) div S  + largest-remainder extras
+      boost_i  = (weight_i * N) div n_i  (upsample factor vs natural, micro)
+
+    Shape: ONE bounded shuffle (per-stratum counts with map-side partial
+    aggregation); the score total and leftover ride broadcast 1-row
+    aggregates; the remainder rank is a window over the strata-bounded
+    dict. Returns (stratum, n_docs, score_micro, weight_micro, boost_micro).
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    per = docs.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    powed = (
+        F.sqrt(F.col("n_docs").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+    )
+    scored = per.select(
+        "stratum",
+        "n_docs",
+        F.round(powed * MICRO).cast("long").alias("score_micro"),
+    ).localCheckpoint(eager=False)  # consumers: total agg + weight calc
+    totals = F.broadcast(
+        scored.agg(
+            F.sum("score_micro").alias("_S"), F.sum("n_docs").alias("_N")
+        )
+    )
+    based = (
+        scored.crossJoin(totals)
+        .select(
+            "stratum",
+            "n_docs",
+            "score_micro",
+            F.expr(f"CAST(score_micro * {MICRO} div _S AS BIGINT)")
+            .alias("_base"),
+            F.expr(f"CAST(score_micro * {MICRO} % _S AS BIGINT)")
+            .alias("_rem"),
+            F.col("_N"),
+        )
+        .localCheckpoint(eager=False)  # consumers: leftover agg + rank
+    )
+    leftover = F.broadcast(
+        based.agg((F.lit(MICRO) - F.sum("_base")).alias("_left"))
+    )
+    w = Window.orderBy(F.desc("_rem"), F.asc("stratum"))
+    weight = F.col("_base") + F.when(
+        F.col("_rk") <= F.col("_left"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        based.crossJoin(leftover)
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            "stratum",
+            "n_docs",
+            "score_micro",
+            weight.cast("long").alias("weight_micro"),
+            F.expr(
+                "CAST((_base + IF(_rk <= _left, 1, 0)) * _N div n_docs"
+                " AS BIGINT)"
+            ).alias("boost_micro"),
+        )
+    )

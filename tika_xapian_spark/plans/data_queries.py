@@ -3766,6 +3766,54 @@ GROUP BY d.lang ORDER BY d.lang"""
     )
 
 
+def q_mix_temperature(spark, sf_dir):
+    """Temperature-scaled source mixture (alpha=0.5 multinomial smoothing,
+    XLM-R/mT5 rule) with the 1e6 probability mass apportioned exactly by
+    largest remainder."""
+    from ..operators.sampling import temperature_mix
+
+    return (
+        temperature_mix(_docs(spark, sf_dir), strata_col="source", alpha=0.5)
+        .repartition(1)
+        .sortWithinPartitions("stratum")
+    )
+
+
+ORACLE_MIX_TEMPERATURE = """
+WITH mt_per AS (
+  SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+mt_scored AS (
+  SELECT stratum, n_docs,
+         CAST(round(sqrt(n_docs::DOUBLE) * 1000000) AS BIGINT) AS score_micro
+  FROM mt_per
+),
+mt_tot AS (
+  SELECT CAST(sum(score_micro) AS BIGINT) AS s,
+         CAST(sum(n_docs) AS BIGINT) AS n
+  FROM mt_scored
+),
+mt_based AS (
+  SELECT stratum, n_docs, score_micro,
+         CAST(score_micro * 1000000 // t.s AS BIGINT) AS base,
+         CAST(score_micro * 1000000 % t.s AS BIGINT) AS rem,
+         t.n AS n_total
+  FROM mt_scored, mt_tot t
+),
+mt_left AS (SELECT 1000000 - CAST(sum(base) AS BIGINT) AS lft FROM mt_based),
+mt_rk AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rk
+  FROM mt_based
+)
+SELECT stratum, n_docs, score_micro,
+       CAST(base + CASE WHEN rk <= l.lft THEN 1 ELSE 0 END AS BIGINT)
+         AS weight_micro,
+       CAST((base + CASE WHEN rk <= l.lft THEN 1 ELSE 0 END) * n_total
+            // n_docs AS BIGINT) AS boost_micro
+FROM mt_rk, mt_left l ORDER BY stratum"""
+
+
 WINNOW_K = 5
 WINNOW_W = 4
 
@@ -3908,6 +3956,7 @@ FROM c4_feat ORDER BY doc_id"""
 DATA_QUERIES = {
     "c4_quality_filter": q_c4_quality_filter,
     "dedup_winnow_pairs": q_dedup_winnow_pairs,
+    "mix_temperature": q_mix_temperature,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "vocab_coverage": q_vocab_coverage,
@@ -3997,6 +4046,7 @@ def data_oracle_sqls() -> dict[str, str]:
     return {
         "c4_quality_filter": _c4_oracle(),
         "dedup_winnow_pairs": ORACLE_WINNOW_PAIRS,
+        "mix_temperature": ORACLE_MIX_TEMPERATURE,
         "bpe_merges": _bpe_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
         "vocab_coverage": ORACLE_VOCAB_COVERAGE,
