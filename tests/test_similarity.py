@@ -314,3 +314,26 @@ class TestQuantizeInt8:
         )
         r = SIM.quantize_int8(df).collect()[0]
         assert (r.scale_micro, r.n_saturated, r.l2_err_micro) == (0, 0, 0)
+
+
+def test_recall_table_exact_and_partial(spark):
+    """recall_table on hand-built ranked frames: exact agreement gives
+    recall 1.0 at every k; a half-overlapping approx gives the exact
+    integer fractions."""
+    truth = spark.createDataFrame(
+        [(i, 1000 - i) for i in range(25)], "vec_id long, cos_micro long"
+    )
+    same = SIM.recall_table(truth, truth)
+    assert {(r.k, r.recall_micro) for r in same.collect()} == {
+        (5, 1_000_000), (10, 1_000_000), (25, 1_000_000)
+    }
+    # approx = truth's even ranks only (ids 0,2,4,...) re-scored: at k=10,
+    # approx top-10 = ids 0..18 even (ranks 1,3,..,19 in truth) — 5 of
+    # truth's top-10 (ids 0,2,4,6,8)
+    approx = spark.createDataFrame(
+        [(i, 1000 - i) for i in range(0, 50, 2)], "vec_id long, cos_micro long"
+    )
+    out = {r.k: r for r in SIM.recall_table(truth, approx).collect()}
+    assert out[10].n_hits == 5 and out[10].recall_micro == 500_000
+    assert out[5].n_hits == 3  # ids 0,2,4 in both top-5s
+    assert out[25].n_truth == 25 and out[25].n_approx == 25

@@ -826,3 +826,54 @@ def hard_negatives(
         F.col("w.nl").alias("neg_label"),
         F.col("w.c").alias("cos_micro"),
     ).orderBy(id_col)
+
+
+def recall_table(
+    truth: DataFrame,
+    approx: DataFrame,
+    id_col: str = "vec_id",
+    score_col: str = "cos_micro",
+    ks: tuple[int, ...] = (5, 10, 25),
+) -> DataFrame:
+    """(k, n_truth, n_approx, n_hits, recall_micro): recall@k of an
+    approximate top-k result against the exact (brute-force) truth —
+    the ANN quality-evaluation table every index deployment reports
+    alongside its probe fraction.
+
+    Both inputs are ranked result frames (<= max(ks) rows each), ranked
+    here by (score desc, id asc) so ties break identically in both engines;
+    recall@k = |approx_top_k ∩ truth_top_k| with the exact integer
+    micro-division. Everything after the two (already bounded) inputs is
+    literal-relation algebra on <= max(ks)^2 rows — no corpus-sized work.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    t = truth.select(F.col(id_col), F.row_number().over(w).alias("tr"))
+    a = approx.select(F.col(id_col), F.row_number().over(w).alias("ar"))
+    j = t.join(a, id_col, "full_outer")
+    ks_df = (
+        j.sparkSession.range(1)
+        .select(F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k"))
+    )
+    tr_in = F.col("tr").isNotNull() & (F.col("tr") <= F.col("k"))
+    ar_in = F.col("ar").isNotNull() & (F.col("ar") <= F.col("k"))
+    return (
+        j.crossJoin(F.broadcast(ks_df))
+        .groupBy("k")
+        .agg(
+            F.sum(tr_in.cast("long")).alias("n_truth"),
+            F.sum(ar_in.cast("long")).alias("n_approx"),
+            F.sum((tr_in & ar_in).cast("long")).alias("n_hits"),
+        )
+        .select(
+            "k",
+            "n_truth",
+            "n_approx",
+            "n_hits",
+            F.expr("CAST(n_hits * 1000000 div k AS BIGINT)").alias(
+                "recall_micro"
+            ),
+        )
+        .orderBy("k")
+    )

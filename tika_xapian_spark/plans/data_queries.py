@@ -3766,6 +3766,45 @@ GROUP BY d.lang ORDER BY d.lang"""
     )
 
 
+def q_ann_recall_eval(spark, sf_dir):
+    """ANN quality evaluation: recall@k of the sign-LSH bucket probe
+    against brute-force cosine truth at k in {5, 10, 25} — the index
+    deployment's quality report (recall here is a DATA property of the
+    near-isotropic synthetic embeddings; the clustered-data floor is
+    pinned in test_similarity)."""
+    qv = _query_vec(spark, sf_dir)
+    truth = SIM.cosine_topk(_emb(spark, sf_dir), qv, k=25)
+    approx = _ann_index(spark, sf_dir).lsh_topk(qv, k=25)
+    return SIM.recall_table(truth, approx)
+
+
+ORACLE_ANN_RECALL = f"""
+WITH ar_truth AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cos_micro DESC, vec_id) AS tr
+  FROM ({ORACLE_ANN_COSINE})
+),
+ar_approx AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cos_micro DESC, vec_id) AS ar
+  FROM ({ORACLE_ANN_LSH})
+),
+ar_j AS (
+  SELECT coalesce(t.vec_id, a.vec_id) AS vec_id, t.tr, a.ar
+  FROM ar_truth t FULL OUTER JOIN ar_approx a ON t.vec_id = a.vec_id
+),
+ar_ks(k) AS (VALUES (5), (10), (25))
+SELECT k,
+       CAST(count(*) FILTER (WHERE tr IS NOT NULL AND tr <= k) AS BIGINT)
+         AS n_truth,
+       CAST(count(*) FILTER (WHERE ar IS NOT NULL AND ar <= k) AS BIGINT)
+         AS n_approx,
+       CAST(count(*) FILTER (WHERE tr IS NOT NULL AND tr <= k
+            AND ar IS NOT NULL AND ar <= k) AS BIGINT) AS n_hits,
+       CAST(count(*) FILTER (WHERE tr IS NOT NULL AND tr <= k
+            AND ar IS NOT NULL AND ar <= k) * 1000000 // k AS BIGINT)
+         AS recall_micro
+FROM ar_j CROSS JOIN ar_ks GROUP BY k ORDER BY k"""
+
+
 def q_mix_temperature(spark, sf_dir):
     """Temperature-scaled source mixture (alpha=0.5 multinomial smoothing,
     XLM-R/mT5 rule) with the 1e6 probability mass apportioned exactly by
@@ -3957,6 +3996,7 @@ DATA_QUERIES = {
     "c4_quality_filter": q_c4_quality_filter,
     "dedup_winnow_pairs": q_dedup_winnow_pairs,
     "mix_temperature": q_mix_temperature,
+    "ann_recall_eval": q_ann_recall_eval,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "vocab_coverage": q_vocab_coverage,
@@ -4047,6 +4087,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "c4_quality_filter": _c4_oracle(),
         "dedup_winnow_pairs": ORACLE_WINNOW_PAIRS,
         "mix_temperature": ORACLE_MIX_TEMPERATURE,
+        "ann_recall_eval": ORACLE_ANN_RECALL,
         "bpe_merges": _bpe_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
         "vocab_coverage": ORACLE_VOCAB_COVERAGE,
