@@ -106,3 +106,48 @@ class TestStreamKmv:
         n0 = sorted(h60(u) for u in range(100))[: SK.KMV_K]
         est0 = int((SK.KMV_K - 1) * SK.KMV_SPACE // n0[-1])
         assert ("click", est0) not in got
+
+
+class TestStreamCms:
+    def test_stream_equals_batch_counter_table(self, spark, tmp_path):
+        """The two-phase availableNow streaming CMS must equal the batch
+        counter table over the same rows; the input spreads each user's
+        events across all three time-thirds so per-cell totals are only
+        right if the counter state accumulates ACROSS micro-batches."""
+        import hashlib
+        from datetime import datetime
+
+        from tika_xapian_spark.streaming.cms_stream import run_stream_cms
+
+        rows = []
+        eid = 0
+        for third in range(3):
+            day = datetime(2024, 1, 1 + third)
+            for u in range(40):  # same 40 users every third
+                for _ in range(u % 3 + 1):
+                    rows.append((eid, day, u, "click", 1.0, "{}"))
+                    eid += 1
+        ev_path = str(tmp_path / "events.parquet")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(ev_path)
+        got = {
+            (r.event_type, r.r, r.bucket): r.cell
+            for r in run_stream_cms(spark, ev_path, str(tmp_path / "wk")).collect()
+        }
+        # batch truth: count per (type, r, bucket) via the same hash
+        def bucket(r, u):
+            h = int(hashlib.md5(f"{r}:{u}".encode()).hexdigest()[:15], 16)
+            return h % SK.CMS_WIDTH
+
+        want = {}
+        for _, _, u, et, _, _ in rows:
+            for r in range(SK.CMS_DEPTH):
+                k = (et, r, bucket(r, u))
+                want[k] = want.get(k, 0) + 1
+        assert got == want
+        # every cell total is a cross-batch sum (each user appears in all
+        # thirds), so a state reset between batches cannot reproduce it
+        assert sum(got.values()) == SK.CMS_DEPTH * len(rows)

@@ -767,6 +767,39 @@ SELECT event_type,
 FROM kmv_agg ORDER BY event_type"""
 
 
+def q_events_stream_cms(spark, sf_dir):
+    """Count-min sketch as a custom STATEFUL streaming operator
+    (streaming/cms_stream.py): per event-type state is the depth x width
+    counter matrix — constant size, exactly mergeable by addition across
+    micro-batches — finalized by a per-type sentinel across a checkpointed
+    restart. The emitted nonzero-cell table equals the batch sketch over
+    the same rows, so a plain-SQL oracle gates the streaming path."""
+    from ..streaming.cms_stream import run_stream_cms
+    from .workdirs import work_dir
+
+    work = work_dir("stream_cms", f"{sf_dir}/events.parquet", fresh=True)
+    return (
+        run_stream_cms(spark, f"{sf_dir}/events.parquet", work)
+        .orderBy("event_type", "r", "bucket")
+        .localCheckpoint()
+    )
+
+
+def _stream_cms_oracle() -> str:
+    from ..operators.sketches import CMS_DEPTH, CMS_WIDTH
+
+    return f"""
+WITH cms_b AS (
+  SELECT e.event_type, CAST(r.r AS INT) AS r,
+         CAST(('0x' || substr(md5(r.r::VARCHAR || ':' || e.user_id::VARCHAR),
+               1, 15))::BIGINT % {CMS_WIDTH} AS INT) AS bucket
+  FROM events e CROSS JOIN (SELECT unnest(range(0, {CMS_DEPTH})) AS r) r
+)
+SELECT event_type, r, bucket, CAST(count(*) AS BIGINT) AS cell
+FROM cms_b GROUP BY event_type, r, bucket
+ORDER BY event_type, r, bucket"""
+
+
 def q_events_trailing_window(spark, sf_dir):
     """RANGE-frame window — the time-based sliding frame ROWS frames can't
     express: per event, the same user's event count and spend over the
@@ -2013,6 +2046,7 @@ REL_QUERIES = {
     "tpch_nation_volume": q_tpch_nation_volume,
     "events_stream_interval_join": q_events_stream_interval_join,
     "events_stream_kmv": q_events_stream_kmv,
+    "events_stream_cms": q_events_stream_cms,
     "events_pivot": q_events_pivot,
     "events_trailing_window": q_events_trailing_window,
     "tpch_rollup_revenue": q_tpch_rollup_revenue,
@@ -2060,6 +2094,7 @@ def rel_oracle_sqls() -> dict[str, str]:
         "tpch_nation_volume": ORACLE_TPCH_NATION_VOLUME,
         "events_stream_interval_join": ORACLE_EVENTS_INTERVAL_JOIN,
         "events_stream_kmv": _stream_kmv_oracle(),
+        "events_stream_cms": _stream_cms_oracle(),
         "events_pivot": ORACLE_EVENTS_PIVOT,
         "events_trailing_window": ORACLE_EVENTS_TRAILING,
         "tpch_rollup_revenue": ORACLE_TPCH_ROLLUP,
