@@ -612,3 +612,38 @@ class TestMatchAdj:
     def test_needs_two_terms(self, adj_index):
         with pytest.raises(ValueError, match="ADJ"):
             S.match_adj(adj_index, ["alpha"])
+
+
+class TestRrfFuse:
+    def test_overlap_and_missing_lists_fuse_exactly(self, spark):
+        """A doc ranked by both lists sums both reciprocal contributions;
+        a doc in one list gets exactly that list's share; integer div
+        matches the hand-computed 10^9 div (60+rank) values."""
+        from tika_xapian_spark.operators.search import rrf_fuse
+
+        kw = spark.createDataFrame(
+            [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+        )
+        ann = spark.createDataFrame(
+            [(20, 1), (40, 2)], "doc_id long, rank int"
+        )
+        got = {
+            r.doc_id: (r.kw_rank, r.ann_rank, r.rrf_score)
+            for r in rrf_fuse([("kw", kw), ("ann", ann)], k0=60, limit=10).collect()
+        }
+        c = lambda r: 1_000_000_000 // (60 + r)
+        assert got == {
+            10: (1, None, c(1)),
+            20: (2, 1, c(2) + c(1)),
+            30: (3, None, c(3)),
+            40: (None, 2, c(2)),
+        }
+
+    def test_limit_orders_by_fused_score_then_doc_id(self, spark):
+        from tika_xapian_spark.operators.search import rrf_fuse
+
+        kw = spark.createDataFrame(
+            [(i, i) for i in range(1, 6)], "doc_id long, rank int"
+        )
+        out = rrf_fuse([("kw", kw)], k0=60, limit=3).collect()
+        assert [r.doc_id for r in out] == [1, 2, 3]

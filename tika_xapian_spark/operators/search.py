@@ -1053,3 +1053,42 @@ def facet_counts(
     return matched.groupBy(F.col(facet_col).alias("value")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+def rrf_fuse(
+    ranked: list[tuple[str, DataFrame]],
+    k0: int = 60,
+    limit: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009) of BOUNDED
+    ranked lists — the standard hybrid-retrieval combiner for a BM25
+    keyword ranking and an embedding-ANN ranking. Each input is
+    ``(name, df)`` where ``df`` has columns ``(doc_id, rank)`` and is
+    already cut to a constant pool (top-POOL rows), so every join side
+    here is O(pool), not corpus-scale: the fold of full-outer joins and
+    the final sort all run over a few dozen rows regardless of corpus
+    size — the expensive work happened inside each retriever.
+
+    Scores are exact integers: contribution = ``10^9 div (k0 + rank)``
+    summed over the lists that ranked the doc (missing list -> 0), so the
+    fused ordering is engine-independent (no float summation anywhere).
+    Output: ``(doc_id, <name>_rank ..., rrf_score)`` by descending fused
+    score, ties to the lowest doc_id."""
+    fused: DataFrame | None = None
+    for name, df in ranked:
+        side = df.select(
+            "doc_id", F.col("rank").cast("int").alias(f"{name}_rank")
+        )
+        fused = side if fused is None else fused.join(side, "doc_id", "full_outer")
+    assert fused is not None, "rrf_fuse needs at least one ranked list"
+    score = None
+    for name, _ in ranked:
+        c = F.coalesce(
+            F.expr(f"1000000000 div ({k0} + {name}_rank)"), F.lit(0).cast("long")
+        )
+        score = c if score is None else score + c
+    return (
+        fused.withColumn("rrf_score", score.cast("long"))
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(limit)
+    )

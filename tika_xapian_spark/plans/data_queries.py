@@ -432,6 +432,98 @@ ORDER BY cos_micro DESC, vec_id
 LIMIT 25"""
 
 
+RRF_POOL = 20  # per-retriever pool size fed into the fusion
+RRF_K0 = 60  # the canonical RRF smoothing constant
+RRF_LIMIT = 10
+
+
+def q_search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: the BM25 keyword top-20 and the embedding-cosine
+    top-20 fused by Reciprocal Rank Fusion (operators/search.py::rrf_fuse)
+    — the modern search stack's default combiner, and the query a user of
+    the reference's keyword-only TUI gains by switching. Each retriever's
+    pool is a bounded TakeOrderedAndProject (corpus-scale work stays inside
+    the retriever); ranking, fusion joins, and the final sort are all over
+    the constant 20-row pools, and the fused score is an exact integer sum
+    (10^9 div (k0 + rank)) so the ordering is engine-independent."""
+    from pyspark.sql.window import Window
+
+    from ..operators import search as S
+    from . import oracles
+    from .doc_queries import get_index
+
+    idx = get_index(spark, sf_dir)
+    kw = (
+        S.score_terms(idx, oracles.zterms(["spark", "merge"]))
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.round(F.col("score") * 1_000_000).cast("long").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(RRF_POOL)
+    )
+    # row_number over the already-bounded pool: single-partition window,
+    # but over RRF_POOL rows — constant, never corpus-scale
+    kw_ranked = kw.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_micro"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    ann = SIM.cosine_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=RRF_POOL)
+    ann_ranked = ann.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_micro"), F.asc("vec_id")))
+        .alias("rank"),
+    )
+    return S.rrf_fuse(
+        [("kw", kw_ranked), ("ann", ann_ranked)], k0=RRF_K0, limit=RRF_LIMIT
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    from . import oracles
+
+    return (
+        "WITH "
+        + oracles.base_ctes()
+        + ","
+        + oracles._tweight_sql(oracles.qvalues(oracles.zterms(["spark", "merge"])))
+        + ","
+        + oracles._score_sql()
+        + ","
+        + _COS_CTE.strip()
+        + f""",
+rrf_kw AS (
+  SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micro
+  FROM matches ORDER BY score_micro DESC, doc_id LIMIT {RRF_POOL}
+),
+rrf_kwr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_micro DESC, doc_id) AS kw_rank
+  FROM rrf_kw
+),
+rrf_ann AS (
+  SELECT vec_id, CAST(round(dot / (na * nq) * 1000000) AS BIGINT) AS cos_micro
+  FROM pairs ORDER BY cos_micro DESC, vec_id LIMIT {RRF_POOL}
+),
+rrf_annr AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY cos_micro DESC, vec_id) AS ann_rank
+  FROM rrf_ann
+)
+SELECT coalesce(k.doc_id, a.vec_id) AS doc_id,
+       CAST(k.kw_rank AS INT) AS kw_rank,
+       CAST(a.ann_rank AS INT) AS ann_rank,
+       CAST(coalesce(1000000000 // ({RRF_K0} + k.kw_rank), 0)
+            + coalesce(1000000000 // ({RRF_K0} + a.ann_rank), 0) AS BIGINT)
+         AS rrf_score
+FROM rrf_kwr k FULL OUTER JOIN rrf_annr a ON k.doc_id = a.vec_id
+ORDER BY rrf_score DESC, doc_id LIMIT {RRF_LIMIT}"""
+    )
+
+
 _ANN_INDEX_CACHE: dict[tuple[str, str], object] = {}
 
 
@@ -4020,6 +4112,7 @@ DATA_QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "text_simhash": q_text_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "search_hybrid_rrf": q_search_hybrid_rrf,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_multiprobe_topk": q_ann_multiprobe_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -4111,6 +4204,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
         "text_simhash": ORACLE_SIMHASH,
         "ann_cosine_topk": ORACLE_ANN_COSINE,
+        "search_hybrid_rrf": _hybrid_rrf_oracle(),
         "ann_lsh_topk": ORACLE_ANN_LSH,
         "ann_multiprobe_topk": _multiprobe_oracle(),
         "ann_ivf_topk": _ivf_oracle(),
