@@ -337,3 +337,51 @@ def test_recall_table_exact_and_partial(spark):
     assert out[10].n_hits == 5 and out[10].recall_micro == 500_000
     assert out[5].n_hits == 3  # ids 0,2,4 in both top-5s
     assert out[25].n_truth == 25 and out[25].n_approx == 25
+
+
+class TestBitextMargin:
+    def test_margin_suppresses_hub_and_thresholds(self, spark):
+        """Crafted 3-coordinate geometry (embedded in 64-dim, all entries
+        >= 0 so every vector shares every band bucket): the hub h is the
+        RAW-cosine argmax for s1, but its inflated neighborhood average
+        makes the ratio margin pick the mutually-best p instead; s3's only
+        candidate scores margin < 1.0 and is filtered out entirely."""
+        import numpy as np
+
+        from tika_xapian_spark.operators.similarity import bitext_margin
+
+        def v64(x, y, z):
+            a = [0.0] * 64
+            a[1], a[3], a[5] = x, y, z
+            return a
+
+        vecs = {
+            0: v64(1.0, 0.4, 0.4),   # s1 (en)
+            1: v64(0.0, 1.0, 0.0),   # s2 (en)
+            2: v64(0.0, 0.0, 1.0),   # s3 (en)
+            10: v64(1.0, 1.0, 1.0),  # h: hub (de)
+            11: v64(1.0, 0.05, 0.0), # p: s1's true pair (de)
+        }
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in a]) for i, a in vecs.items()],
+            "vec_id long, embedding array<float>",
+        )
+        lang_of = spark.createDataFrame(
+            [(0, "en"), (1, "en"), (2, "en"), (10, "de"), (11, "de")],
+            "vec_id long, lang string",
+        )
+        # the premise: raw cosine prefers the hub for s1
+        def cos(a, b):
+            a, b = np.array(vecs[a]), np.array(vecs[b])
+            return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        assert cos(0, 10) > cos(0, 11)
+
+        got = {
+            r.vec_id: (r.match_id, r.margin_micro)
+            for r in bitext_margin(emb, lang_of, "en", "de", knn=2).collect()
+        }
+        assert set(got) == {0, 1}          # s3's best margin < 1.0: dropped
+        assert got[0][0] == 11             # margin overrides the hub
+        assert got[1][0] == 10             # s2's genuine best is the hub
+        assert got[0][1] >= 1_000_000

@@ -877,3 +877,121 @@ def recall_table(
         )
         .orderBy("k")
     )
+
+
+def bitext_margin(
+    embeddings: DataFrame,
+    lang_of: DataFrame,
+    src_lang: str,
+    tgt_lang: str,
+    knn: int = 4,
+    min_margin_micro: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: tuple[tuple[int, ...], ...] = EMB_PAIR_BANDS,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019): for every
+    source-language vector, the best target-language candidate scored by
+    the RATIO margin — cosine divided by the mean of the pair's two k-NN
+    neighborhoods — which suppresses hub vectors that are "near everything"
+    and is the standard mining criterion behind CCMatrix-style parallel
+    corpora.
+
+    Scale shape: candidates come from the same banded sign-LSH equi-joins
+    as ``hard_negatives`` (per-band blocks, never a cross-lingual
+    cartesian); the k-NN statistics are per-key window ranks over each
+    vector's own candidate list; everything downstream is scalar column
+    algebra. The margin is computed ENTIRELY in int64 from the micro
+    cosines — margin = (2*cos*10^6*kA*kB) div (sumA*kB + sumB*kA) — so
+    both engines order identically (no float summation anywhere).
+    Candidates are restricted to positive cosine (cos_micro > 0): mining
+    only ever keeps high-similarity pairs, and positivity keeps the
+    integer division's denominator positive (floor == truncate).
+
+    ``lang_of`` is ``(id_col, lang)``. Returns one row per source vector
+    that has a candidate with margin >= ``min_margin_micro``:
+    ``(vec_id, match_id, cos_micro, margin_micro)``, ordered by vec_id."""
+    from pyspark.sql import Window
+
+    e = embeddings.join(lang_of, id_col).select(
+        F.col(id_col).alias("id"),
+        F.col("lang"),
+        _as_double(vec_col).alias("v"),
+        *[sign_bucket(vec_col, dims).alias(f"bb{i}") for i, dims in enumerate(bands)],
+    )
+    banded = e.select(
+        "id",
+        "lang",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"bb{i}").alias("bval"))
+                    for i in range(len(bands))
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "lang", "v", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    s = banded.filter(F.col("lang") == src_lang).select(
+        F.col("id").alias("sid"), F.col("v").alias("sv"), "band", "bval"
+    )
+    t = banded.filter(F.col("lang") == tgt_lang).select(
+        F.col("id").alias("tid"), F.col("v").alias("tv"), "band", "bval"
+    )
+    cos = _dot(F.col("sv"), F.col("tv")) / (_norm(F.col("sv")) * _norm(F.col("tv")))
+    cand = (
+        s.join(t, ["band", "bval"])
+        .select(
+            "sid", "tid", F.round(cos * 1_000_000).cast("long").alias("cos_micro")
+        )
+        # multi-band duplicates carry identical cosines: a scalar-only
+        # groupBy folds them (the embedding_top_pairs dedup shape)
+        .groupBy("sid", "tid")
+        .agg(F.max("cos_micro").alias("cos_micro"))
+        .filter(F.col("cos_micro") > 0)
+        .localCheckpoint(eager=False)  # consumers: both k-NN stats + the join
+    )
+    ws = Window.partitionBy("sid").orderBy(F.desc("cos_micro"), F.asc("tid"))
+    s_stats = (
+        cand.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= knn)
+        .groupBy("sid")
+        .agg(F.sum("cos_micro").alias("s_sum"), F.count(F.lit(1)).alias("s_k"))
+    )
+    wt = Window.partitionBy("tid").orderBy(F.desc("cos_micro"), F.asc("sid"))
+    t_stats = (
+        cand.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= knn)
+        .groupBy("tid")
+        .agg(F.sum("cos_micro").alias("t_sum"), F.count(F.lit(1)).alias("t_k"))
+    )
+    scored = (
+        cand.join(s_stats, "sid")
+        .join(t_stats, "tid")
+        .withColumn(
+            "margin_micro",
+            F.expr(
+                "(2 * cos_micro * 1000000 * s_k * t_k)"
+                " div (s_sum * t_k + t_sum * s_k)"
+            ),
+        )
+    )
+    best = scored.groupBy("sid").agg(
+        F.min(
+            F.struct(
+                (-F.col("margin_micro")).alias("nm"),
+                F.col("tid").alias("tid"),
+                F.col("cos_micro").alias("c"),
+            )
+        ).alias("w")
+    )
+    return (
+        best.select(
+            F.col("sid").alias(id_col),
+            F.col("w.tid").alias("match_id"),
+            F.col("w.c").alias("cos_micro"),
+            (-F.col("w.nm")).cast("long").alias("margin_micro"),
+        )
+        .filter(F.col("margin_micro") >= int(min_margin_micro))
+        .orderBy(id_col)
+    )

@@ -786,6 +786,81 @@ SELECT vid AS vec_id, label, neg_id, neg_label, cos_micro
 FROM hn_rk WHERE rn = 1 ORDER BY vec_id"""
 
 
+BITEXT_KNN = 4
+BITEXT_MIN_MARGIN = 1_000_000  # ratio margin >= 1.0
+
+
+def q_bitext_margin_pairs(spark, sf_dir):
+    """Cross-lingual bitext mining (operators/similarity.py::bitext_margin):
+    per English vector, the best German candidate by the Artetxe-Schwenk
+    ratio margin over banded sign-LSH candidates, margins exact in int64.
+    The lang labels ride in from documents on vec_id = doc_id."""
+    lang_of = _docs(spark, sf_dir).select(F.col("doc_id").alias("vec_id"), "lang")
+    return SIM.bitext_margin(
+        _emb(spark, sf_dir),
+        lang_of,
+        "en",
+        "de",
+        knn=BITEXT_KNN,
+        min_margin_micro=BITEXT_MIN_MARGIN,
+    )
+
+
+_BX_COS = (
+    "CAST(round("
+    "list_sum(list_transform(range(1, len(a.embedding) + 1),"
+    " i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))"
+    " * 1000000) AS BIGINT)"
+)
+
+ORACLE_BITEXT_MARGIN = f"""
+WITH bx_banded AS (
+  {"  UNION ALL ".join(
+      f"SELECT e.vec_id, d.lang, e.embedding, {i} AS band, "
+      f"({_bucket_sql('e.embedding', dims)}) AS bval "
+      f"FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id "
+      for i, dims in enumerate(SIM.EMB_PAIR_BANDS)
+  )}
+),
+bx_cand AS (
+  SELECT a.vec_id AS sid, b.vec_id AS tid, max({_BX_COS}) AS cos_micro
+  FROM bx_banded a JOIN bx_banded b
+    ON a.band = b.band AND a.bval = b.bval
+  WHERE a.lang = 'en' AND b.lang = 'de'
+  GROUP BY a.vec_id, b.vec_id
+  HAVING max({_BX_COS}) > 0
+),
+bx_s AS (
+  SELECT sid, sum(cos_micro)::BIGINT AS s_sum, count(*)::BIGINT AS s_k
+  FROM (SELECT *, row_number() OVER (PARTITION BY sid
+          ORDER BY cos_micro DESC, tid) AS rn FROM bx_cand)
+  WHERE rn <= {BITEXT_KNN} GROUP BY sid
+),
+bx_t AS (
+  SELECT tid, sum(cos_micro)::BIGINT AS t_sum, count(*)::BIGINT AS t_k
+  FROM (SELECT *, row_number() OVER (PARTITION BY tid
+          ORDER BY cos_micro DESC, sid) AS rn FROM bx_cand)
+  WHERE rn <= {BITEXT_KNN} GROUP BY tid
+),
+bx_scored AS (
+  SELECT c.sid, c.tid, c.cos_micro,
+         CAST((2 * c.cos_micro * 1000000 * s.s_k * t.t_k)
+              // (s.s_sum * t.t_k + t.t_sum * s.s_k) AS BIGINT) AS margin_micro
+  FROM bx_cand c JOIN bx_s s USING (sid) JOIN bx_t t USING (tid)
+),
+bx_best AS (
+  SELECT sid, tid, cos_micro, margin_micro,
+         row_number() OVER (PARTITION BY sid
+           ORDER BY margin_micro DESC, tid) AS rn
+  FROM bx_scored
+)
+SELECT sid AS vec_id, tid AS match_id, cos_micro, margin_micro
+FROM bx_best WHERE rn = 1 AND margin_micro >= {BITEXT_MIN_MARGIN}
+ORDER BY vec_id"""
+
+
 # --------------------------------------------------------------- textstats
 
 
@@ -4170,6 +4245,7 @@ DATA_QUERIES = {
     "curate_corpus_clf": q_curate_corpus_clf,
     "bpe_fertility": q_bpe_fertility,
     "embedding_hard_negatives": q_embedding_hard_negatives,
+    "bitext_margin_pairs": q_bitext_margin_pairs,
     "quality_gate_matrix": q_quality_gate_matrix,
     "sample_weighted": q_sample_weighted,
 }
@@ -4223,6 +4299,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "curate_corpus_clf": _curate_clf_oracle(),
         "bpe_fertility": _bpe_fertility_oracle(),
         "embedding_hard_negatives": ORACLE_HARD_NEGATIVES,
+        "bitext_margin_pairs": ORACLE_BITEXT_MARGIN,
         "quality_gate_matrix": _gate_matrix_oracle(),
         "sample_weighted": _sample_weighted_oracle(),
         "curate_corpus": _curate_oracle(),
