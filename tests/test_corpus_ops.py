@@ -765,3 +765,31 @@ class TestCooccurrencePmi:
             ).collect()
         ]
         assert got == exp
+
+
+class TestContainmentPairs:
+    def test_subset_doc_scores_full_containment_but_low_jaccard(self, spark):
+        """A 3-word doc fully quoted inside a 40-word doc: containment of
+        the small doc in the big one is exactly 1.0 while Jaccard is tiny,
+        and the reverse direction is proportionally small — the asymmetry
+        Jaccard cannot express."""
+        from tika_xapian_spark.operators.dedup import (
+            containment_top_pairs,
+            ngram_jaccard_top_pairs,
+        )
+
+        small = "alpha beta gamma"
+        big = " ".join(f"w{i}" for i in range(38)) + " alpha beta gamma"
+        docs = spark.createDataFrame(
+            [(1, small), (2, big)], "doc_id long, text string"
+        )
+        got = {
+            (r.src_doc, r.dst_doc): r.containment_micro
+            for r in containment_top_pairs(docs, key="doc_id", k=2).collect()
+        }
+        # small doc: 2 bigrams, both inside big -> containment 1.0
+        assert got[(1, 2)] == 1_000_000
+        # big doc: 40 bigrams, 2 shared -> 2/40
+        assert got[(2, 1)] == (2 * 1_000_000) // 40
+        jac = ngram_jaccard_top_pairs(docs, key="doc_id", k=2).collect()
+        assert jac[0].jaccard_micro == round(2 * 1_000_000 / 40)

@@ -321,6 +321,65 @@ def ngram_jaccard_top_pairs(
     return scored.orderBy(F.desc("jaccard_micro"), "doc_a", "doc_b").limit(top)
 
 
+def containment_top_pairs(
+    docs: DataFrame,
+    key: str,
+    text_col: str = "text",
+    k: int = 2,
+    max_shingle_df: int = 10_000,
+    top: int = 20,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT (Broder's resemblance sibling):
+    containment(A in B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|.
+    Jaccard misses the quote/subset case — a short doc wholly embedded in
+    a long one scores near-zero Jaccard but containment 1.0 — and that
+    directed signal is what boilerplate-quotation and subset-dedup passes
+    act on (drop the contained side, keep the superset).
+
+    Same scale shape as ``ngram_jaccard_top_pairs``: candidate pairs come
+    from the shared-shingle equi-join with the hot-shingle df cap (never a
+    cartesian), sizes join back per side, and BOTH directions of each
+    unordered candidate pair are emitted before the bounded top-k. The
+    score is exact integer arithmetic: (n_inter * 10^6) div |A|.
+
+    Returns (src_doc, dst_doc, containment_micro): top pairs by descending
+    containment of src in dst, ties (src, dst) ascending."""
+    sh = shingles if shingles is not None else shingles_df(docs, key, text_col, k)
+    df_per_shingle = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    pruned = sh.join(
+        df_per_shingle.filter(F.col("sdf") <= max_shingle_df).select("shingle"),
+        "shingle",
+    )
+    a = pruned.select(F.col("doc").alias("doc_a"), "shingle")
+    b = pruned.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    directed = inter.selectExpr(
+        "doc_a AS src_doc", "doc_b AS dst_doc", "n_inter"
+    ).unionByName(
+        inter.selectExpr("doc_b AS src_doc", "doc_a AS dst_doc", "n_inter")
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    scored = directed.join(
+        sizes.select(F.col("doc").alias("src_doc"), F.col("n_sh").alias("n_src")),
+        "src_doc",
+    ).select(
+        "src_doc",
+        "dst_doc",
+        F.expr("CAST((n_inter * 1000000) div n_src AS BIGINT)").alias(
+            "containment_micro"
+        ),
+    )
+    return scored.orderBy(
+        F.desc("containment_micro"), "src_doc", "dst_doc"
+    ).limit(top)
+
+
 def simhash(docs: DataFrame, key: str, text_col: str = "text", bits: int = 60) -> DataFrame:
     """(doc, simhash): 60-bit simhash. Token hash = first 15 md5 hex chars as
     int; each bit accumulates +tf/-tf; positive sums set the bit.

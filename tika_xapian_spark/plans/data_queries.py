@@ -370,6 +370,50 @@ ORDER BY jaccard_micro DESC, i.doc_a, i.doc_b
 LIMIT 20"""
 
 
+def q_dedup_containment_pairs(spark, sf_dir):
+    """Directed shingle containment (operators/dedup.py::
+    containment_top_pairs) — the quote/subset detector Jaccard can't
+    express; reuses the shared persisted shingle frame."""
+    return D.containment_top_pairs(
+        _docs(spark, sf_dir), key="doc_id", k=2, top=20,
+        shingles=_shingles(spark, sf_dir, k=2),
+    )
+
+
+ORACLE_CONTAINMENT_PAIRS = f"""
+WITH {_TOK_CTE},
+toks AS (SELECT doc_id, list(term ORDER BY pos) AS ts FROM tok GROUP BY doc_id),
+sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(ts) - 1, 1) + 1),
+           i -> array_to_string(list_slice(ts, i, i + 1), ' ')
+         )) AS shingle
+  FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle <> ''),
+sdf AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
+pruned AS (
+  SELECT sh.* FROM sh JOIN sdf USING (shingle) WHERE sdf.c <= 10000
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+directed AS (
+  SELECT doc_a AS src_doc, doc_b AS dst_doc, n_inter FROM inter
+  UNION ALL
+  SELECT doc_b AS src_doc, doc_a AS dst_doc, n_inter FROM inter
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+SELECT d.src_doc, d.dst_doc,
+       CAST((d.n_inter * 1000000) // s.n_sh AS BIGINT) AS containment_micro
+FROM directed d JOIN sizes s ON s.doc_id = d.src_doc
+ORDER BY containment_micro DESC, d.src_doc, d.dst_doc
+LIMIT 20"""
+
+
 def q_text_simhash(spark, sf_dir):
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
     return (
@@ -4184,6 +4228,7 @@ DATA_QUERIES = {
     "decontaminate_overlap": q_decontaminate_overlap,
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
+    "dedup_containment_pairs": q_dedup_containment_pairs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "text_simhash": q_text_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -4277,6 +4322,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "decontaminate_overlap": ORACLE_DECONTAM_OVERLAP,
         "boilerplate_ngrams": ORACLE_BOILERPLATE,
         "dedup_ngram_pairs": ORACLE_NGRAM_PAIRS,
+        "dedup_containment_pairs": ORACLE_CONTAINMENT_PAIRS,
         "dedup_simhash_pairs": ORACLE_SIMHASH_PAIRS,
         "text_simhash": ORACLE_SIMHASH,
         "ann_cosine_topk": ORACLE_ANN_COSINE,
