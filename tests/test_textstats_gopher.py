@@ -386,3 +386,28 @@ class TestC4Signals:
         }
         assert out[1]["n_badword_hits"] == 1 and out[1]["passes"] == 0
         assert out[2]["n_badword_hits"] == 0 and out[2]["passes"] == 1
+
+
+class TestZipfFit:
+    def test_zipfian_corpus_fits_slope_minus_one(self, spark):
+        """Counts proportional to 1/rank must fit slope ~ -1 with R^2 ~ 1;
+        a uniform corpus must not (that discrimination is the op's point)."""
+        from tika_xapian_spark.operators.textstats import zipf_fit
+
+        words = []
+        for k in range(1, 51):
+            words += [f"w{k:02d}"] * (10_000 // k)
+        docs = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id long, text string"
+        )
+        row = zipf_fit(docs, key="doc_id").collect()[0]
+        assert row.n_terms == 50
+        assert -1_050_000 <= row.slope_micro <= -950_000
+        assert row.r2_micro >= 990_000
+
+        uni = spark.createDataFrame(
+            [(1, " ".join(f"u{k}" for k in range(1, 51)))],
+            "doc_id long, text string",
+        )
+        urow = zipf_fit(uni, key="doc_id").collect()[0]
+        assert urow.slope_micro == 0  # all counts equal: flat line

@@ -1320,3 +1320,104 @@ def c4_signals(
         n_bad.cast("long").alias("n_badword_hits"),
         passes.cast("int").alias("passes"),
     )
+
+
+def zipf_fit(docs: DataFrame, key: str, text_col: str = "text") -> DataFrame:
+    """Zipf's-law fit of the corpus unigram distribution: OLS of
+    log(frequency) on log(rank). A natural-text corpus fits slope ~ -1
+    with high R^2; templated/boilerplate or synthetic corpora deviate, so
+    the (slope, r2) pair is a cheap corpus-level quality fingerprint the
+    curation dashboards of web-scale pipelines report per snapshot/domain.
+
+    Exactness: each (rank, count) point is quantized to integer micros
+    (x = round(ln rank * 1e6), y = round(ln count * 1e6)); every OLS sum
+    (Sx, Sy, Sxx, Sxy, Syy) accumulates in DECIMAL(38,0) — Spark's
+    decimal sum and DuckDB's HUGEINT sum are both exact, so the closed-form
+    numerators/denominators are identical integers in both engines and the
+    only float ops are the final divisions (deterministic given identical
+    exact operands). Never sum raw doubles across rows in an oracle-gated
+    op — partial-aggregation order would leak into the last ulp.
+
+    Scale shape: one groupBy(term) shuffle for counts; the rank window is
+    vocabulary-bounded (not corpus-bounded) like vocab_coverage; the OLS
+    aggregation is a map-side-combined global agg to ONE row. Returns
+    (n_terms, slope_micro, intercept_micro, r2_micro)."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ranked = counts.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("w")))
+        .alias("k"),
+        "cnt",
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("k").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    # exact integer numerators/denominators, THEN one double division each
+    staged = agg.select(
+        F.col("n"),
+        F.col("sx"),
+        F.col("sy"),
+        F.expr("CAST(n * sxy - sx * sy AS DOUBLE)").alias("num"),
+        F.expr("CAST(n * sxx - sx * sx AS DOUBLE)").alias("den"),
+        F.expr("CAST(n * syy - sy * sy AS DOUBLE)").alias("deny"),
+    ).select(
+        F.col("n").cast("long").alias("n_terms"),
+        # nullif keeps the division row-safe under ANSI mode even if the
+        # projection is evaluated before the outer CASE guards
+        F.expr("num / nullif(den, CAST(0 AS DOUBLE))").alias("slope"),
+        F.col("num"),
+        F.col("den"),
+        F.col("deny"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+        F.col("n").cast("double").alias("nd"),
+    )
+    # degenerate variances: den = 0 (a single rank — no x spread) leaves
+    # the slope undefined -> NULL row; deny = 0 (every count identical —
+    # flat y) is fit exactly by slope 0 -> R^2 := 1. Guarded in BOTH
+    # engines; an unguarded division is a hard error under ANSI mode.
+    return staged.select(
+        "n_terms",
+        F.when(F.col("den") == 0, F.lit(None))
+        .otherwise(F.round(F.col("slope") * 1_000_000))
+        .cast("long")
+        .alias("slope_micro"),
+        F.when(F.col("den") == 0, F.lit(None))
+        .otherwise(
+            F.round((F.col("syd") - F.col("slope") * F.col("sxd")) / F.col("nd"))
+        )
+        .cast("long")
+        .alias("intercept_micro"),
+        F.when(F.col("den") == 0, F.lit(None))
+        .when(F.col("deny") == 0, F.lit(1_000_000))
+        .otherwise(
+            F.round(
+                F.col("num")
+                * F.col("num")
+                / (F.col("den") * F.col("deny"))
+                * 1_000_000
+            )
+        )
+        .cast("long")
+        .alias("r2_micro"),
+    )

@@ -3570,6 +3570,52 @@ SELECT k, w AS kth_term, cum_tokens,
 FROM r, tot WHERE k IN (1, 2, 4, 8, 16, 32) ORDER BY k"""
 
 
+def q_text_zipf_fit(spark, sf_dir):
+    """Zipf slope/R^2 of the unigram distribution (operators/textstats.py::
+    zipf_fit) — decimal-exact OLS sums, float only in the final
+    divisions."""
+    return T.zipf_fit(_docs(spark, sf_dir), key="doc_id")
+
+
+ORACLE_ZIPF_FIT = """
+WITH zt AS (
+  SELECT w FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+  ) WHERE w <> ''
+),
+zc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM zt GROUP BY w),
+zr AS (SELECT row_number() OVER (ORDER BY cnt DESC, w) AS k, cnt FROM zc),
+zp AS (
+  SELECT CAST(round(ln(k::DOUBLE) * 1000000) AS BIGINT) AS x,
+         CAST(round(ln(cnt::DOUBLE) * 1000000) AS BIGINT) AS y
+  FROM zr
+),
+za AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM zp
+),
+zs AS (
+  SELECT CAST(n AS BIGINT) AS n_terms,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+         CAST(n * syy - sy * sy AS DOUBLE) AS deny,
+         sx::DOUBLE AS sxd, sy::DOUBLE AS syd, n::DOUBLE AS nd
+  FROM za
+)
+SELECT n_terms,
+       CASE WHEN den = 0 THEN NULL
+            ELSE CAST(round(num / den * 1000000) AS BIGINT) END AS slope_micro,
+       CASE WHEN den = 0 THEN NULL
+            ELSE CAST(round((syd - (num / den) * sxd) / nd) AS BIGINT)
+       END AS intercept_micro,
+       CASE WHEN den = 0 THEN NULL
+            WHEN deny = 0 THEN CAST(1000000 AS BIGINT)
+            ELSE CAST(round(num * num / (den * deny) * 1000000) AS BIGINT)
+       END AS r2_micro
+FROM zs"""
+
+
 def q_bpe_merges(spark, sf_dir):
     """First six BPE merge rules learned from the corpus word-frequency
     dict (Sennrich et al. 2016) — the tokenizer-training stage that touches
@@ -4211,6 +4257,7 @@ DATA_QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "vocab_coverage": q_vocab_coverage,
+    "text_zipf_fit": q_text_zipf_fit,
     "mix_sources": q_mix_sources,
     "embedding_power_iteration": q_embedding_power_iteration,
     "embedding_kmeans_step": q_embedding_kmeans_step,
@@ -4305,6 +4352,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "bpe_merges": _bpe_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
         "vocab_coverage": ORACLE_VOCAB_COVERAGE,
+        "text_zipf_fit": ORACLE_ZIPF_FIT,
         "mix_sources": ORACLE_MIX_SOURCES,
         "embedding_power_iteration": ORACLE_POWER_ITERATION,
         "embedding_kmeans_step": _kmeans_oracle(),
