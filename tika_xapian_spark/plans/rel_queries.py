@@ -800,6 +800,73 @@ FROM cms_b GROUP BY event_type, r, bucket
 ORDER BY event_type, r, bucket"""
 
 
+def q_events_anomaly_mad(spark, sf_dir):
+    """Robust daily-volume anomaly detection per event type — deviation in
+    MAD units (median absolute deviation x the 1.4826 normal-consistency
+    constant), the monitoring rule ops dashboards run because mean/stddev
+    are themselves dragged by the outliers they're meant to flag. Two
+    bounded median aggregations (F.percentile == DuckDB quantile_cont,
+    identical linear interpolation) over the (type, day) grid — the grid,
+    not the event stream, is all that shuffles twice; the event-scale work
+    is ONE map-side-combined groupBy. The median frames are genuine
+    dimensions (one row per event type), so the broadcast hints are safe
+    at any corpus size. mad = 0 (a constant-volume type) yields NULL
+    dev_micro and anomalous = 0 in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    med = daily.groupBy("event_type").agg(
+        F.percentile("n_events", 0.5).alias("med")
+    )
+    with_dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("n_events") - F.col("med"))
+    )
+    mad = with_dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    scored = with_dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(
+            F.expr("adev / nullif(1.4826 * mad, CAST(0 AS DOUBLE)) * 1000000")
+        )
+        .cast("long")
+        .alias("dev_micro"),
+    )
+    return scored.withColumn(
+        "anomalous",
+        (F.coalesce(F.col("dev_micro"), F.lit(0)) > 3_000_000).cast("int"),
+    ).orderBy("event_type", "day")
+
+
+ORACLE_EVENTS_ANOMALY_MAD = """
+WITH am_daily AS (
+  SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+am_med AS (
+  SELECT event_type, quantile_cont(n_events, 0.5) AS med
+  FROM am_daily GROUP BY 1
+),
+am_dev AS (
+  SELECT d.*, abs(d.n_events - m.med) AS adev
+  FROM am_daily d JOIN am_med m USING (event_type)
+),
+am_mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM am_dev GROUP BY 1
+),
+am_scored AS (
+  SELECT d.event_type, d.day, d.n_events,
+         CAST(round(d.adev / nullif(1.4826 * m.mad, 0) * 1000000) AS BIGINT)
+           AS dev_micro
+  FROM am_dev d JOIN am_mad m USING (event_type)
+)
+SELECT event_type, day, n_events, dev_micro,
+       CASE WHEN coalesce(dev_micro, 0) > 3000000 THEN 1 ELSE 0 END AS anomalous
+FROM am_scored ORDER BY event_type, day"""
+
+
 def q_events_trailing_window(spark, sf_dir):
     """RANGE-frame window — the time-based sliding frame ROWS frames can't
     express: per event, the same user's event count and spend over the
@@ -2049,6 +2116,7 @@ REL_QUERIES = {
     "events_stream_cms": q_events_stream_cms,
     "events_pivot": q_events_pivot,
     "events_trailing_window": q_events_trailing_window,
+    "events_anomaly_mad": q_events_anomaly_mad,
     "tpch_rollup_revenue": q_tpch_rollup_revenue,
     "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
     "tpch_cust_order_distribution": q_tpch_cust_order_distribution,
@@ -2097,6 +2165,7 @@ def rel_oracle_sqls() -> dict[str, str]:
         "events_stream_cms": _stream_cms_oracle(),
         "events_pivot": ORACLE_EVENTS_PIVOT,
         "events_trailing_window": ORACLE_EVENTS_TRAILING,
+        "events_anomaly_mad": ORACLE_EVENTS_ANOMALY_MAD,
         "tpch_rollup_revenue": ORACLE_TPCH_ROLLUP,
         "tpch_small_qty_revenue": ORACLE_TPCH_SMALL_QTY,
         "tpch_cust_order_distribution": ORACLE_TPCH_CUST_DIST,
