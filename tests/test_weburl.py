@@ -325,3 +325,27 @@ class TestRobotsPropertyVsPython:
         assert len(got) == len(urls)
         for u in urls:
             assert got[u] == ref(u), (u, got[u], ref(u), rules_py)
+
+
+class TestCrawlScheduleProfile:
+    def test_makespan_is_largest_host(self, spark):
+        """Hosts of sizes 1/3/8: at wave 1 all three fetch; by wave 4 only
+        the size-8 host is active; done_urls saturates at the corpus total
+        exactly when the largest host finishes."""
+        from tika_xapian_spark.operators.weburl import crawl_schedule_profile
+
+        rows = []
+        for host, n in [("a.com", 1), ("b.com", 3), ("c.com", 8)]:
+            rows += [(f"https://{host}/p{i}",) for i in range(n)]
+        pages = spark.createDataFrame(rows, "url string")
+        got = {
+            r.wave: (r.active_hosts, r.done_urls, r.done_micro)
+            for r in crawl_schedule_profile(
+                pages, probe_waves=(1, 2, 4, 8, 16)
+            ).collect()
+        }
+        assert got[1] == (3, 3, 3 * 1_000_000 // 12)
+        assert got[2] == (2, 5, 5 * 1_000_000 // 12)
+        assert got[4] == (1, 8, 8 * 1_000_000 // 12)
+        assert got[8] == (1, 12, 1_000_000)   # last wave of the big host
+        assert got[16] == (0, 12, 1_000_000)  # crawl finished

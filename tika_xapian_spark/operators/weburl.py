@@ -317,3 +317,61 @@ def robots_filter(
         F.coalesce(F.col("w.p"), F.lit("")).alias("matched_prefix"),
         F.coalesce(F.col("w.a") == 1, F.lit(True)).cast("int").alias("allowed"),
     ).orderBy("url")
+
+
+def crawl_schedule_profile(
+    pages: DataFrame,
+    url_col: str = "url",
+    probe_waves: tuple[int, ...] = tuple(2**i for i in range(20)),
+) -> DataFrame:
+    """Politeness-constrained crawl progress profile. A polite crawler
+    fetches at most ONE url per host per wave (per politeness interval),
+    so a host of size s finishes in exactly s waves and the crawl's
+    makespan is the LARGEST host — the same host-skew that dominates
+    url-keyed shuffles shows up as wall-clock here. For each probe wave w
+    this reports how far the crawl has progressed:
+
+      active_hosts(w) = hosts with >= w urls (still fetching at wave w)
+      done_urls(w)    = sum over hosts of min(size, w)  (urls fetched)
+      done_micro      = exact integer fraction of the corpus fetched
+
+    Probes are FIXED powers of two — the output is ~20 rows at any corpus
+    size (a per-wave row set would be makespan-sized, i.e. unbounded), and
+    the plan is one groupBy(host) with map-side combine plus a constant
+    |probes| fan-out of the host-size table; the corpus total rides as a
+    broadcast 1-row aggregate. No window over the hot host anywhere: the
+    per-url wave assignment would serialize on the biggest host, the
+    profile never needs it."""
+    sizes = (
+        pages.select(host_of(url_col).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    )
+    per = sizes.select(
+        "sz",
+        F.explode(
+            F.array(*[F.lit(int(w)).cast("long") for w in probe_waves])
+        ).alias("wave"),
+    )
+    total = F.broadcast(sizes.agg(F.sum("sz").cast("long").alias("_total")))
+    return (
+        per.groupBy("wave")
+        .agg(
+            F.sum((F.col("sz") >= F.col("wave")).cast("long")).alias(
+                "active_hosts"
+            ),
+            F.sum(F.least(F.col("sz"), F.col("wave"))).cast("long").alias(
+                "done_urls"
+            ),
+        )
+        .crossJoin(total)
+        .select(
+            "wave",
+            "active_hosts",
+            "done_urls",
+            F.expr("CAST(done_urls * 1000000 div _total AS BIGINT)").alias(
+                "done_micro"
+            ),
+        )
+        .orderBy("wave")
+    )

@@ -2429,6 +2429,40 @@ def q_url_host_profile(spark, sf_dir):
     return W.host_profile(_synth_urls(spark, sf_dir), "url", skew_share=0.05)
 
 
+CRAWL_PROBE_WAVES = tuple(2**i for i in range(20))
+
+
+def q_crawl_schedule_profile(spark, sf_dir):
+    """Politeness-crawl progress at power-of-two waves (operators/
+    weburl.py::crawl_schedule_profile): makespan is the biggest host —
+    host skew as wall-clock."""
+    from ..operators import weburl as W
+
+    return W.crawl_schedule_profile(
+        _synth_urls(spark, sf_dir), "url", probe_waves=CRAWL_PROBE_WAVES
+    )
+
+
+ORACLE_CRAWL_SCHEDULE = f"""
+WITH cs_sizes AS (
+  SELECT source || '.example.com' AS host, CAST(count(*) AS BIGINT) AS sz
+  FROM documents GROUP BY 1
+),
+cs_probes AS (
+  SELECT unnest([{", ".join(str(w) for w in CRAWL_PROBE_WAVES)}]::BIGINT[])
+    AS wave
+),
+cs_total AS (SELECT CAST(sum(sz) AS BIGINT) AS total FROM cs_sizes)
+SELECT p.wave,
+       CAST(count(*) FILTER (WHERE s.sz >= p.wave) AS BIGINT) AS active_hosts,
+       CAST(sum(least(s.sz, p.wave)) AS BIGINT) AS done_urls,
+       CAST(sum(least(s.sz, p.wave)) * 1000000 // t.total AS BIGINT)
+         AS done_micro
+FROM cs_probes p CROSS JOIN cs_sizes s CROSS JOIN cs_total t
+GROUP BY p.wave, t.total
+ORDER BY p.wave"""
+
+
 ORACLE_URL_HOSTS = f"""
 WITH {_URL_SYNTH_SQL.strip()},
 hosts AS (SELECT source || '.example.com' AS host FROM documents),
@@ -4292,6 +4326,7 @@ DATA_QUERIES = {
     "curate_corpus_gopher": q_curate_corpus_gopher,
     "url_dedup": q_url_dedup,
     "url_host_profile": q_url_host_profile,
+    "crawl_schedule_profile": q_crawl_schedule_profile,
     "url_latest_snapshot": q_url_latest_snapshot,
     "web_pagerank": q_web_pagerank,
     "web_anchor_profile": q_web_anchor_profile,
@@ -4400,6 +4435,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "curate_corpus_gopher": _curate_gopher_oracle(),
         "url_dedup": ORACLE_URL_DEDUP,
         "url_host_profile": ORACLE_URL_HOSTS,
+        "crawl_schedule_profile": ORACLE_CRAWL_SCHEDULE,
         "url_latest_snapshot": ORACLE_URL_LATEST,
         "web_pagerank": _pagerank_oracle(),
         "web_anchor_profile": ORACLE_ANCHOR_PROFILE,
