@@ -4069,6 +4069,71 @@ def q_ann_recall_eval(spark, sf_dir):
     return SIM.recall_table(truth, approx)
 
 
+MK_DIM = 16  # matryoshka prefix length evaluated against the full 64 dims
+
+
+def q_ann_matryoshka_eval(spark, sf_dir):
+    """Matryoshka truncation evaluation: recall@k of cosine retrieval over
+    the FIRST 16 embedding dimensions against full-64-dim truth — the
+    measurement behind MRL-style "store a prefix, rerank with the tail"
+    deployments (a 4x smaller index is only viable if prefix recall holds;
+    this table is the evidence either way). Both retrievers are bounded
+    top-25 scans; the truncation is a map-side slice, so the eval costs
+    two TakeOrderedAndProject passes over the corpus and nothing else."""
+    qv = _query_vec(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    truth = SIM.cosine_topk(emb, qv, k=25)
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, MK_DIM).alias("embedding")
+    )
+    approx = SIM.cosine_topk(trunc, qv[:MK_DIM], k=25)
+    return SIM.recall_table(truth, approx)
+
+
+_MK_COS = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+mk_pairs AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, {MK_DIM} + 1),
+             i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(list_slice(e.embedding, 1, {MK_DIM}),
+             x -> x::DOUBLE * x::DOUBLE))) AS na,
+         sqrt(list_sum(list_transform(list_slice(q.qv, 1, {MK_DIM}),
+             x -> x::DOUBLE * x::DOUBLE))) AS nq
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, CAST(round(dot / (na * nq) * 1000000) AS BIGINT) AS cos_micro
+FROM mk_pairs
+ORDER BY cos_micro DESC, vec_id
+LIMIT 25"""
+
+ORACLE_ANN_MATRYOSHKA = f"""
+WITH mk_truth AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cos_micro DESC, vec_id) AS tr
+  FROM ({ORACLE_ANN_COSINE})
+),
+mk_approx AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cos_micro DESC, vec_id) AS ar
+  FROM ({_MK_COS})
+),
+mk_j AS (
+  SELECT coalesce(t.vec_id, a.vec_id) AS vec_id, t.tr, a.ar
+  FROM mk_truth t FULL OUTER JOIN mk_approx a ON t.vec_id = a.vec_id
+),
+mk_ks(k) AS (VALUES (5), (10), (25))
+SELECT k,
+       CAST(count(*) FILTER (WHERE tr IS NOT NULL AND tr <= k) AS BIGINT)
+         AS n_truth,
+       CAST(count(*) FILTER (WHERE ar IS NOT NULL AND ar <= k) AS BIGINT)
+         AS n_approx,
+       CAST(count(*) FILTER (WHERE tr IS NOT NULL AND tr <= k
+            AND ar IS NOT NULL AND ar <= k) AS BIGINT) AS n_hits,
+       CAST(count(*) FILTER (WHERE tr IS NOT NULL AND tr <= k
+            AND ar IS NOT NULL AND ar <= k) * 1000000 // k AS BIGINT)
+         AS recall_micro
+FROM mk_j CROSS JOIN mk_ks GROUP BY k ORDER BY k"""
+
+
 ORACLE_ANN_RECALL = f"""
 WITH ar_truth AS (
   SELECT vec_id, row_number() OVER (ORDER BY cos_micro DESC, vec_id) AS tr
@@ -4288,6 +4353,7 @@ DATA_QUERIES = {
     "dedup_winnow_pairs": q_dedup_winnow_pairs,
     "mix_temperature": q_mix_temperature,
     "ann_recall_eval": q_ann_recall_eval,
+    "ann_matryoshka_eval": q_ann_matryoshka_eval,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "vocab_coverage": q_vocab_coverage,
@@ -4384,6 +4450,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "dedup_winnow_pairs": ORACLE_WINNOW_PAIRS,
         "mix_temperature": ORACLE_MIX_TEMPERATURE,
         "ann_recall_eval": ORACLE_ANN_RECALL,
+        "ann_matryoshka_eval": ORACLE_ANN_MATRYOSHKA,
         "bpe_merges": _bpe_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
         "vocab_coverage": ORACLE_VOCAB_COVERAGE,
