@@ -154,6 +154,10 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "dsir_importance",  # hashed-bigram importance, broadcast ratio probe (round 6)
         "embedding_semdedup",  # broadcast-centroid assign + in-cluster pairs (round 6)
         "cms_heavy_hitters",  # count-min sketch, broadcast counter table (round 6)
+        "search_hybrid_rrf",  # BM25 + ANN pools fused by integer RRF (round 6)
+        "bitext_margin_pairs",  # banded cross-lingual margin kNN (round 6)
+        "dedup_containment_pairs",  # directed shingle containment (round 6)
+        "text_zipf_fit",  # decimal-exact OLS corpus fingerprint (round 6)
         "tpch_pricing_summary",
         "tpch_revenue_forecast",  # Q6 pure pushed-down scan baseline (round 6)
         "tpch_waiting_suppliers",  # Q21 via two-level aggregation (round 6)

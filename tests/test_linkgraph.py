@@ -86,3 +86,30 @@ class TestAnchorProfile:
         )
         assert "Window" not in plan
         assert "partial_max" in plan
+
+
+class TestTextrankKeywords:
+    def test_high_degree_word_ranks_first(self, spark, tmp_path):
+        """A word adjacent to every other word accumulates rank from all
+        of them: 'hub' must outrank the leaf words, and the leaf words
+        (symmetric by construction) must tie exactly — integer PageRank
+        is bit-deterministic, so a tie is a hard equality."""
+        import shutil
+
+        from tika_xapian_spark.plans.data_queries import (
+            q_text_textrank_keywords,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "aa hub bb hub cc hub dd hub aa")],
+            "doc_id long, text string",
+        )
+        sf = str(tmp_path)
+        docs.write.parquet(f"{sf}/documents.parquet")
+        out = q_text_textrank_keywords(spark, sf).collect()
+        assert out[0].word == "hub"
+        leaf = {r.word: r.rank_micro for r in out if r.word != "hub"}
+        assert set(leaf) == {"aa", "bb", "cc", "dd"}
+        assert len(set(leaf.values())) <= 2  # aa appears twice as endpoint
+        assert leaf["bb"] == leaf["cc"] == leaf["dd"]
+        shutil.rmtree(f"{sf}/documents.parquet")

@@ -326,7 +326,7 @@ def containment_top_pairs(
     key: str,
     text_col: str = "text",
     k: int = 2,
-    max_shingle_df: int = 10_000,
+    max_shingle_df: int = 1_000,
     top: int = 20,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
@@ -342,6 +342,14 @@ def containment_top_pairs(
     cartesian), sizes join back per side, and BOTH directions of each
     unordered candidate pair are emitted before the bounded top-k. The
     score is exact integer arithmetic: (n_inter * 10^6) div |A|.
+
+    The df cap defaults to 1000 (the ExactSubstr hot-gram bound, not
+    Jaccard's 10k): the pair join is sum(df^2) over surviving shingles, and
+    a contained doc is still found unless EVERY one of its shingles is
+    hot — all-hot-shingle docs are pure boilerplate, which upstream
+    boilerplate/dedup stages own. Measured at the 5000-doc bench corpus
+    the 10k cap admits df~5000 stop-shingles and costs 20s+; 1000 keeps
+    the join bounded.
 
     Returns (src_doc, dst_doc, containment_micro): top pairs by descending
     containment of src in dst, ties (src, dst) ascending."""

@@ -373,10 +373,15 @@ LIMIT 20"""
 def q_dedup_containment_pairs(spark, sf_dir):
     """Directed shingle containment (operators/dedup.py::
     containment_top_pairs) — the quote/subset detector Jaccard can't
-    express; reuses the shared persisted shingle frame."""
+    express. k=3 shingles (the minhash default, sharing ITS persisted
+    shingle frame): on this 31-word vocab, bigrams are so dense that the
+    shared-shingle pair join is sum(df^2) ~ 40M rows (measured 34s at
+    sf0.1), while trigrams spread the same occurrences over ~30x more
+    keys and the identical plan runs in ~1s."""
     return D.containment_top_pairs(
-        _docs(spark, sf_dir), key="doc_id", k=2, top=20,
-        shingles=_shingles(spark, sf_dir, k=2),
+        _docs(spark, sf_dir), key="doc_id", k=3, top=20,
+        max_shingle_df=1000,
+        shingles=_shingles(spark, sf_dir, k=3),
     )
 
 
@@ -386,15 +391,15 @@ toks AS (SELECT doc_id, list(term ORDER BY pos) AS ts FROM tok GROUP BY doc_id),
 sh_raw AS (
   SELECT doc_id,
          unnest(list_transform(
-           range(1, greatest(len(ts) - 1, 1) + 1),
-           i -> array_to_string(list_slice(ts, i, i + 1), ' ')
+           range(1, greatest(len(ts) - 2, 1) + 1),
+           i -> array_to_string(list_slice(ts, i, i + 2), ' ')
          )) AS shingle
   FROM toks
 ),
 sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle <> ''),
 sdf AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
 pruned AS (
-  SELECT sh.* FROM sh JOIN sdf USING (shingle) WHERE sdf.c <= 10000
+  SELECT sh.* FROM sh JOIN sdf USING (shingle) WHERE sdf.c <= 1000
 ),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -2560,11 +2565,18 @@ def q_web_pagerank(spark, sf_dir):
     )
 
 
-def _pagerank_oracle(n_iter: int = 5, damping_pct: int = 85) -> str:
-    """Unrolled CTE chain mirroring linkgraph.pagerank round for round."""
+def _pagerank_oracle(
+    n_iter: int = 5,
+    damping_pct: int = 85,
+    edge_sql: str | None = None,
+    tail: str | None = None,
+) -> str:
+    """Unrolled CTE chain mirroring linkgraph.pagerank round for round.
+    ``edge_sql`` must end in a CTE named ``e(src, dst, w)``; ``tail``
+    replaces the default final SELECT (referencing r{n_iter})."""
     base = f"{(100 - damping_pct) * 1_000_000} // (100 * n.n_nodes)"
     ctes = [
-        _EDGE_SYNTH_SQL.strip(),
+        (edge_sql or _EDGE_SYNTH_SQL).strip(),
         "nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e)",
         "outw AS (SELECT src, sum(w) AS out_w FROM e GROUP BY src)",
         "n AS (SELECT count(*)::BIGINT AS n_nodes FROM nodes)",
@@ -2582,11 +2594,59 @@ def _pagerank_oracle(n_iter: int = 5, damping_pct: int = 85) -> str:
     FROM e JOIN r{k - 1} r ON e.src = r.host JOIN outw o ON o.src = e.src
     GROUP BY e.dst) s ON nd.host = s.host
 )""")
-    return (
-        "WITH " + ",\n".join(ctes)
-        + f"\nSELECT host, rank_micro FROM r{n_iter}"
-        + "\nORDER BY rank_micro DESC, host"
+    final = tail or (
+        f"SELECT host, rank_micro FROM r{n_iter}"
+        "\nORDER BY rank_micro DESC, host"
     )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+TEXTRANK_TOP = 15
+
+
+def q_text_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): integer
+    PageRank over the word co-occurrence graph — nodes are words, an
+    undirected edge joins each ADJACENT token pair, weighted by
+    co-occurrence count. Reuses linkgraph.pagerank verbatim (the graph is
+    different, the operator is not): 5 integer rank rounds over a
+    vocabulary-bounded edge list built map-side from the same zipped-slice
+    bigrams as the bigram LM — corpus-scale work is one bigram-count
+    shuffle; every rank round shuffles the VOCAB-sized graph only."""
+    from ..operators import linkgraph as LG
+
+    bt = T.doc_bigram_tf(_docs(spark, sf_dir), key="doc_id")
+    dirp = bt.select(F.split("token", " ").alias("p"), F.col("tf").alias("w")).select(
+        F.col("p")[0].alias("src"), F.col("p")[1].alias("dst"), "w"
+    )
+    edges = dirp.unionByName(
+        dirp.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).filter(F.col("src") != F.col("dst"))
+    return (
+        LG.pagerank(edges, n_iter=5)
+        .select(F.col("host").alias("word"), "rank_micro")
+        .orderBy(F.desc("rank_micro"), "word")
+        .limit(TEXTRANK_TOP)
+    )
+
+
+_TEXTRANK_EDGE_SQL = f"""{_TOK_CTE.lstrip()},
+tr_tl AS (SELECT doc_id, list(term ORDER BY pos) AS ts FROM tok GROUP BY doc_id),
+tr_bg AS (
+  SELECT unnest(list_transform(range(1, len(ts)),
+           i -> array_to_string(list_slice(ts, i, i + 1), ' '))) AS bigram
+  FROM tr_tl WHERE len(ts) >= 2
+),
+tr_dir AS (
+  SELECT split_part(bigram, ' ', 1) AS src,
+         split_part(bigram, ' ', 2) AS dst FROM tr_bg
+  UNION ALL
+  SELECT split_part(bigram, ' ', 2), split_part(bigram, ' ', 1) FROM tr_bg
+),
+e AS (
+  SELECT src, dst, count(*)::BIGINT AS w FROM tr_dir
+  WHERE src <> dst GROUP BY src, dst
+)"""
 
 
 def _synth_links(spark, sf_dir):
@@ -4395,6 +4455,7 @@ DATA_QUERIES = {
     "crawl_schedule_profile": q_crawl_schedule_profile,
     "url_latest_snapshot": q_url_latest_snapshot,
     "web_pagerank": q_web_pagerank,
+    "text_textrank_keywords": q_text_textrank_keywords,
     "web_anchor_profile": q_web_anchor_profile,
     "text_nfc_profile": q_text_nfc_profile,
     "cap_per_host": q_cap_per_host,
@@ -4505,6 +4566,11 @@ def data_oracle_sqls() -> dict[str, str]:
         "crawl_schedule_profile": ORACLE_CRAWL_SCHEDULE,
         "url_latest_snapshot": ORACLE_URL_LATEST,
         "web_pagerank": _pagerank_oracle(),
+        "text_textrank_keywords": _pagerank_oracle(
+            edge_sql=_TEXTRANK_EDGE_SQL,
+            tail=f"SELECT host AS word, rank_micro FROM r5"
+                 f"\nORDER BY rank_micro DESC, word LIMIT {TEXTRANK_TOP}",
+        ),
         "web_anchor_profile": ORACLE_ANCHOR_PROFILE,
         "text_nfc_profile": ORACLE_NFC_PROFILE,
         "cap_per_host": ORACLE_CAP_PER_HOST,
