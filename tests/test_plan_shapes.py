@@ -829,3 +829,42 @@ class TestSemDedupSeedGuard:
         df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
         with pytest.raises(ValueError, match="seed id"):
             SIM.semdedup(df, k=4)
+
+
+class TestRound6SessionPlans:
+    def test_rrf_fuse_is_one_exchange_no_join(self, spark):
+        """The fusion of pre-ranked bounded lists must plan as union +
+        ONE hash aggregation — a fold of full-outer joins (which cannot
+        broadcast) would show SortMergeJoin + an exchange per list."""
+        from tika_xapian_spark.operators.search import rrf_fuse
+
+        kw = spark.range(5).select(
+            F.col("id").alias("doc_id"), (F.col("id") + 1).cast("int").alias("rank")
+        )
+        ann = spark.range(3, 8).select(
+            F.col("id").alias("doc_id"), (F.col("id") - 2).cast("int").alias("rank")
+        )
+        plan = plan_of(rrf_fuse([("kw", kw), ("ann", ann)]))
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Union" in plan
+
+    def test_bitext_margin_no_cartesian(self, spark, emb):
+        from tika_xapian_spark.operators.similarity import bitext_margin
+
+        lang_of = emb.select(
+            "vec_id",
+            F.when(F.col("label") == 0, "en").otherwise("de").alias("lang"),
+        )
+        plan = plan_of(bitext_margin(emb, lang_of, "en", "de"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_containment_join_is_keyed(self, docs):
+        from tika_xapian_spark.operators.dedup import containment_top_pairs
+
+        plan = plan_of(containment_top_pairs(docs, key="doc_id", k=3))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # bounded top-k, not a global sort of all pairs
+        assert "TakeOrderedAndProject" in plan
