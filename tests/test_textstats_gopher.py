@@ -411,3 +411,24 @@ class TestZipfFit:
         )
         urow = zipf_fit(uni, key="doc_id").collect()[0]
         assert urow.slope_micro == 0  # all counts equal: flat line
+
+
+class TestKnBigram:
+    def test_hand_computed_kn_probabilities(self, spark):
+        """'a b a b a c': P(b|a) = 1.25/3 + .75*(2/3)*(1/3) = 0.583333,
+        P(a|b) = 0.75, P(c|a) = 0.25 — the discounted mass shifts to
+        continuations in proportion to their novel-context counts."""
+        from tika_xapian_spark.operators.textstats import kn_bigram_probs
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b a c")], "doc_id long, text string"
+        )
+        got = {
+            (r.w1, r.w2): (r.c, r.prob_micro)
+            for r in kn_bigram_probs(docs, key="doc_id").collect()
+        }
+        assert got == {
+            ("a", "b"): (2, 583333),
+            ("b", "a"): (2, 750000),
+            ("a", "c"): (1, 250000),
+        }

@@ -1421,3 +1421,60 @@ def zipf_fit(docs: DataFrame, key: str, text_col: str = "text") -> DataFrame:
         .cast("long")
         .alias("r2_micro"),
     )
+
+
+def kn_bigram_probs(
+    docs: DataFrame, key: str, text_col: str = "text", top: int = 20
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (absolute discount
+    D = 3/4) — the smoothing that made count-based LMs competitive and
+    still the reference scorer for corpus LM statistics:
+
+        P(w2|w1) = (c(w1 w2) - D) / c(w1 .)
+                 + D * N1+(w1 .) / c(w1 .) * N1+(. w2) / T
+
+    where N1+(w1 .) = distinct continuations of w1, N1+(. w2) = distinct
+    left contexts of w2 (the "how many ways can w2 start a novel bigram"
+    count that distinguishes KN from Katz), T = distinct bigram types.
+    With D = 3/4 the probability is the exact rational
+    ((4c-3)*T + 3*n1p*dl) / (4*cctx*T); all factors are exact per-row
+    integers, combined in ONE double expression per row (no cross-row
+    float summation anywhere), so both engines produce the identical
+    micro-rounded value.
+
+    Scale shape: corpus bigram counts are the map-side RLE shuffle of
+    doc_bigram_tf; every stats frame after that is VOCABULARY-bounded
+    (groupBy w1 / groupBy w2 over distinct bigrams); T rides as a
+    broadcast 1-row aggregate; and the output join broadcasts the bounded
+    top-``top`` list into the stats frames, never the reverse. Returns
+    (w1, w2, c, prob_micro) for the ``top`` most frequent bigrams."""
+    bc = (
+        doc_bigram_tf(docs, key, text_col)
+        .groupBy("token")
+        .agg(F.sum("tf").cast("long").alias("c"))
+        .select(
+            F.split("token", " ")[0].alias("w1"),
+            F.split("token", " ")[1].alias("w2"),
+            "c",
+        )
+        .localCheckpoint(eager=False)  # consumers: stats x2, T, top list
+    )
+    stats1 = bc.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("cctx"),
+        F.count(F.lit(1)).cast("long").alias("n1p"),
+    )
+    stats2 = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    t = F.broadcast(bc.agg(F.count(F.lit(1)).cast("long").alias("t")))
+    top_bc = bc.orderBy(F.desc("c"), "w1", "w2").limit(top)
+    picked = stats1.join(F.broadcast(top_bc), "w1").crossJoin(t)
+    joined = stats2.join(F.broadcast(picked), "w2")
+    return joined.select(
+        "w1",
+        "w2",
+        "c",
+        F.expr(
+            "CAST(round((CAST(4*c - 3 AS DOUBLE) * CAST(t AS DOUBLE)"
+            " + CAST(3*n1p*dl AS DOUBLE)) * 1000000"
+            " / (CAST(4*cctx AS DOUBLE) * CAST(t AS DOUBLE))) AS BIGINT)"
+        ).alias("prob_micro"),
+    ).orderBy(F.desc("c"), "w1", "w2")

@@ -1837,6 +1837,44 @@ GROUP BY t.doc_id
 ORDER BY t.doc_id"""
 
 
+def q_text_kn_bigram(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram probabilities for the corpus's top
+    bigrams (operators/textstats.py::kn_bigram_probs) — exact rational
+    with D = 3/4, one per-row double expression, vocabulary-bounded
+    stats."""
+    return T.kn_bigram_probs(_docs(spark, sf_dir), key="doc_id", top=20)
+
+
+ORACLE_KN_BIGRAM = f"""
+WITH {_TOK_CTE},
+kn_tl AS (SELECT doc_id, list(term ORDER BY pos) AS ts FROM tok GROUP BY doc_id),
+kn_bg AS (
+  SELECT unnest(list_transform(range(1, len(ts)),
+           i -> array_to_string(list_slice(ts, i, i + 1), ' '))) AS bigram
+  FROM kn_tl WHERE len(ts) >= 2
+),
+kn_bc AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2,
+         CAST(count(*) AS BIGINT) AS c
+  FROM kn_bg GROUP BY 1, 2
+),
+kn_s1 AS (
+  SELECT w1, CAST(sum(c) AS BIGINT) AS cctx, CAST(count(*) AS BIGINT) AS n1p
+  FROM kn_bc GROUP BY 1
+),
+kn_s2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS dl FROM kn_bc GROUP BY 1),
+kn_t AS (SELECT CAST(count(*) AS BIGINT) AS t FROM kn_bc),
+kn_top AS (SELECT * FROM kn_bc ORDER BY c DESC, w1, w2 LIMIT 20)
+SELECT b.w1, b.w2, b.c,
+       CAST(round((CAST(4*b.c - 3 AS DOUBLE) * CAST(t.t AS DOUBLE)
+            + CAST(3*s1.n1p*s2.dl AS DOUBLE)) * 1000000
+            / (CAST(4*s1.cctx AS DOUBLE) * CAST(t.t AS DOUBLE))) AS BIGINT)
+         AS prob_micro
+FROM kn_top b JOIN kn_s1 s1 USING (w1) JOIN kn_s2 s2 USING (w2)
+CROSS JOIN kn_t t
+ORDER BY b.c DESC, b.w1, b.w2"""
+
+
 def q_source_quality_profile(spark, sf_dir):
     """Domain-level rollup: per-source doc counts, exact-integer average
     quality, high-quality share, bottom-decile flag
@@ -4484,6 +4522,7 @@ DATA_QUERIES = {
     "embedding_label_similarity": q_embedding_label_similarity,
     "curate_corpus_ccnet": q_curate_corpus_ccnet,
     "text_bigram_logppl": q_text_bigram_logppl,
+    "text_kn_bigram": q_text_kn_bigram,
     "source_quality_profile": q_source_quality_profile,
     "pack_sequences": q_pack_sequences,
     "dedup_minhash_calibration": q_dedup_minhash_calibration,
@@ -4599,6 +4638,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "embedding_label_similarity": _label_sim_oracle(),
         "curate_corpus_ccnet": _curate_ccnet_oracle(),
         "text_bigram_logppl": ORACLE_BIGRAM_LOGPPL,
+        "text_kn_bigram": ORACLE_KN_BIGRAM,
         "source_quality_profile": _source_profile_oracle(),
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "dedup_minhash_calibration": _oracle_minhash_calibration(),
