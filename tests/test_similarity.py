@@ -385,3 +385,26 @@ class TestBitextMargin:
         assert got[0][0] == 11             # margin overrides the hub
         assert got[1][0] == 10             # s2's genuine best is the hub
         assert got[0][1] >= 1_000_000
+
+
+class TestKcenterSeeds:
+    def test_greedy_radius_sequence(self, spark):
+        """Points on a line (embedded in 64-dim): start at id 0 (origin),
+        farthest is 10 away (d2=100), then the mid point at 5 (min-d2=25
+        to both chosen) beats the point at 3 (min-d2=9)."""
+        from tika_xapian_spark.operators.similarity import kcenter_seeds
+
+        def v(axis, mag):
+            a = [0.0] * 64
+            a[axis] = float(mag)
+            return a
+
+        emb = spark.createDataFrame(
+            [(0, v(1, 0)), (1, v(1, 10)), (2, v(1, 5)), (3, v(3, 3))],
+            "vec_id long, embedding array<float>",
+        )
+        got = [
+            (r.step, r.vec_id, r.d2_micro)
+            for r in kcenter_seeds(emb, k=3).collect()
+        ]
+        assert got == [(0, 0, 0), (1, 1, 100_000_000), (2, 2, 25_000_000)]

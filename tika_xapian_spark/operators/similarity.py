@@ -995,3 +995,85 @@ def bitext_margin(
         .filter(F.col("margin_micro") >= int(min_margin_micro))
         .orderBy(id_col)
     )
+
+
+def _d2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kcenter_seeds(
+    embeddings: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center seed selection (Gonzalez's 2-approximation): start
+    from the lowest id, then ``k-1`` times pick the point FARTHEST (max
+    min-squared-distance, ties lowest id) from everything chosen so far —
+    the canonical diverse-subset selector for labeling budgets, eval-set
+    seeding, and SemDeDup-style cluster initialization, where random
+    sampling oversamples dense regions by construction.
+
+    The algorithm is inherently sequential in k, so the driver does ONE
+    bounded round-trip per step (a TakeOrderedAndProject of a single row —
+    the WAND-tau discipline: bounded scalars may cross the driver, corpus
+    data never does); each step is one full map-side distance scan with no
+    shuffle at all. k is a small constant. min over doubles is exact, so
+    composing the per-step least() in either association order is
+    bit-identical — the unrolled SQL oracle folds pairwise, this builds
+    least(d2 to every chosen center) per step, same values.
+
+    Returns (step, vec_id, d2_micro): d2_micro is the squared distance
+    from the step's pick to the previously-chosen set (0 for step 0),
+    i.e. the k-center radius sequence."""
+    emb = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    ).localCheckpoint(eager=False)  # consumed once per step
+    first = emb.orderBy("id").limit(1).collect()[0]
+    chosen = [(int(first["id"]), [float(x) for x in first["v"]])]
+    picks = [(0, chosen[0][0], 0)]
+    for step in range(1, k):
+        dists = [
+            _d2(F.col("v"), F.array(*[F.lit(x) for x in vec]))
+            for _, vec in chosen
+        ]
+        md = dists[0] if len(dists) == 1 else F.least(*dists)
+        # micro-rounding happens IN-ENGINE (Spark round = HALF_UP, matching
+        # the SQL oracle; Python's round is banker's). Staged projection:
+        # CollapseProject won't inline the 64-dim fold twice.
+        row = (
+            emb.select("id", md.alias("md"))
+            .select(
+                "id",
+                "md",
+                F.round(F.col("md") * 1_000_000).cast("long").alias("md_micro"),
+            )
+            .orderBy(F.desc("md"), F.asc("id"))
+            .limit(1)
+            .collect()[0]
+        )
+        nxt = emb.filter(F.col("id") == int(row["id"])).collect()[0]
+        chosen.append((int(nxt["id"]), [float(x) for x in nxt["v"]]))
+        picks.append((step, int(row["id"]), int(row["md_micro"])))
+    spark = embeddings.sparkSession
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("step"),
+                F.lit(i).cast("long").alias("vec_id"),
+                F.lit(d).cast("long").alias("d2_micro"),
+            )
+            for s, i, d in picks
+        ]
+    )
+    # literal relation (zero driver RDD jobs — the _literal_qterms pattern)
+    return (
+        spark.range(1)
+        .select(F.explode(entries).alias("e"))
+        .select("e.step", "e.vec_id", "e.d2_micro")
+        .orderBy("step")
+    )

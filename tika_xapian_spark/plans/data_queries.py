@@ -4167,6 +4167,64 @@ def q_ann_recall_eval(spark, sf_dir):
     return SIM.recall_table(truth, approx)
 
 
+KC_K = 4  # k-center seed count
+
+
+def q_embedding_kcenter_seeds(spark, sf_dir):
+    """Greedy k-center diverse-seed selection (operators/similarity.py::
+    kcenter_seeds): k-1 bounded single-row driver round-trips, each one
+    shuffle-free distance scan; the radius sequence is the output."""
+    return SIM.kcenter_seeds(_emb(spark, sf_dir), k=KC_K)
+
+
+def _kcenter_oracle(k: int = KC_K, dim: int = 64) -> str:
+    d2 = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "j -> ({a}[j]::DOUBLE - {b}[j]::DOUBLE)"
+        " * ({a}[j]::DOUBLE - {b}[j]::DOUBLE)))"
+    )
+    ctes = [
+        "kc_c0 AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 1)",
+        "kc_v0 AS (SELECT e.embedding AS v FROM embeddings e"
+        " JOIN kc_c0 c ON e.vec_id = c.vec_id)",
+        f"kc_d1 AS (SELECT e.vec_id,"
+        f" {d2.format(d=dim, a='e.embedding', b='v0.v')} AS md"
+        f" FROM embeddings e CROSS JOIN kc_v0 v0)",
+    ]
+    for i in range(1, k):
+        ctes.append(
+            f"kc_c{i} AS (SELECT vec_id,"
+            f" CAST(round(md * 1000000) AS BIGINT) AS md_micro"
+            f" FROM kc_d{i} ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if i < k - 1:
+            ctes.append(
+                f"kc_v{i} AS (SELECT e.embedding AS v FROM embeddings e"
+                f" JOIN kc_c{i} c ON e.vec_id = c.vec_id)"
+            )
+            ctes.append(
+                f"kc_d{i + 1} AS (SELECT d.vec_id, least(d.md,"
+                f" {d2.format(d=dim, a='e.embedding', b=f'v{i}.v')}) AS md"
+                f" FROM kc_d{i} d JOIN embeddings e ON e.vec_id = d.vec_id"
+                f" CROSS JOIN kc_v{i} v{i})"
+            )
+    selects = [
+        "SELECT CAST(0 AS INT) AS step, vec_id, CAST(0 AS BIGINT) AS d2_micro"
+        " FROM kc_c0"
+    ]
+    for i in range(1, k):
+        selects.append(
+            f"SELECT CAST({i} AS INT), vec_id, md_micro FROM kc_c{i}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY step"
+    )
+
+
 MK_DIM = 16  # matryoshka prefix length evaluated against the full 64 dims
 
 
@@ -4452,6 +4510,7 @@ DATA_QUERIES = {
     "mix_temperature": q_mix_temperature,
     "ann_recall_eval": q_ann_recall_eval,
     "ann_matryoshka_eval": q_ann_matryoshka_eval,
+    "embedding_kcenter_seeds": q_embedding_kcenter_seeds,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "vocab_coverage": q_vocab_coverage,
@@ -4551,6 +4610,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "mix_temperature": ORACLE_MIX_TEMPERATURE,
         "ann_recall_eval": ORACLE_ANN_RECALL,
         "ann_matryoshka_eval": ORACLE_ANN_MATRYOSHKA,
+        "embedding_kcenter_seeds": _kcenter_oracle(),
         "bpe_merges": _bpe_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
         "vocab_coverage": ORACLE_VOCAB_COVERAGE,
