@@ -400,7 +400,7 @@ class TestZipfFit:
         docs = spark.createDataFrame(
             [(1, " ".join(words))], "doc_id long, text string"
         )
-        row = zipf_fit(docs, key="doc_id").collect()[0]
+        row = zipf_fit(docs).collect()[0]
         assert row.n_terms == 50
         assert -1_050_000 <= row.slope_micro <= -950_000
         assert row.r2_micro >= 990_000
@@ -409,7 +409,7 @@ class TestZipfFit:
             [(1, " ".join(f"u{k}" for k in range(1, 51)))],
             "doc_id long, text string",
         )
-        urow = zipf_fit(uni, key="doc_id").collect()[0]
+        urow = zipf_fit(uni).collect()[0]
         assert urow.slope_micro == 0  # all counts equal: flat line
 
 

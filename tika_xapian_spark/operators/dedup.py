@@ -279,6 +279,30 @@ def minhash_calibration(
     )
 
 
+def _shingle_candidates(
+    sh: DataFrame, max_shingle_df: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate machinery for the exact shingle-overlap scorers:
+    hot-shingle df prune -> self equi-join on shingle (doc_a < doc_b) ->
+    per-pair intersection counts, plus per-doc shingle sizes. Returns
+    (inter(doc_a, doc_b, n_inter), sizes(doc, n_sh))."""
+    df_per_shingle = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    pruned = sh.join(
+        df_per_shingle.filter(F.col("sdf") <= max_shingle_df).select("shingle"),
+        "shingle",
+    )
+    a = pruned.select(F.col("doc").alias("doc_a"), "shingle")
+    b = pruned.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    return inter, sizes
+
+
 def ngram_jaccard_top_pairs(
     docs: DataFrame,
     key: str,
@@ -294,20 +318,7 @@ def ngram_jaccard_top_pairs(
     pre-persisted ``shingles`` frame to share it across queries (it is read
     four times in this plan)."""
     sh = shingles if shingles is not None else shingles_df(docs, key, text_col, k)
-    df_per_shingle = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
-    pruned = sh.join(
-        df_per_shingle.filter(F.col("sdf") <= max_shingle_df).select("shingle"),
-        "shingle",
-    )
-    a = pruned.select(F.col("doc").alias("doc_a"), "shingle")
-    b = pruned.select(F.col("doc").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter, sizes = _shingle_candidates(sh, max_shingle_df)
     na = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
     scored = inter.join(na, "doc_a").join(nb, "doc_b").select(
@@ -354,25 +365,12 @@ def containment_top_pairs(
     Returns (src_doc, dst_doc, containment_micro): top pairs by descending
     containment of src in dst, ties (src, dst) ascending."""
     sh = shingles if shingles is not None else shingles_df(docs, key, text_col, k)
-    df_per_shingle = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
-    pruned = sh.join(
-        df_per_shingle.filter(F.col("sdf") <= max_shingle_df).select("shingle"),
-        "shingle",
-    )
-    a = pruned.select(F.col("doc").alias("doc_a"), "shingle")
-    b = pruned.select(F.col("doc").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    inter, sizes = _shingle_candidates(sh, max_shingle_df)
     directed = inter.selectExpr(
         "doc_a AS src_doc", "doc_b AS dst_doc", "n_inter"
     ).unionByName(
         inter.selectExpr("doc_b AS src_doc", "doc_a AS dst_doc", "n_inter")
     )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     scored = directed.join(
         sizes.select(F.col("doc").alias("src_doc"), F.col("n_sh").alias("n_src")),
         "src_doc",

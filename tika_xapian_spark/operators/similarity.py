@@ -1033,7 +1033,10 @@ def kcenter_seeds(
     emb = embeddings.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
     ).localCheckpoint(eager=False)  # consumed once per step
-    first = emb.orderBy("id").limit(1).collect()[0]
+    first_rows = emb.orderBy("id").limit(1).collect()
+    if not first_rows:
+        raise ValueError("kcenter_seeds: embeddings frame is empty")
+    first = first_rows[0]
     chosen = [(int(first["id"]), [float(x) for x in first["v"]])]
     picks = [(0, chosen[0][0], 0)]
     for step in range(1, k):
@@ -1044,11 +1047,15 @@ def kcenter_seeds(
         md = dists[0] if len(dists) == 1 else F.least(*dists)
         # micro-rounding happens IN-ENGINE (Spark round = HALF_UP, matching
         # the SQL oracle; Python's round is banker's). Staged projection:
-        # CollapseProject won't inline the 64-dim fold twice.
+        # CollapseProject won't inline the 64-dim fold twice. The chosen
+        # vector rides the SAME single-row round-trip ("v" in the
+        # projection) — re-fetching it with a filter would add a second
+        # full scan per step.
         row = (
-            emb.select("id", md.alias("md"))
+            emb.select("id", "v", md.alias("md"))
             .select(
                 "id",
+                "v",
                 "md",
                 F.round(F.col("md") * 1_000_000).cast("long").alias("md_micro"),
             )
@@ -1056,8 +1063,16 @@ def kcenter_seeds(
             .limit(1)
             .collect()[0]
         )
-        nxt = emb.filter(F.col("id") == int(row["id"])).collect()[0]
-        chosen.append((int(nxt["id"]), [float(x) for x in nxt["v"]]))
+        if any(int(row["id"]) == c for c, _ in chosen):
+            # every remaining point sits at distance 0 from the chosen set
+            # (the 0-tie broke back to an already-chosen id): k exceeds the
+            # number of distinct points — a silent duplicate "diverse seed"
+            # is worse than a loud stop (the semdedup seed-guard rule)
+            raise ValueError(
+                f"kcenter_seeds: k={k} exceeds the number of distinct"
+                " points in the embeddings frame"
+            )
+        chosen.append((int(row["id"]), [float(x) for x in row["v"]]))
         picks.append((step, int(row["id"]), int(row["md_micro"])))
     spark = embeddings.sparkSession
     entries = F.array(

@@ -1322,7 +1322,7 @@ def c4_signals(
     )
 
 
-def zipf_fit(docs: DataFrame, key: str, text_col: str = "text") -> DataFrame:
+def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Zipf's-law fit of the corpus unigram distribution: OLS of
     log(frequency) on log(rank). A natural-text corpus fits slope ~ -1
     with high R^2; templated/boilerplate or synthetic corpora deviate, so

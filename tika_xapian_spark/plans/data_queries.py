@@ -3706,7 +3706,7 @@ def q_text_zipf_fit(spark, sf_dir):
     """Zipf slope/R^2 of the unigram distribution (operators/textstats.py::
     zipf_fit) — decimal-exact OLS sums, float only in the final
     divisions."""
-    return T.zipf_fit(_docs(spark, sf_dir), key="doc_id")
+    return T.zipf_fit(_docs(spark, sf_dir))
 
 
 ORACLE_ZIPF_FIT = """

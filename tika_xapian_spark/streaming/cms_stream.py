@@ -9,24 +9,21 @@ oracle. The emitted table IS the sketch (nonzero cells), which both gates
 the streaming path end-to-end and is the production hand-off format — a
 downstream consumer probes it with min-over-rows for any key.
 
-Mechanics are sketch_stream.py's: time-ordered chunk files with
-maxFilesPerTrigger=1 (state genuinely accumulates across micro-batches),
-then a sentinel row per event type across a checkpointed restart lets
-every group emit its final cells exactly once. Hashing happens JVM-side in
-the stream projection (the shared conv(md5) 60-bit hash); Python only adds
-into the counter array.
+Mechanics come entirely from ``sketch_stream.run_two_phase_by_type`` (the
+ONE copy of the time-ordered-chunk / sentinel-finalize machinery shared
+with the KMV sketch): this module contributes only the JVM-side bucket
+projection and the counter fold; Python only adds into the counter array.
 """
 
 from __future__ import annotations
 
-import os
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupState
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
@@ -37,8 +34,7 @@ from pyspark.sql.types import (
 )
 
 from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, _hash60
-from .sessionize import _stage_time_ordered
-from .windowed import EVENTS_SCHEMA, _run_available_now
+from .sketch_stream import _SENTINEL_ID, run_two_phase_by_type
 
 OUTPUT_SCHEMA = StructType(
     [
@@ -50,8 +46,6 @@ OUTPUT_SCHEMA = StructType(
 )
 
 STATE_SCHEMA = StructType([StructField("cells", ArrayType(LongType()))])
-
-_SENTINEL_ID = -1
 
 
 def _cms_fn(
@@ -97,11 +91,6 @@ def run_stream_cms(
     """Two-phase availableNow run; returns (event_type, r, bucket, cell)
     equal to the batch CMS counter table over the same input (user_id is
     the counted key)."""
-    inp = os.path.join(work_dir, "input")
-    out = os.path.join(work_dir, "out")
-    ckpt = os.path.join(work_dir, "ckpt")
-    _stage_time_ordered(spark, events_parquet, inp, n_chunks)
-
     bucket_cols = [
         F.expr(
             f"CAST(pmod({_hash60(f'''concat('{r}:', cast(user_id as string))''')},"
@@ -109,36 +98,13 @@ def run_stream_cms(
         ).alias(f"b{r}")
         for r in range(CMS_DEPTH)
     ]
-
-    def make_query():
-        stream = (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(inp)
-            .select("event_type", "event_id", *bucket_cols)
-        )
-        sketches = stream.groupBy("event_type").applyInPandasWithState(
-            _cms_fn,
-            outputStructType=OUTPUT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-        _run_available_now(sketches, out, ckpt)
-
-    make_query()  # phase 1: counters accumulate across batches
-
-    ev = spark.read.parquet(events_parquet)
-    sentinel = ev.select("event_type").distinct().select(
-        F.lit(_SENTINEL_ID).cast("long").alias("event_id"),
-        F.expr("timestamp'2099-01-01 00:00:00'").alias("ts"),
-        F.lit(-1).cast("long").alias("user_id"),
-        F.col("event_type"),
-        F.lit(0.0).alias("value"),
-        F.lit("{}").alias("props"),
+    return run_two_phase_by_type(
+        spark,
+        events_parquet,
+        work_dir,
+        bucket_cols,
+        _cms_fn,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        n_chunks,
     )
-    sentinel.coalesce(1).write.mode("append").parquet(inp)
-
-    make_query()  # phase 2: every group sees its sentinel and finalizes
-
-    return spark.read.parquet(out)

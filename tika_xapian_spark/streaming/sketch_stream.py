@@ -82,14 +82,26 @@ def _kmv_fn(
         yield pd.DataFrame({"event_type": [etype], "kmv_estimate": [est]})
 
 
-def run_stream_kmv(
+def run_two_phase_by_type(
     spark: SparkSession,
     events_parquet: str,
     work_dir: str,
+    projection: list,
+    fn,
+    output_schema: StructType,
+    state_schema: StructType,
     n_chunks: int = 3,
 ) -> DataFrame:
-    """Two-phase availableNow run; returns (event_type, kmv_estimate) equal
-    to the batch KMV sketch over the same input."""
+    """Shared two-phase availableNow harness for per-event-type stateful
+    sketches (KMV, CMS, and any future exactly-mergeable state): stage
+    time-ordered chunk files (maxFilesPerTrigger=1 so state genuinely
+    accumulates across micro-batches), run phase 1, append one sentinel
+    row per event type, then a checkpointed restart (phase 2) finalizes
+    every group exactly once. ``projection`` is the extra JVM-side columns
+    the stateful ``fn`` reads beyond (event_type, event_id) — hashing
+    stays in the stream projection, Python only folds state. ONE copy of
+    the sentinel/restart machinery; sketch modules supply only their
+    state fold."""
     inp = os.path.join(work_dir, "input")
     out = os.path.join(work_dir, "out")
     ckpt = os.path.join(work_dir, "ckpt")
@@ -100,22 +112,18 @@ def run_stream_kmv(
             spark.readStream.schema(EVENTS_SCHEMA)
             .option("maxFilesPerTrigger", 1)
             .parquet(inp)
-            .select(
-                "event_type",
-                "event_id",
-                F.expr(_hash60("cast(user_id as string)")).alias("h"),
-            )
+            .select("event_type", "event_id", *projection)
         )
         sketches = stream.groupBy("event_type").applyInPandasWithState(
-            _kmv_fn,
-            outputStructType=OUTPUT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
+            fn,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
         _run_available_now(sketches, out, ckpt)
 
-    make_query()  # phase 1: k-min state accumulates across batches
+    make_query()  # phase 1: state accumulates across batches
 
     ev = spark.read.parquet(events_parquet)
     sentinel = ev.select("event_type").distinct().select(
@@ -131,3 +139,23 @@ def run_stream_kmv(
     make_query()  # phase 2: every group sees its sentinel and finalizes
 
     return spark.read.parquet(out)
+
+
+def run_stream_kmv(
+    spark: SparkSession,
+    events_parquet: str,
+    work_dir: str,
+    n_chunks: int = 3,
+) -> DataFrame:
+    """Two-phase availableNow run; returns (event_type, kmv_estimate) equal
+    to the batch KMV sketch over the same input."""
+    return run_two_phase_by_type(
+        spark,
+        events_parquet,
+        work_dir,
+        [F.expr(_hash60("cast(user_id as string)")).alias("h")],
+        _kmv_fn,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        n_chunks,
+    )
