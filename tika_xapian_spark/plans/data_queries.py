@@ -1382,6 +1382,35 @@ SELECT v AS doc_id, CAST(min(w) AS BIGINT) AS canonical_id
 FROM reach GROUP BY v ORDER BY doc_id"""
 
 
+def q_dedup_cluster_histogram(spark, sf_dir):
+    """Near-dup cluster-size distribution — the dedup pass's headline
+    report (how much of the corpus is singletons vs template clusters,
+    and how many docs deduplication removes = sum (size-1)*n). Two
+    bounded aggregations over the already-oracle-checked component map;
+    output is bounded by the DISTINCT cluster sizes, never the corpus.
+    Catalyst's EliminateSorts drops the reused component frame's ORDER BY
+    under the aggregation."""
+    sizes = (
+        q_dedup_components(spark, sf_dir)
+        .groupBy("canonical_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def _cluster_histogram_oracle() -> str:
+    return f"""
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM (
+  SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM ({_components_oracle()}) GROUP BY canonical_id
+) GROUP BY cluster_size ORDER BY cluster_size"""
+
+
 def q_curate_corpus(spark, sf_dir):
     """End-to-end training-data curation — the composition a 100 TB corpus
     pipeline actually runs: language filter (en) -> quality floor ->
@@ -4527,6 +4556,7 @@ DATA_QUERIES = {
     "dedup_minhash_pairs_capped": q_dedup_minhash_pairs_capped,
     "dedup_minhash_pairs_star": q_dedup_minhash_pairs_star,
     "dedup_components": q_dedup_components,
+    "dedup_cluster_histogram": q_dedup_cluster_histogram,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "decontaminate_overlap": q_decontaminate_overlap,
@@ -4627,6 +4657,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "dedup_minhash_pairs_capped": _oracle_minhash_pairs_capped(),
         "dedup_minhash_pairs_star": _oracle_minhash_pairs_star(),
         "dedup_components": _components_oracle(),
+        "dedup_cluster_histogram": _cluster_histogram_oracle(),
         "decontaminate": ORACLE_DECONTAM,
         "decontaminate_bloom": ORACLE_DECONTAM,
         "decontaminate_overlap": ORACLE_DECONTAM_OVERLAP,
