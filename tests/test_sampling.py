@@ -66,3 +66,27 @@ class TestTemperatureMix:
             temperature_mix(df, "src", alpha=0.0)
         with _pt.raises(ValueError):
             temperature_mix(df, "src", alpha=1.5)
+
+
+class TestTokenBudgetPlan:
+    def test_exact_targets_and_ceil_epochs(self, spark):
+        """4 two-token docs in A vs 1 one-token doc in B, alpha=0.5:
+        scores 2e6/1e6, largest-remainder weights 666667/333333; at a
+        300-token budget the targets floor to 200/99 and epochs ceil to
+        25 (200/8) and 99 (99/1) — every step exact integers."""
+        from pyspark.sql import functions as F
+
+        from tika_xapian_spark.operators.dedup import tokens_col
+        from tika_xapian_spark.operators.sampling import token_budget_plan
+
+        docs = spark.createDataFrame(
+            [(i, "a b", "A") for i in range(4)] + [(9, "c", "B")],
+            "doc_id long, text string, source string",
+        )
+        got = {
+            r.stratum: (r.weight_micro, r.tokens_avail, r.target_tokens, r.epochs)
+            for r in token_budget_plan(
+                docs, "source", F.size(tokens_col("text")).cast("long"), 300
+            ).collect()
+        }
+        assert got == {"A": (666667, 8, 200, 25), "B": (333333, 1, 99, 99)}

@@ -416,3 +416,50 @@ def temperature_mix(
             ).alias("boost_micro"),
         )
     )
+
+
+def token_budget_plan(
+    docs: DataFrame,
+    strata_col: str,
+    tokens_expr: Column,
+    budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Epoch plan for a token budget under the temperature mixture: given
+    a total training budget B, each stratum owes target = B * weight
+    tokens; with tokens_avail actually on disk, it trains for
+    ceil(target / avail) epochs (the "how many times do we repeat the
+    low-resource domain" table every mixture-weighted pretraining run
+    publishes). All integer floor/ceil arithmetic off the exact
+    largest-remainder weights — deterministic across engines.
+
+    ``tokens_expr`` is the per-row token count expression. Shape: one
+    strata-bounded count shuffle on top of temperature_mix's; the join is
+    dict-sized. Returns (stratum, n_docs, weight_micro, tokens_avail,
+    target_tokens, epochs)."""
+    mix = temperature_mix(docs, strata_col, alpha).select(
+        "stratum", "n_docs", "weight_micro"
+    )
+    toks = docs.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.sum(tokens_expr).cast("long").alias("tokens_avail")
+    )
+    return (
+        mix.join(toks, "stratum")
+        .select(
+            "stratum",
+            "n_docs",
+            "weight_micro",
+            "tokens_avail",
+            F.expr(f"CAST({int(budget)} * weight_micro div 1000000 AS BIGINT)")
+            .alias("target_tokens"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CAST(IF(target_tokens = 0, 0,"
+                " (target_tokens + tokens_avail - 1) div tokens_avail)"
+                " AS BIGINT)"
+            ).alias("epochs"),
+        )
+        .orderBy("stratum")
+    )

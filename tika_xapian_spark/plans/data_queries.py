@@ -4346,6 +4346,46 @@ SELECT k,
 FROM ar_j CROSS JOIN ar_ks GROUP BY k ORDER BY k"""
 
 
+MIX_BUDGET_TOKENS = 1_000_000
+
+
+def q_mix_token_budget(spark, sf_dir):
+    """Epoch plan for a 1M-token budget under the alpha=0.5 temperature
+    mixture (operators/sampling.py::token_budget_plan): exact integer
+    target/ceil-epoch arithmetic on the largest-remainder weights."""
+    from ..operators.dedup import tokens_col
+    from ..operators.sampling import token_budget_plan
+
+    return token_budget_plan(
+        _docs(spark, sf_dir),
+        strata_col="source",
+        tokens_expr=F.size(tokens_col("text")).cast("long"),
+        budget=MIX_BUDGET_TOKENS,
+        alpha=0.5,
+    ).repartition(1).sortWithinPartitions("stratum")
+
+
+def _mix_token_budget_oracle() -> str:
+    return f"""
+WITH mb_tok AS (
+  SELECT source AS stratum, CAST(count(*) AS BIGINT) AS tokens_avail
+  FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY source
+),
+mb_mix AS (SELECT * FROM ({ORACLE_MIX_TEMPERATURE}))
+SELECT m.stratum, m.n_docs, m.weight_micro, t.tokens_avail,
+       CAST({MIX_BUDGET_TOKENS} * m.weight_micro // 1000000 AS BIGINT)
+         AS target_tokens,
+       CAST(CASE WHEN {MIX_BUDGET_TOKENS} * m.weight_micro // 1000000 = 0
+                 THEN 0
+                 ELSE ({MIX_BUDGET_TOKENS} * m.weight_micro // 1000000
+                       + t.tokens_avail - 1) // t.tokens_avail END AS BIGINT)
+         AS epochs
+FROM mb_mix m JOIN mb_tok t USING (stratum)
+ORDER BY m.stratum"""
+
+
 def q_mix_temperature(spark, sf_dir):
     """Temperature-scaled source mixture (alpha=0.5 multinomial smoothing,
     XLM-R/mT5 rule) with the 1e6 probability mass apportioned exactly by
@@ -4537,6 +4577,7 @@ DATA_QUERIES = {
     "c4_quality_filter": q_c4_quality_filter,
     "dedup_winnow_pairs": q_dedup_winnow_pairs,
     "mix_temperature": q_mix_temperature,
+    "mix_token_budget": q_mix_token_budget,
     "ann_recall_eval": q_ann_recall_eval,
     "ann_matryoshka_eval": q_ann_matryoshka_eval,
     "embedding_kcenter_seeds": q_embedding_kcenter_seeds,
@@ -4638,6 +4679,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "c4_quality_filter": _c4_oracle(),
         "dedup_winnow_pairs": ORACLE_WINNOW_PAIRS,
         "mix_temperature": ORACLE_MIX_TEMPERATURE,
+        "mix_token_budget": _mix_token_budget_oracle(),
         "ann_recall_eval": ORACLE_ANN_RECALL,
         "ann_matryoshka_eval": ORACLE_ANN_MATRYOSHKA,
         "embedding_kcenter_seeds": _kcenter_oracle(),
