@@ -121,3 +121,40 @@ class TestRealDecodePath:
         # deterministic given the decoder
         again = M.resize_batch(pdf, "doc_id", "payload", 4, 4, use_fake=False)
         assert (out["resized_md5"] == again["resized_md5"]).all()
+
+
+class TestAudioWindows:
+    def test_overlap_and_full_window_cutoff(self, spark):
+        """48-byte payload at 800 Hz = 24 samples: windows of 20 samples at
+        hop 8 fit at k=0 only (8+20=28 > 24); 64 bytes = 32 samples fits
+        k=0 and k=1, and the two windows OVERLAP (bytes 16..56 vs 0..40)."""
+        import hashlib
+
+        from tika_xapian_spark.operators.multimodal import window_audio
+
+        b48, b64 = bytes(range(48)), bytes(range(64))
+        df = spark.createDataFrame(
+            [(1, b48), (2, b64)], "doc_id long, payload binary"
+        )
+        got = {
+            (r.doc, r.win_idx): (r.start_ms, r.end_ms, r.window_md5)
+            for r in window_audio(
+                df, key="doc_id", payload_col="payload", sample_rate=800
+            ).collect()
+        }
+        assert set(got) == {(1, 0), (2, 0), (2, 1)}
+        assert got[(2, 0)] == (0, 25, hashlib.md5(b64[0:40]).hexdigest())
+        assert got[(2, 1)] == (10, 35, hashlib.md5(b64[16:56]).hexdigest())
+
+    def test_real_decode_path_raises_honestly(self, spark):
+        from tika_xapian_spark.operators.multimodal import window_audio
+
+        df = spark.createDataFrame([(1, bytes(64))], "doc_id long, payload binary")
+        out = window_audio(
+            df, key="doc_id", payload_col="payload", sample_rate=800,
+            use_fake=False,
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="audio decode requires"):
+            out.collect()

@@ -278,3 +278,75 @@ def resize_batch(
             "n_bytes": width * height,
         }
     )
+
+
+def decode_audio(payload: bytes):
+    """Real audio decode — unavailable in this environment (no librosa/
+    soundfile/av). Swap this body in on a cluster that ships one."""
+    raise NotImplementedError(
+        "audio decode requires a media library not present in this environment"
+    )
+
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc", LongType()),
+        StructField("win_idx", LongType()),
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+        StructField("window_md5", StringType()),
+    ]
+)
+
+
+def window_audio(
+    df: DataFrame,
+    key: str,
+    payload_col: str,
+    sample_rate: int = 8000,
+    win_ms: int = 25,
+    hop_ms: int = 10,
+    use_fake: bool = True,
+) -> DataFrame:
+    """Overlapped audio framing (the 25ms/10ms STFT windowing every speech
+    pipeline starts with): one payload row -> one row per FULL window, via
+    mapInPandas — the 1->N Arrow fan-out with OVERLAPPING slices (hop <
+    window), which distinguishes it from the strided video-frame sampler.
+    The deterministic fake treats the payload as s16le mono PCM at
+    ``sample_rate``; ``use_fake=False`` routes through the (stubbed) real
+    decoder. Schema, batching and fan-out are the real plumbing either
+    way — the same discipline as sample_frames/decode_image."""
+    win_samples = sample_rate * win_ms // 1000
+    hop_samples = sample_rate * hop_ms // 1000
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs, idxs, starts, ends, md5s = [], [], [], [], []
+            for d, b in zip(pdf[key], pdf[payload_col]):
+                b = bytes(b)
+                if not use_fake:
+                    b = decode_audio(b)
+                n_samples = len(b) // 2  # s16le mono
+                k = 0
+                while k * hop_samples + win_samples <= n_samples:
+                    lo = k * hop_samples * 2
+                    fr = b[lo : lo + win_samples * 2]
+                    docs.append(d)
+                    idxs.append(k)
+                    starts.append(k * hop_ms)
+                    ends.append(k * hop_ms + win_ms)
+                    md5s.append(hashlib.md5(fr).hexdigest())
+                    k += 1
+            yield pd.DataFrame(
+                {
+                    "doc": docs,
+                    "win_idx": idxs,
+                    "start_ms": starts,
+                    "end_ms": ends,
+                    "window_md5": md5s,
+                }
+            )
+
+    return df.select(F.col(key), F.col(payload_col)).mapInPandas(
+        run, AUDIO_WINDOW_SCHEMA
+    )

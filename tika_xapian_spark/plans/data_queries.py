@@ -3227,6 +3227,49 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
 ORDER BY doc_a, doc_b"""
 
 
+def q_multimodal_audio_windows(spark, sf_dir):
+    """Overlapped audio framing plumbing (operators/multimodal.py::
+    window_audio): one payload row -> one row per full 25ms window at
+    10ms hop — OVERLAPPING 1->N Arrow fan-out (hop < window), the speech
+    pipeline's first op. Toy 800 Hz rate so the ~300-byte fixture
+    payloads yield real multi-window fan-out; the real-decode path stays
+    an honest NotImplementedError (no audio lib in this env)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    return (
+        M.window_audio(docs, key="doc_id", payload_col="payload", sample_rate=800)
+        .select(
+            F.col("doc").alias("doc_id"),
+            "win_idx",
+            "start_ms",
+            "end_ms",
+            "window_md5",
+        )
+        .orderBy("doc_id", "win_idx")
+    )
+
+
+# 800 Hz, 25ms window, 10ms hop -> 20-sample (40-byte) windows, 8-sample
+# (16-byte) hop over the s16le fake; text is ASCII so substr == byte slice
+ORACLE_MM_AUDIO = """
+WITH aw_docs AS (
+  SELECT doc_id, text, length(text) // 2 AS n_samples
+  FROM documents WHERE doc_id < 100
+),
+aw AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST((n_samples - 20) // 8 + 1 AS BIGINT)))
+           AS win_idx
+  FROM aw_docs WHERE n_samples >= 20
+)
+SELECT doc_id, win_idx,
+       CAST(win_idx * 10 AS BIGINT) AS start_ms,
+       CAST(win_idx * 10 + 25 AS BIGINT) AS end_ms,
+       md5(substr(text, CAST(win_idx * 16 + 1 AS BIGINT), 40)) AS window_md5
+FROM aw ORDER BY doc_id, win_idx"""
+
+
 def q_multimodal_frames(spark, sf_dir):
     """Frame-sampling plumbing: one payload row -> N sampled-frame rows
     (every 2nd 64-byte frame), md5-fingerprinted — deterministic fake decode
@@ -4638,6 +4681,7 @@ DATA_QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_fake_features": q_multimodal_fake_features,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_audio_windows": q_multimodal_audio_windows,
     "multimodal_resize": q_multimodal_resize,
     "dedup_lines": q_dedup_lines,
     "sample_stratified": q_sample_stratified,
@@ -4757,6 +4801,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "multimodal_meta": ORACLE_MM_META,
         "multimodal_fake_features": ORACLE_MM_FEATURES,
         "multimodal_frames": ORACLE_MM_FRAMES,
+        "multimodal_audio_windows": ORACLE_MM_AUDIO,
         "multimodal_resize": ORACLE_MM_RESIZE,
         "dedup_lines": ORACLE_DEDUP_LINES,
         "sample_stratified": _sample_oracle(),
