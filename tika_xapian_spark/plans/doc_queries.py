@@ -127,6 +127,30 @@ ESET_REL_DOCS = [1, 2, 3, 5, 8]
 ESET_EXCLUDE = ["Zspark", "Zmerg"]
 
 
+MLT_SEED = 0
+MLT_TERMS = 5
+
+
+def q_search_more_like_this(spark, sf_dir):
+    """More-like-this: find documents similar to a seed document — the
+    ESet relevance-feedback machinery (rset = {seed}) picks the seed's
+    top 5 expansion terms, which then run as an ordinary wqf=1 OR query,
+    seed excluded. Xapian ships exactly this composition as its
+    similarity search (get_eset -> query from ESet terms); it is the
+    "find related pages" feature of every Xapian deployment. The 5
+    selected terms cross the driver as bounded scalars (the WAND-tau
+    discipline) because the second stage's query plan is term-literal by
+    design — corpus data never does."""
+    idx = get_index(spark, sf_dir)
+    rset = spark.range(1).select(F.lit(MLT_SEED).cast("long").alias("doc"))
+    terms = [
+        r["term"]
+        for r in S.expand_terms(idx, rset, max_esize=MLT_TERMS).collect()
+    ]
+    matches = S.score_terms(idx, terms).filter(F.col("doc") != MLT_SEED)
+    return _finalize(matches, k=10)
+
+
 def q_search_eset(spark, sf_dir):
     """ESet relevance-feedback expansion (Enquire::get_eset, TradEWeight
     exact): the top expansion terms suggested by 5 marked-relevant docs,
@@ -454,6 +478,7 @@ QUERIES = {
     "search_max": q_search_max,
     "search_facets": q_search_facets,
     "search_eset": q_search_eset,
+    "search_more_like_this": q_search_more_like_this,
     "search_eset_bo1": q_search_eset_bo1,
     "search_value_boost": q_search_value_boost,
     "search_snippets": q_search_snippets,
@@ -643,6 +668,7 @@ ORDER BY doc_id"""
         "search_max": oracles.bool_op("max", ["spark"], ["slow"]),
         "search_facets": oracles.facets(["spark", "merge"], "lang"),
         "search_eset": oracles.eset(ESET_REL_DOCS, 10, exclude=ESET_EXCLUDE),
+        "search_more_like_this": oracles.more_like_this(MLT_SEED, MLT_TERMS, 10),
         "search_eset_bo1": oracles.eset(ESET_REL_DOCS, 10, exclude=ESET_EXCLUDE, scheme="bo1"),
         "search_value_boost": oracles.value_boost(["spark"], "n_chars", 0.001),
         "search_and_maybe": oracles.bool_op("and_maybe", ["join"], ["merge"]),

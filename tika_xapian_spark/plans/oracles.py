@@ -92,10 +92,14 @@ matches AS (
 )"""
 
 
-def _tweight_sql(qterms_values: str) -> str:
-    """R1 term weights for a VALUES list of (term, wqf)."""
+def _tweight_sql(qterms_values: str | None, from_cte: bool = False) -> str:
+    """R1 term weights for a VALUES list of (term, wqf); with
+    ``from_cte=True`` a ``qterms(term, wqf)`` CTE is assumed already in
+    scope (data-dependent query terms, e.g. more-like-this) and only the
+    tweight CTE is emitted."""
+    head = "" if from_cte else f"qterms(term, wqf) AS (VALUES {qterms_values}),"
     return f"""
-qterms(term, wqf) AS (VALUES {qterms_values}),
+{head}
 tweight AS (
   SELECT term,
          ln(CASE WHEN tw < 2 THEN tw * 0.5 + 1 ELSE tw END)
@@ -243,7 +247,20 @@ def eset(
     else:
         raise ValueError(scheme)
     return (
-        "WITH " + base_ctes() + f""",
+        "WITH " + base_ctes() + ","
+        + _eset_chain(rels, expand_k, wt_select)
+        + f"""
+SELECT term, CAST(round(wt * 1000000) AS BIGINT) AS wt_micro
+FROM wt WHERE wt > 0 {excl}
+ORDER BY wt_micro DESC, term
+LIMIT {max_esize}"""
+    )
+
+
+def _eset_chain(rels: str, expand_k: float, wt_select: str) -> str:
+    """CTE chain rel -> contrib -> cand -> wt (expects base_ctes in
+    scope) — shared by the standalone ESet oracles and more_like_this."""
+    return f"""
 rel(doc_id) AS (VALUES {rels}),
 contrib AS (
   SELECT p.term,
@@ -261,12 +278,7 @@ cand AS (
 ),
 wt AS (
   {wt_select}
-)
-SELECT term, CAST(round(wt * 1000000) AS BIGINT) AS wt_micro
-FROM wt WHERE wt > 0 {excl}
-ORDER BY wt_micro DESC, term
-LIMIT {max_esize}"""
-    )
+)"""
 
 
 def value_boost(words: list[str], value_col: str, scale: float, k: int = 100) -> str:
@@ -603,3 +615,38 @@ matches AS (
   SELECT d.doc_id, 0.0 AS score FROM doclen d
   WHERE d.doc_id NOT IN (SELECT doc_id FROM matched)
 )""" + TOPK_TAIL.format(k=k)
+
+
+def more_like_this(
+    seed_doc: int, n_terms: int = 5, k: int = 10, expand_k: float = 1.0
+) -> str:
+    """More-like-this oracle: TradEWeight ESet over rset={seed} picks the
+    top expansion terms (micro-integerized BEFORE the cutoff, the ESet
+    rule), which then run as a wqf=1 OR query through the standard BM25
+    chain, the seed itself excluded from the results."""
+    rsize = 1
+    wt_select = f"""SELECT c2.term,
+         c2.multiplier * ln(
+             ((c2.r + 0.5) * (co.n - s.df - ({rsize} - c2.r) + 0.5))
+           / ((s.df - c2.r + 0.5) * (({rsize} - c2.r) + 0.5))) AS wt
+  FROM cand c2 JOIN tstats s USING (term) CROSS JOIN coll co"""
+    return (
+        "WITH " + base_ctes() + ","
+        + _eset_chain(f"({seed_doc})", expand_k, wt_select)
+        + f""",
+mlt_terms AS (
+  SELECT term, CAST(round(wt * 1000000) AS BIGINT) AS wt_micro
+  FROM wt WHERE wt > 0
+  ORDER BY wt_micro DESC, term
+  LIMIT {n_terms}
+),
+qterms(term, wqf) AS (SELECT term, 1 FROM mlt_terms),"""
+        + _tweight_sql(None, from_cte=True)
+        + ","
+        + _score_sql()
+        + f"""
+SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micro
+FROM matches WHERE doc_id <> {seed_doc}
+ORDER BY score_micro DESC, doc_id
+LIMIT {k}"""
+    )
