@@ -408,3 +408,36 @@ class TestKcenterSeeds:
             for r in kcenter_seeds(emb, k=3).collect()
         ]
         assert got == [(0, 0, 0), (1, 1, 100_000_000), (2, 2, 25_000_000)]
+
+
+class TestNdcgTable:
+    def test_position_sensitivity_and_perfect_score(self, spark):
+        """Same recall, different positions: a relevant hit at rank 1
+        scores higher nDCG than at rank 3; a perfect ranking scores
+        exactly 1.0 (hand-computed log2 discounts)."""
+        import math
+
+        from tika_xapian_spark.operators.similarity import ndcg_table
+
+        truth = spark.createDataFrame(
+            [(i, 100 - i) for i in range(1, 4)], "vec_id long, cos_micro long"
+        )
+        perfect = truth
+        out = {r.k: r for r in ndcg_table(truth, perfect, ks=(3,)).collect()}
+        assert out[3].n_rel == 3 and out[3].ndcg_micro == 1_000_000
+
+        # relevant item only at rank 3 of the approx list
+        late = spark.createDataFrame(
+            [(90, 100), (91, 99), (1, 98)], "vec_id long, cos_micro long"
+        )
+        r3 = ndcg_table(truth, late, ks=(3,)).collect()[0]
+        dcg = 1 / math.log2(4)
+        idcg = sum(1 / math.log2(i + 1) for i in (1, 2, 3))
+        assert r3.n_rel == 1
+        assert r3.ndcg_micro == round(dcg / idcg * 1_000_000)
+        # the same single hit at rank 1 scores strictly higher
+        early = spark.createDataFrame(
+            [(1, 100), (90, 99), (91, 98)], "vec_id long, cos_micro long"
+        )
+        r1 = ndcg_table(truth, early, ks=(3,)).collect()[0]
+        assert r1.ndcg_micro > r3.ndcg_micro

@@ -1092,3 +1092,52 @@ def kcenter_seeds(
         .select("e.step", "e.vec_id", "e.d2_micro")
         .orderBy("step")
     )
+
+
+def ndcg_table(
+    truth: DataFrame,
+    approx: DataFrame,
+    id_col: str = "vec_id",
+    score_col: str = "cos_micro",
+    ks: tuple[int, ...] = (5, 10, 25),
+) -> DataFrame:
+    """(k, n_rel, dcg_micro, ndcg_micro): binary-relevance nDCG@k of an
+    approximate ranking against exact truth — recall@k's position-aware
+    companion (recall can't tell whether the hits sit at rank 1 or rank
+    k). rel(i) = 1 iff the approx's rank-i item is in the truth list;
+    IDCG is the ideal reordering of the SAME evaluated positions
+    (sum of 1/log2(i+1) over the ranks present), so a short approx list
+    is scored against its own length. Everything after the two bounded
+    ranked inputs is literal-relation algebra over <= max(ks) rows; the
+    only floats are per-row log2 terms summed over a bounded row set
+    (the char-entropy oracle precedent) and one final division."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    t = truth.select(F.col(id_col), F.row_number().over(w).alias("tr"))
+    a = approx.select(F.col(id_col), F.row_number().over(w).alias("ar"))
+    j = a.join(t, id_col, "left").select(
+        "ar", F.col("tr").isNotNull().cast("int").alias("rel")
+    )
+    ks_df = (
+        j.sparkSession.range(1)
+        .select(F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k"))
+    )
+    g = (
+        j.crossJoin(F.broadcast(ks_df))
+        .filter(F.col("ar") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum("rel").cast("long").alias("n_rel"),
+            F.sum(F.col("rel") / F.log2(F.col("ar") + 1)).alias("_dcg"),
+            F.sum(F.lit(1.0) / F.log2(F.col("ar") + 1)).alias("_idcg"),
+        )
+    )
+    return g.select(
+        "k",
+        "n_rel",
+        F.round(F.col("_dcg") * 1_000_000).cast("long").alias("dcg_micro"),
+        F.round(F.col("_dcg") / F.col("_idcg") * 1_000_000)
+        .cast("long")
+        .alias("ndcg_micro"),
+    ).orderBy("k")

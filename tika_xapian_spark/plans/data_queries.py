@@ -4362,6 +4362,42 @@ SELECT k,
 FROM mk_j CROSS JOIN mk_ks GROUP BY k ORDER BY k"""
 
 
+def q_ann_ndcg_eval(spark, sf_dir):
+    """nDCG@k of the sign-LSH probe ranking vs brute-force truth — the
+    position-aware companion to ann_recall_eval over the same two bounded
+    ranked frames (operators/similarity.py::ndcg_table)."""
+    qv = _query_vec(spark, sf_dir)
+    truth = SIM.cosine_topk(_emb(spark, sf_dir), qv, k=25)
+    approx = _ann_index(spark, sf_dir).lsh_topk(qv, k=25)
+    return SIM.ndcg_table(truth, approx)
+
+
+ORACLE_ANN_NDCG = f"""
+WITH nd_truth AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cos_micro DESC, vec_id) AS tr
+  FROM ({{cosine}})
+),
+nd_approx AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cos_micro DESC, vec_id) AS ar
+  FROM ({{lsh}})
+),
+nd_j AS (
+  SELECT a.ar, CASE WHEN t.tr IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM nd_approx a LEFT JOIN nd_truth t ON t.vec_id = a.vec_id
+),
+nd_ks(k) AS (VALUES (5), (10), (25)),
+nd_g AS (
+  SELECT k, CAST(sum(rel) AS BIGINT) AS n_rel,
+         sum(rel / log2(ar + 1)) AS dcg,
+         sum(1.0 / log2(ar + 1)) AS idcg
+  FROM nd_j CROSS JOIN nd_ks WHERE ar <= k GROUP BY k
+)
+SELECT k, n_rel,
+       CAST(round(dcg * 1000000) AS BIGINT) AS dcg_micro,
+       CAST(round(dcg / idcg * 1000000) AS BIGINT) AS ndcg_micro
+FROM nd_g ORDER BY k"""
+
+
 ORACLE_ANN_RECALL = f"""
 WITH ar_truth AS (
   SELECT vec_id, row_number() OVER (ORDER BY cos_micro DESC, vec_id) AS tr
@@ -4622,6 +4658,7 @@ DATA_QUERIES = {
     "mix_temperature": q_mix_temperature,
     "mix_token_budget": q_mix_token_budget,
     "ann_recall_eval": q_ann_recall_eval,
+    "ann_ndcg_eval": q_ann_ndcg_eval,
     "ann_matryoshka_eval": q_ann_matryoshka_eval,
     "embedding_kcenter_seeds": q_embedding_kcenter_seeds,
     "bpe_merges": q_bpe_merges,
@@ -4725,6 +4762,9 @@ def data_oracle_sqls() -> dict[str, str]:
         "mix_temperature": ORACLE_MIX_TEMPERATURE,
         "mix_token_budget": _mix_token_budget_oracle(),
         "ann_recall_eval": ORACLE_ANN_RECALL,
+        "ann_ndcg_eval": ORACLE_ANN_NDCG.format(
+            cosine=ORACLE_ANN_COSINE, lsh=ORACLE_ANN_LSH
+        ),
         "ann_matryoshka_eval": ORACLE_ANN_MATRYOSHKA,
         "embedding_kcenter_seeds": _kcenter_oracle(),
         "bpe_merges": _bpe_oracle(),
