@@ -151,6 +151,35 @@ def q_search_more_like_this(spark, sf_dir):
     return _finalize(matches, k=10)
 
 
+PRF_WORDS = ["spark"]
+PRF_DOCS = 5
+PRF_TERMS = 3
+
+
+def q_search_prf(spark, sf_dir):
+    """Pseudo-relevance feedback (Rocchio / Xapian's blind feedback
+    recipe): run the query, treat its top-5 hits as relevant, expand with
+    their top-3 ESet terms, re-rank with the widened query. Unlike
+    more_like_this the relevant set is DATA (the first ranking's top-k, a
+    fully distributed frame fed straight into expand_terms — no ids cross
+    the driver); only the 3 chosen expansion terms do, as bounded
+    scalars, because the second ranking's plan is term-literal. The
+    feedback cut uses the integerized score (the ESet cutoff rule) so
+    both engines pick the identical relevant set."""
+    idx = get_index(spark, sf_dir)
+    zt = _zt(PRF_WORDS)
+    rset = _finalize(S.score_terms(idx, zt), k=PRF_DOCS).select(
+        F.col("doc_id").alias("doc")
+    )
+    exp_terms = [
+        r["term"]
+        for r in S.expand_terms(
+            idx, rset, max_esize=PRF_TERMS, exclude=zt
+        ).collect()
+    ]
+    return _finalize(S.score_terms(idx, zt + exp_terms), k=10)
+
+
 def q_search_eset(spark, sf_dir):
     """ESet relevance-feedback expansion (Enquire::get_eset, TradEWeight
     exact): the top expansion terms suggested by 5 marked-relevant docs,
@@ -479,6 +508,7 @@ QUERIES = {
     "search_facets": q_search_facets,
     "search_eset": q_search_eset,
     "search_more_like_this": q_search_more_like_this,
+    "search_prf": q_search_prf,
     "search_eset_bo1": q_search_eset_bo1,
     "search_value_boost": q_search_value_boost,
     "search_snippets": q_search_snippets,
@@ -669,6 +699,7 @@ ORDER BY doc_id"""
         "search_facets": oracles.facets(["spark", "merge"], "lang"),
         "search_eset": oracles.eset(ESET_REL_DOCS, 10, exclude=ESET_EXCLUDE),
         "search_more_like_this": oracles.more_like_this(MLT_SEED, MLT_TERMS, 10),
+        "search_prf": oracles.prf(PRF_WORDS, PRF_DOCS, PRF_TERMS, 10),
         "search_eset_bo1": oracles.eset(ESET_REL_DOCS, 10, exclude=ESET_EXCLUDE, scheme="bo1"),
         "search_value_boost": oracles.value_boost(["spark"], "n_chars", 0.001),
         "search_and_maybe": oracles.bool_op("and_maybe", ["join"], ["merge"]),

@@ -76,10 +76,16 @@ tstats AS (
 )"""
 
 
-def _score_sql(matchset: str = "allpost p JOIN tweight w USING (term)") -> str:
-    """BM25 per-posting part + per-doc sum (R2/R4)."""
+def _score_sql(
+    matchset: str | None = None, suffix: str = ""
+) -> str:
+    """BM25 per-posting part + per-doc sum (R2/R4). ``suffix`` renames the
+    emitted ``matches`` CTE (and the default matchset's tweight) so two
+    scoring chains can coexist in one WITH."""
+    if matchset is None:
+        matchset = f"allpost p JOIN tweight{suffix} w USING (term)"
     return f"""
-matches AS (
+matches{suffix} AS (
   SELECT p.doc_id,
          sum(w.termweight * p.wdf /
              ({K1} * (greatest(d.doclen / c.avg_len, {MIN_NORMLEN}) * {B} + {1 - B}) + p.wdf)
@@ -92,21 +98,29 @@ matches AS (
 )"""
 
 
-def _tweight_sql(qterms_values: str | None, from_cte: bool = False) -> str:
+def _tweight_sql(
+    qterms_values: str | None, from_cte: bool = False, suffix: str = ""
+) -> str:
     """R1 term weights for a VALUES list of (term, wqf); with
-    ``from_cte=True`` a ``qterms(term, wqf)`` CTE is assumed already in
-    scope (data-dependent query terms, e.g. more-like-this) and only the
-    tweight CTE is emitted."""
-    head = "" if from_cte else f"qterms(term, wqf) AS (VALUES {qterms_values}),"
+    ``from_cte=True`` a ``qterms{suffix}(term, wqf)`` CTE is assumed
+    already in scope (data-dependent query terms, e.g. more-like-this /
+    PRF) and only the tweight CTE is emitted. ``suffix`` renames the CTEs
+    so two scoring chains can coexist in one WITH (PRF's initial and
+    expanded queries)."""
+    head = (
+        ""
+        if from_cte
+        else f"qterms{suffix}(term, wqf) AS (VALUES {qterms_values}),"
+    )
     return f"""
 {head}
-tweight AS (
+tweight{suffix} AS (
   SELECT term,
          ln(CASE WHEN tw < 2 THEN tw * 0.5 + 1 ELSE tw END)
            * (({K3} + 1) * wqf / ({K3} + wqf)) * ({K1} + 1) AS termweight
   FROM (
     SELECT q.term, q.wqf::DOUBLE AS wqf, (c.n - s.df + 0.5) / (s.df + 0.5) AS tw
-    FROM qterms q JOIN tstats s USING (term) CROSS JOIN coll c
+    FROM qterms{suffix} q JOIN tstats s USING (term) CROSS JOIN coll c
   )
 )"""
 
@@ -257,11 +271,17 @@ LIMIT {max_esize}"""
     )
 
 
-def _eset_chain(rels: str, expand_k: float, wt_select: str) -> str:
+def _eset_chain(
+    rels: str, expand_k: float, wt_select: str, rel_cte: str | None = None
+) -> str:
     """CTE chain rel -> contrib -> cand -> wt (expects base_ctes in
-    scope) — shared by the standalone ESet oracles and more_like_this."""
+    scope) — shared by the standalone ESet oracles, more_like_this and
+    PRF. ``rel_cte`` overrides the default VALUES relevant-set with an
+    arbitrary ``rel(doc_id) AS (...)`` definition (e.g. the top-k of an
+    initial query)."""
+    rel = rel_cte or f"rel(doc_id) AS (VALUES {rels})"
     return f"""
-rel(doc_id) AS (VALUES {rels}),
+{rel},
 contrib AS (
   SELECT p.term,
          (({expand_k} + 1) * greatest(p.wdf, 1))
@@ -647,6 +667,59 @@ qterms(term, wqf) AS (SELECT term, 1 FROM mlt_terms),"""
         + f"""
 SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micro
 FROM matches WHERE doc_id <> {seed_doc}
+ORDER BY score_micro DESC, doc_id
+LIMIT {k}"""
+    )
+
+
+def prf(
+    words: list[str],
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    k: int = 10,
+    expand_k: float = 1.0,
+) -> str:
+    """Pseudo-relevance-feedback oracle (Rocchio-style, Xapian's
+    get_eset-over-the-top-hits recipe): the initial query's top ``fb_docs``
+    BY THE INTEGERIZED SCORE act as the relevant set, TradEWeight picks
+    ``fb_terms`` expansion terms (original terms excluded), and the final
+    ranking runs original + expansion terms all at wqf = 1. Two complete
+    scoring chains coexist via the suffix-renamed CTEs."""
+    zt = zterms(words)
+    rsize = fb_docs
+    wt_select = f"""SELECT c2.term,
+         c2.multiplier * ln(
+             ((c2.r + 0.5) * (co.n - s.df - ({rsize} - c2.r) + 0.5))
+           / ((s.df - c2.r + 0.5) * (({rsize} - c2.r) + 0.5))) AS wt
+  FROM cand c2 JOIN tstats s USING (term) CROSS JOIN coll co"""
+    excl = ", ".join(f"'{t}'" for t in zt)
+    rel_cte = f"""prf_top AS (
+  SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micro
+  FROM matches ORDER BY score_micro DESC, doc_id LIMIT {fb_docs}
+),
+rel(doc_id) AS (SELECT doc_id FROM prf_top)"""
+    return (
+        "WITH " + base_ctes()
+        + "," + _tweight_sql(qvalues(zt))
+        + "," + _score_sql()
+        + "," + _eset_chain("", expand_k, wt_select, rel_cte=rel_cte)
+        + f""",
+prf_terms AS (
+  SELECT term, CAST(round(wt * 1000000) AS BIGINT) AS wt_micro
+  FROM wt WHERE wt > 0 AND term NOT IN ({excl})
+  ORDER BY wt_micro DESC, term
+  LIMIT {fb_terms}
+),
+qterms2(term, wqf) AS (
+  SELECT term, 1 FROM prf_terms
+  UNION ALL
+  SELECT unnest([{excl}]), 1
+),"""
+        + _tweight_sql(None, from_cte=True, suffix="2")
+        + "," + _score_sql(suffix="2")
+        + f"""
+SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micro
+FROM matches2
 ORDER BY score_micro DESC, doc_id
 LIMIT {k}"""
     )
