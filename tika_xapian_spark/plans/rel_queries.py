@@ -800,6 +800,64 @@ FROM cms_b GROUP BY event_type, r, bucket
 ORDER BY event_type, r, bucket"""
 
 
+PATH_TOP = 15
+
+
+def q_events_path_ngrams(spark, sf_dir):
+    """User-journey trigram mining: the most common 3-step event-type
+    sequences across users — the path-analysis table behind funnel
+    DISCOVERY (events_funnel checks a known path; this surfaces the paths
+    worth checking). Per user: one ordered collect (ts, event_id
+    tie-break — array_sort on the struct equals the oracle's ORDER BY),
+    then trigrams via zipped SHIFTED SLICES so the lambda touches only
+    its zipped elements (the round-6 HOF rule), one count shuffle,
+    bounded top-k. Per-user state is that user's own event list — the
+    same bound sessionization carries; a power-user cap would compose in
+    front at 10^12 events (cap_per_host's two-level top-k shape)."""
+    ev = _t(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("s")
+    )
+    staged = seqs.select(
+        F.transform(F.col("s"), lambda x: x["event_type"]).alias("t")
+    ).select("t", F.greatest(F.size("t") - 2, F.lit(0)).alias("n3"))
+    tri = staged.select(
+        F.explode(
+            F.transform(
+                F.arrays_zip(
+                    F.slice("t", 1, F.col("n3")),
+                    F.slice("t", 2, F.col("n3")),
+                    F.slice("t", 3, F.col("n3")),
+                ),
+                lambda x: F.concat_ws(">", x["0"], x["1"], x["2"]),
+            )
+        ).alias("path")
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(PATH_TOP)
+    )
+
+
+ORACLE_EVENTS_PATH_NGRAMS = f"""
+WITH pn_seq AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS t
+  FROM events GROUP BY user_id
+),
+pn_tri AS (
+  SELECT unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(list_slice(t, i, i + 2), '>'))) AS path
+  FROM pn_seq WHERE len(t) >= 3
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM pn_tri GROUP BY path
+ORDER BY n DESC, path LIMIT {PATH_TOP}"""
+
+
 def q_events_anomaly_mad(spark, sf_dir):
     """Robust daily-volume anomaly detection per event type — deviation in
     MAD units (median absolute deviation x the 1.4826 normal-consistency
@@ -2117,6 +2175,7 @@ REL_QUERIES = {
     "events_pivot": q_events_pivot,
     "events_trailing_window": q_events_trailing_window,
     "events_anomaly_mad": q_events_anomaly_mad,
+    "events_path_ngrams": q_events_path_ngrams,
     "tpch_rollup_revenue": q_tpch_rollup_revenue,
     "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
     "tpch_cust_order_distribution": q_tpch_cust_order_distribution,
@@ -2166,6 +2225,7 @@ def rel_oracle_sqls() -> dict[str, str]:
         "events_pivot": ORACLE_EVENTS_PIVOT,
         "events_trailing_window": ORACLE_EVENTS_TRAILING,
         "events_anomaly_mad": ORACLE_EVENTS_ANOMALY_MAD,
+        "events_path_ngrams": ORACLE_EVENTS_PATH_NGRAMS,
         "tpch_rollup_revenue": ORACLE_TPCH_ROLLUP,
         "tpch_small_qty_revenue": ORACLE_TPCH_SMALL_QTY,
         "tpch_cust_order_distribution": ORACLE_TPCH_CUST_DIST,
