@@ -158,3 +158,12 @@ class TestAudioWindows:
 
         with _pytest.raises(Exception, match="audio decode requires"):
             out.collect()
+
+    def test_degenerate_hop_raises_at_plan_time(self, spark):
+        import pytest as _pytest
+
+        from tika_xapian_spark.operators.multimodal import window_audio
+
+        df = spark.createDataFrame([(1, bytes(64))], "doc_id long, payload binary")
+        with _pytest.raises(ValueError, match="hop"):
+            window_audio(df, key="doc_id", payload_col="payload", sample_rate=50)

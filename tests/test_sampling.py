@@ -90,3 +90,33 @@ class TestTokenBudgetPlan:
             ).collect()
         }
         assert got == {"A": (666667, 8, 200, 25), "B": (333333, 1, 99, 99)}
+
+    def test_zero_token_stratum_excluded_and_big_budget_exact(self, spark):
+        """A stratum of empty-text docs gets weight but no tokens: it is
+        EXCLUDED (matching the oracle's token aggregation, which produces
+        no row for it) instead of emitting NULL epochs; and a 15T-token
+        budget must not wrap int64 (the split multiply is exact)."""
+        from pyspark.sql import functions as F
+
+        from tika_xapian_spark.operators.dedup import tokens_col
+        from tika_xapian_spark.operators.sampling import token_budget_plan
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d", "A"), (2, "  ", "B")],
+            "doc_id long, text string, source string",
+        )
+        big = 15_000_000_000_000
+        rows = token_budget_plan(
+            docs, "source", F.size(tokens_col("text")).cast("long"), big
+        ).collect()
+        assert [r.stratum for r in rows] == ["A"]
+        r = rows[0]
+        assert r.target_tokens == big * r.weight_micro // 1_000_000 > 0
+        assert r.epochs == (r.target_tokens + 3) // 4
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="budget"):
+            token_budget_plan(
+                docs, "source", F.size(tokens_col("text")).cast("long"), -1
+            )

@@ -647,3 +647,49 @@ class TestRrfFuse:
         )
         out = rrf_fuse([("kw", kw)], k0=60, limit=3).collect()
         assert [r.doc_id for r in out] == [1, 2, 3]
+
+
+class TestPrfSmallMatchSet:
+    def test_oracle_agrees_when_initial_query_matches_fewer_than_fb_docs(
+        self, spark, tmp_path
+    ):
+        """'spark' matches only 2 of 4 docs: the engine's R (actual rset
+        size) and the oracle's R must both be 2, not the fb_docs literal —
+        full stringified parity on a corpus where the divergence would
+        show."""
+        import duckdb
+
+        from tika_xapian_spark.plans import oracles
+        from tika_xapian_spark.plans.doc_queries import (
+            PRF_DOCS,
+            PRF_TERMS,
+            PRF_WORDS,
+            q_search_prf,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "spark merge join table"),
+                (1, "spark window sort row"),
+                (2, "merge join window table row"),
+                (3, "sort row filter scan table"),
+            ],
+            "doc_id long, text string",
+        )
+        sf = str(tmp_path)
+        docs.write.parquet(f"{sf}/documents.parquet")
+        got = sorted(
+            tuple(str(x) for x in r) for r in q_search_prf(spark, sf).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM"
+            f" read_parquet('{sf}/documents.parquet/*.parquet')"
+        )
+        want = sorted(
+            tuple(str(x) for x in r)
+            for r in con.execute(
+                oracles.prf(PRF_WORDS, PRF_DOCS, PRF_TERMS, 10)
+            ).fetchall()
+        )
+        assert got == want and len(got) > 0

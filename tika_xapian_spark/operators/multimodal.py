@@ -318,6 +318,13 @@ def window_audio(
     way — the same discipline as sample_frames/decode_image."""
     win_samples = sample_rate * win_ms // 1000
     hop_samples = sample_rate * hop_ms // 1000
+    if win_samples <= 0 or hop_samples <= 0:
+        # hop truncating to 0 would spin the per-row while loop forever
+        # on an executor (k never advances) — fail loudly at plan time
+        raise ValueError(
+            f"window/hop must cover >= 1 sample at {sample_rate} Hz "
+            f"(win {win_ms}ms -> {win_samples}, hop {hop_ms}ms -> {hop_samples})"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

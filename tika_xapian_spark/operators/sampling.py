@@ -359,13 +359,23 @@ def temperature_mix(
     aggregates; the remainder rank is a window over the strata-bounded
     dict. Returns (stratum, n_docs, score_micro, weight_micro, boost_micro).
     """
-    from pyspark.sql import Window
-
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     per = docs.groupBy(F.col(strata_col).alias("stratum")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+    return temperature_mix_from_counts(per, alpha)
+
+
+def temperature_mix_from_counts(per: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """temperature_mix over a precomputed ``(stratum, n_docs)`` frame —
+    for callers that already paid a per-stratum aggregation (e.g.
+    token_budget_plan folds doc and token counts into ONE corpus pass and
+    feeds the doc counts here, instead of scanning the corpus twice)."""
+    from pyspark.sql import Window
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     powed = (
         F.sqrt(F.col("n_docs").cast("double"))
         if alpha == 0.5
@@ -431,27 +441,39 @@ def token_budget_plan(
     ceil(target / avail) epochs (the "how many times do we repeat the
     low-resource domain" table every mixture-weighted pretraining run
     publishes). All integer floor/ceil arithmetic off the exact
-    largest-remainder weights — deterministic across engines.
+    largest-remainder weights — deterministic across engines. The target
+    multiply is split as weight*(B div 1e6) + (B mod 1e6)*weight div 1e6
+    (algebraically exact), so a trillions-scale budget cannot overflow
+    int64 inside the engine.
 
-    ``tokens_expr`` is the per-row token count expression. Shape: one
-    strata-bounded count shuffle on top of temperature_mix's; the join is
-    dict-sized. Returns (stratum, n_docs, weight_micro, tokens_avail,
-    target_tokens, epochs)."""
-    mix = temperature_mix(docs, strata_col, alpha).select(
-        "stratum", "n_docs", "weight_micro"
-    )
-    toks = docs.groupBy(F.col(strata_col).alias("stratum")).agg(
-        F.sum(tokens_expr).cast("long").alias("tokens_avail")
-    )
+    ``tokens_expr`` is the per-row token count expression. ONE corpus
+    pass aggregates doc and token counts per stratum together
+    (temperature_mix_from_counts consumes the doc counts); strata with
+    ZERO tokens are excluded — there is nothing to repeat, and the SQL
+    mirror's token aggregation produces no row for them either. Output is
+    unordered (callers sort the dict-sized result). Returns (stratum,
+    n_docs, weight_micro, tokens_avail, target_tokens, epochs)."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    per = docs.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tokens_expr).cast("long").alias("tokens_avail"),
+    ).localCheckpoint(eager=False)  # consumers: mix chain + the join back
+    mix = temperature_mix_from_counts(per.select("stratum", "n_docs"), alpha)
+    q, r = budget // MICRO, budget % MICRO
     return (
-        mix.join(toks, "stratum")
+        mix.select("stratum", "n_docs", "weight_micro")
+        .join(per.select("stratum", "tokens_avail"), "stratum")
+        .filter(F.col("tokens_avail") > 0)
         .select(
             "stratum",
             "n_docs",
             "weight_micro",
             "tokens_avail",
-            F.expr(f"CAST({int(budget)} * weight_micro div 1000000 AS BIGINT)")
-            .alias("target_tokens"),
+            F.expr(
+                f"CAST(weight_micro * {q} + ({r} * weight_micro)"
+                " div 1000000 AS BIGINT)"
+            ).alias("target_tokens"),
         )
         .select(
             "*",
@@ -461,5 +483,4 @@ def token_budget_plan(
                 " AS BIGINT)"
             ).alias("epochs"),
         )
-        .orderBy("stratum")
     )

@@ -686,7 +686,10 @@ def prf(
     ranking runs original + expansion terms all at wqf = 1. Two complete
     scoring chains coexist via the suffix-renamed CTEs."""
     zt = zterms(words)
-    rsize = fb_docs
+    # R = the ACTUAL relevant-set size (the engine's expand_terms counts
+    # its rset frame) — a literal fb_docs would diverge whenever the
+    # initial query matches fewer than fb_docs documents
+    rsize = "(SELECT count(*) FROM rel)"
     wt_select = f"""SELECT c2.term,
          c2.multiplier * ln(
              ((c2.r + 0.5) * (co.n - s.df - ({rsize} - c2.r) + 0.5))
