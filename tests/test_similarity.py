@@ -441,3 +441,35 @@ class TestNdcgTable:
         )
         r1 = ndcg_table(truth, early, ks=(3,)).collect()[0]
         assert r1.ndcg_micro > r3.ndcg_micro
+
+
+class TestPqAssign:
+    def test_codes_follow_sign_buckets_and_adc_is_table_lookup(self, spark):
+        """v1 shares every subspace sign-bucket with seed v0, so it gets
+        v0's codes everywhere and ADC 0 for query=v0 (quantization: the
+        code, not the vector, determines the distance); v2 flips subspace
+        0's signs only, becoming its own seed there (c0=2) while keeping
+        v0's codes elsewhere."""
+        from tika_xapian_spark.operators.similarity import pq_assign
+
+        def vec(flip_first):
+            a = [1.0] * 64
+            if flip_first:
+                for d in range(16):
+                    a[d] = -1.0
+            return a
+
+        v0, v1 = vec(False), [x * 2 for x in vec(False)]
+        v2 = vec(True)
+        emb = spark.createDataFrame(
+            [(0, v0), (1, v1), (2, v2)], "vec_id long, embedding array<float>"
+        )
+        got = {
+            r.vec_id: (r.c0, r.c1, r.c2, r.c3, r.adc_micro)
+            for r in pq_assign(emb, v0).collect()
+        }
+        assert got[0] == (0, 0, 0, 0, 0)
+        assert got[1] == (0, 0, 0, 0, 0)  # same codes -> ADC 0 to query
+        assert got[2][0] == 2 and got[2][1:4] == (0, 0, 0)
+        # ADC for v2 = d2(q_sub0, cent(code c0=2)) = 16 * (1-(-1))^2 = 64
+        assert got[2][4] == 64_000_000

@@ -1141,3 +1141,114 @@ def ndcg_table(
         .cast("long")
         .alias("ndcg_micro"),
     ).orderBy("k")
+
+
+PQ_N_SUB = 4
+PQ_SUB_DIM = 16
+PQ_SIGN_LOCAL = (0, 4, 8, 12)  # local sign dims -> 16 cells per subspace
+
+
+def pq_assign(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    n_sub: int = PQ_N_SUB,
+    sub_dim: int = PQ_SUB_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization code assignment + ADC distance (Jégou et al.
+    2011) — the compression behind every billion-vector ANN deployment:
+    each vector is split into ``n_sub`` subvectors, each encoded as its
+    nearest subspace centroid, and the asymmetric distance to a query is
+    the SUM of per-subspace query-to-centroid distances, precomputed once
+    per query into a lookup table of n_sub * n_cells entries.
+
+    Codebooks are data-derived and SQL-reconstructable (the IVF seeding
+    rule): per subspace, the min-id vector of each 4-bit sign-bucket is a
+    centroid, its own vec_id the code. Scale shape: the subvector frame
+    is a constant n_sub-way map-side fan-out; centroids are a bounded
+    dict joined on the subspace key (broadcastable); the argmin is one
+    algebraic min(struct) aggregation; the ADC total adds the n_sub
+    per-subspace terms in EXPLICIT s-order (never a cross-row float SUM).
+    Returns (vec_id, c0..c{n_sub-1}, adc_micro) — codes are centroid
+    vec_ids; adc_micro is the asymmetric distance to ``query_vec``."""
+    subs = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(_as_double(vec_col), s * sub_dim + 1, sub_dim)
+                    for s in range(n_sub)
+                ]
+            )
+        ).alias("s", "v"),
+    )
+    bucket = F.lit(0)
+    for i, d in enumerate(PQ_SIGN_LOCAL):
+        bucket = bucket + F.when(
+            F.element_at(F.col("v"), d + 1) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    bkt = subs.select("vid", "s", "v", bucket.alias("b")).localCheckpoint(
+        eager=False
+    )  # consumers: seed pick, centroid fetch, assignment
+    # every derived frame gets DISJOINT column names before rejoining bkt
+    # (all sides descend from bkt — shared attribute ids otherwise trip
+    # Spark's ambiguous-self-join analysis)
+    seeds = bkt.groupBy("s", "b").agg(F.min("vid").alias("cvid")).select(
+        F.col("s").alias("cs"), F.col("cvid")
+    )
+    cents = (
+        bkt.select(
+            F.col("vid").alias("_cvid"),
+            F.col("s").alias("_cs"),
+            F.col("v").alias("cv"),
+        )
+        .join(
+            seeds,
+            (F.col("_cvid") == F.col("cvid")) & (F.col("_cs") == F.col("cs")),
+        )
+        .select("cs", "cvid", "cv")
+    )
+    qsubs = {
+        s: [float(x) for x in query_vec[s * sub_dim : (s + 1) * sub_dim]]
+        for s in range(n_sub)
+    }
+    qarr = F.array(
+        *[F.array(*[F.lit(x) for x in qsubs[s]]) for s in range(n_sub)]
+    )
+    centsq = cents.select(
+        "cs",
+        "cvid",
+        "cv",
+        _d2(F.col("cv"), F.element_at(qarr, F.col("cs") + 1)).alias("d2q"),
+    )
+    assigned = (
+        bkt.select("vid", "s", "v")
+        .join(centsq, F.col("s") == F.col("cs"))
+        .groupBy("vid", "s")
+        .agg(
+            F.min(
+                F.struct(
+                    _d2(F.col("v"), F.col("cv")).alias("d2"),
+                    F.col("cvid").alias("cvid"),
+                    F.col("d2q").alias("d2q"),
+                )
+            ).alias("w")
+        )
+    )
+    code_cols = [
+        F.max(F.when(F.col("s") == s, F.col("w.cvid"))).alias(f"c{s}")
+        for s in range(n_sub)
+    ]
+    d2q_terms = [
+        F.max(F.when(F.col("s") == s, F.col("w.d2q"))) for s in range(n_sub)
+    ]
+    adc = d2q_terms[0]
+    for t in d2q_terms[1:]:  # explicit s-order addition, both engines
+        adc = adc + t
+    return (
+        assigned.groupBy("vid")
+        .agg(*code_cols, F.round(adc * 1_000_000).cast("long").alias("adc_micro"))
+        .select(F.col("vid").alias(id_col), *[f"c{s}" for s in range(n_sub)], "adc_micro")
+        .orderBy(id_col)
+    )

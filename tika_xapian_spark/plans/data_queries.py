@@ -4239,6 +4239,66 @@ def q_ann_recall_eval(spark, sf_dir):
     return SIM.recall_table(truth, approx)
 
 
+def q_ann_pq_codes(spark, sf_dir):
+    """Product-quantization codes + asymmetric (ADC) distance to the
+    query vector (operators/similarity.py::pq_assign): 4 subspaces x 16
+    dims, data-derived sign-seeded codebooks, explicit s-order ADC sum."""
+    qv = _query_vec(spark, sf_dir)
+    return SIM.pq_assign(_emb(spark, sf_dir), qv)
+
+
+def _pq_oracle(n_sub: int = SIM.PQ_N_SUB, sub_dim: int = SIM.PQ_SUB_DIM) -> str:
+    d2 = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "j -> ({a}[j]::DOUBLE - {b}[j]::DOUBLE)"
+        " * ({a}[j]::DOUBLE - {b}[j]::DOUBLE)))"
+    )
+    sign = " + ".join(
+        f"(CASE WHEN v[{d + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, d in enumerate(SIM.PQ_SIGN_LOCAL)
+    )
+    codes = ",\n       ".join(
+        f"max(CASE WHEN s = {s} THEN cvid END) AS c{s}" for s in range(n_sub)
+    )
+    adc = f"max(CASE WHEN s = 0 THEN d2q END)"
+    for s in range(1, n_sub):
+        adc = f"({adc} + max(CASE WHEN s = {s} THEN d2q END))"
+    return f"""
+WITH pq_q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pq_sub AS (
+  SELECT vec_id, CAST(ss.s AS INT) AS s,
+         list_transform(
+           list_slice(embedding, ss.s * {sub_dim} + 1,
+                      ss.s * {sub_dim} + {sub_dim}),
+           x -> x::DOUBLE) AS v
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {n_sub})) AS s) ss
+),
+pq_bkt AS (SELECT vec_id, s, v, ({sign}) AS b FROM pq_sub),
+pq_seed AS (SELECT s, b, min(vec_id) AS cvid FROM pq_bkt GROUP BY s, b),
+pq_cent AS (
+  SELECT p.s, d.cvid, p.v AS cv
+  FROM pq_bkt p JOIN pq_seed d ON p.vec_id = d.cvid AND p.s = d.s
+),
+pq_centq AS (
+  SELECT c.s, c.cvid, c.cv,
+         {d2.format(d=sub_dim, a="c.cv",
+                    b=f"list_slice(q.qv, c.s * {sub_dim} + 1,"
+                      f" c.s * {sub_dim} + {sub_dim})")} AS d2q
+  FROM pq_cent c CROSS JOIN pq_q q
+),
+pq_asn AS (
+  SELECT b.vec_id, b.s, c.cvid, c.d2q,
+         row_number() OVER (PARTITION BY b.vec_id, b.s
+           ORDER BY {d2.format(d=sub_dim, a="b.v", b="c.cv")} ASC,
+                    c.cvid ASC) AS rn
+  FROM pq_bkt b JOIN pq_centq c ON c.s = b.s
+)
+SELECT vec_id,
+       {codes},
+       CAST(round({adc} * 1000000) AS BIGINT) AS adc_micro
+FROM pq_asn WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""
+
+
 KC_K = 4  # k-center seed count
 
 
@@ -4661,6 +4721,7 @@ DATA_QUERIES = {
     "ann_ndcg_eval": q_ann_ndcg_eval,
     "ann_matryoshka_eval": q_ann_matryoshka_eval,
     "embedding_kcenter_seeds": q_embedding_kcenter_seeds,
+    "ann_pq_codes": q_ann_pq_codes,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "vocab_coverage": q_vocab_coverage,
@@ -4767,6 +4828,7 @@ def data_oracle_sqls() -> dict[str, str]:
         ),
         "ann_matryoshka_eval": ORACLE_ANN_MATRYOSHKA,
         "embedding_kcenter_seeds": _kcenter_oracle(),
+        "ann_pq_codes": _pq_oracle(),
         "bpe_merges": _bpe_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
         "vocab_coverage": ORACLE_VOCAB_COVERAGE,
