@@ -800,6 +800,97 @@ FROM cms_b GROUP BY event_type, r, bucket
 ORDER BY event_type, r, bucket"""
 
 
+def q_events_rfm_segments(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary quartiles) — the
+    classic lifecycle-marketing rollup. Per-user metrics are ONE
+    map-side-combined aggregation (spend integerized per row BEFORE the
+    sum — raw double sums are partial-order-dependent); quartile CUTS
+    come from three F.percentile aggregates (== quantile_cont) broadcast
+    back, and each score is 1 + the count of cuts strictly below the
+    user's metric — NO global ntile window, which would single-partition
+    billions of users at web scale. Recency compares the user's last
+    event to the corpus max (timestampdiff — events.ts is TIMESTAMP_NTZ).
+    Output: (r, f, m, n_users), bounded by the 64 segments."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+            "spend_micro"
+        ),
+    )
+    corpus_max = F.broadcast(per.agg(F.max("last_ts").alias("_maxts")))
+    scored = per.crossJoin(corpus_max).withColumn(
+        "rec_us",
+        F.expr("timestampdiff(MICROSECOND, last_ts, _maxts)").cast("long"),
+    )
+    cuts = F.broadcast(
+        scored.agg(
+            *[
+                F.percentile(c, q).alias(f"{c}_{int(q * 100)}")
+                for c in ("rec_us", "freq", "spend_micro")
+                for q in (0.25, 0.5, 0.75)
+            ]
+        )
+    )
+
+    def score(col, invert):
+        # quartile score 1..4; for recency SMALLER is better (invert)
+        s = F.lit(1)
+        for q in (25, 50, 75):
+            above = F.col(col) > F.col(f"{col}_{q}")
+            s = s + (~above if invert else above).cast("int")
+        return s
+
+    seg = scored.crossJoin(cuts).select(
+        score("rec_us", True).alias("r"),
+        score("freq", False).alias("f"),
+        score("spend_micro", False).alias("m"),
+    )
+    return (
+        seg.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("r", "f", "m")
+    )
+
+
+def _rfm_oracle() -> str:
+    cuts = ", ".join(
+        f"quantile_cont({c}, {q}) AS {c}_{int(q * 100)}"
+        for c in ("rec_us", "freq", "spend_micro")
+        for q in (0.25, 0.5, 0.75)
+    )
+
+    def score(col, op):
+        return " + ".join(
+            f"(CASE WHEN {col} {op} {col}_{q} THEN 1 ELSE 0 END)"
+            for q in (25, 50, 75)
+        )
+
+    return f"""
+WITH rfm_per AS (
+  SELECT user_id, max(ts) AS last_ts,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS spend_micro
+  FROM events GROUP BY user_id
+),
+rfm_mx AS (SELECT max(last_ts) AS maxts FROM rfm_per),
+rfm_sc AS (
+  SELECT p.*, epoch_us(m.maxts) - epoch_us(p.last_ts) AS rec_us
+  FROM rfm_per p CROSS JOIN rfm_mx m
+),
+rfm_cuts AS (SELECT {cuts} FROM rfm_sc),
+rfm_seg AS (
+  SELECT CAST(1 + {score("rec_us", "<=")} AS INT) AS r,
+         CAST(1 + {score("freq", ">")} AS INT) AS f,
+         CAST(1 + {score("spend_micro", ">")} AS INT) AS m
+  FROM rfm_sc CROSS JOIN rfm_cuts
+)
+SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_users
+FROM rfm_seg GROUP BY r, f, m ORDER BY r, f, m"""
+
+
 PATH_TOP = 15
 
 
@@ -2176,6 +2267,7 @@ REL_QUERIES = {
     "events_trailing_window": q_events_trailing_window,
     "events_anomaly_mad": q_events_anomaly_mad,
     "events_path_ngrams": q_events_path_ngrams,
+    "events_rfm_segments": q_events_rfm_segments,
     "tpch_rollup_revenue": q_tpch_rollup_revenue,
     "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
     "tpch_cust_order_distribution": q_tpch_cust_order_distribution,
@@ -2226,6 +2318,7 @@ def rel_oracle_sqls() -> dict[str, str]:
         "events_trailing_window": ORACLE_EVENTS_TRAILING,
         "events_anomaly_mad": ORACLE_EVENTS_ANOMALY_MAD,
         "events_path_ngrams": ORACLE_EVENTS_PATH_NGRAMS,
+        "events_rfm_segments": _rfm_oracle(),
         "tpch_rollup_revenue": ORACLE_TPCH_ROLLUP,
         "tpch_small_qty_revenue": ORACLE_TPCH_SMALL_QTY,
         "tpch_cust_order_distribution": ORACLE_TPCH_CUST_DIST,
