@@ -2191,6 +2191,44 @@ FROM dau JOIN wau USING (day)
 ORDER BY day"""
 
 
+def q_events_behavior_rank(spark, sf_dir):
+    """PageRank over the event-type TRANSITION graph — which states
+    dominate long user journeys once transition structure (not raw
+    frequency) is accounted for; the stationary-behavior rollup product
+    analytics runs on top of the Markov matrix. Reuses
+    linkgraph.pagerank verbatim (integer rank rounds over the
+    |types|-bounded graph) and the parameterized unrolled-CTE oracle
+    builder; the corpus-scale work is the one lag-window shuffle the
+    Markov matrix already pays."""
+    from ..operators import linkgraph as LG
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    ).filter(F.col("src").isNotNull())
+    edges = pairs.select("src", "dst", F.lit(1).alias("w"))
+    return (
+        LG.pagerank(edges, n_iter=8)
+        .select(F.col("host").alias("event_type"), "rank_micro")
+        .orderBy(F.desc("rank_micro"), "event_type")
+    )
+
+
+_BEHAVIOR_EDGE_SQL = """
+ev_seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+e AS (
+  SELECT prev_type AS src, event_type AS dst, count(*)::BIGINT AS w
+  FROM ev_seq WHERE prev_type IS NOT NULL GROUP BY src, dst
+)"""
+
+
 def q_events_markov_transitions(spark, sf_dir):
     """Event-type transition matrix (first-order Markov over per-user event
     sequences) — the behavioral-modeling rollup a sessionized event stream
@@ -2268,6 +2306,7 @@ REL_QUERIES = {
     "events_anomaly_mad": q_events_anomaly_mad,
     "events_path_ngrams": q_events_path_ngrams,
     "events_rfm_segments": q_events_rfm_segments,
+    "events_behavior_rank": q_events_behavior_rank,
     "tpch_rollup_revenue": q_tpch_rollup_revenue,
     "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
     "tpch_cust_order_distribution": q_tpch_cust_order_distribution,
@@ -2291,6 +2330,8 @@ REL_QUERIES = {
 
 
 def rel_oracle_sqls() -> dict[str, str]:
+    from .data_queries import _pagerank_oracle
+
     return {
         "events_markov_transitions": ORACLE_EVENTS_MARKOV,
         "events_windowed": ORACLE_EVENTS_WINDOWED,
@@ -2319,6 +2360,12 @@ def rel_oracle_sqls() -> dict[str, str]:
         "events_anomaly_mad": ORACLE_EVENTS_ANOMALY_MAD,
         "events_path_ngrams": ORACLE_EVENTS_PATH_NGRAMS,
         "events_rfm_segments": _rfm_oracle(),
+        "events_behavior_rank": _pagerank_oracle(
+            n_iter=8,
+            edge_sql=_BEHAVIOR_EDGE_SQL,
+            tail="SELECT host AS event_type, rank_micro FROM r8"
+                 "\nORDER BY rank_micro DESC, event_type",
+        ),
         "tpch_rollup_revenue": ORACLE_TPCH_ROLLUP,
         "tpch_small_qty_revenue": ORACLE_TPCH_SMALL_QTY,
         "tpch_cust_order_distribution": ORACLE_TPCH_CUST_DIST,
