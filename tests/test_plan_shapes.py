@@ -868,3 +868,20 @@ class TestRound6SessionPlans:
         assert "BroadcastNestedLoopJoin" not in plan
         # bounded top-k, not a global sort of all pairs
         assert "TakeOrderedAndProject" in plan
+
+    def test_pq_assign_no_cartesian_and_no_python(self, spark, emb):
+        from tika_xapian_spark.operators.similarity import pq_assign
+
+        plan = plan_of(pq_assign(emb, [0.1] * 64))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "EvalPython" not in plan
+
+    def test_kn_bigram_stats_stay_vocab_bounded(self, spark, docs):
+        """The top-list join must broadcast the bounded side (never
+        shuffle the stats frames against a 20-row list)."""
+        from tika_xapian_spark.operators.textstats import kn_bigram_probs
+
+        plan = plan_of(kn_bigram_probs(docs, key="doc_id"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan

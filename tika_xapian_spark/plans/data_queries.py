@@ -1904,6 +1904,74 @@ CROSS JOIN kn_t t
 ORDER BY b.c DESC, b.w1, b.w2"""
 
 
+VOCAB_OVERLAP_TOP = 15
+
+
+def q_source_vocab_overlap(spark, sf_dir):
+    """Between-source vocabulary Jaccard — the corpus-comparison rollup
+    that flags mirror/syndicated domains (near-identical vocabularies)
+    before any doc-level dedup runs. One distinct (source, term) shuffle;
+    the pair join is keyed on term and bounded per term by the SOURCE
+    count (each term contributes at most |sources|^2/2 pairs — a dict
+    bound, never corpus-quadratic); sizes join back dict-level; exact
+    integer Jaccard; bounded top-k."""
+    vocab = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(D.tokens_col("text")).alias("term"))
+        .distinct()
+    )
+    a = vocab.select(F.col("source").alias("src_a"), "term")
+    b = vocab.select(F.col("source").alias("src_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n_terms"))
+    return (
+        inter.join(
+            sizes.select(F.col("source").alias("src_a"), F.col("n_terms").alias("n_a")),
+            "src_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("src_b"), F.col("n_terms").alias("n_b")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.expr(
+                "CAST((n_inter * 1000000) div (n_a + n_b - n_inter) AS BIGINT)"
+            ).alias("jaccard_micro"),
+        )
+        .orderBy(F.desc("jaccard_micro"), "src_a", "src_b")
+        .limit(VOCAB_OVERLAP_TOP)
+    )
+
+
+ORACLE_SOURCE_VOCAB_OVERLAP = f"""
+WITH sv AS (
+  SELECT DISTINCT source, w AS term FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents
+  ) WHERE w <> ''
+),
+sv_inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+  FROM sv a JOIN sv b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+),
+sv_sizes AS (SELECT source, count(*) AS n_terms FROM sv GROUP BY source)
+SELECT i.src_a, i.src_b,
+       CAST((i.n_inter * 1000000) // (sa.n_terms + sb.n_terms - i.n_inter)
+            AS BIGINT) AS jaccard_micro
+FROM sv_inter i
+JOIN sv_sizes sa ON sa.source = i.src_a
+JOIN sv_sizes sb ON sb.source = i.src_b
+ORDER BY jaccard_micro DESC, i.src_a, i.src_b
+LIMIT {VOCAB_OVERLAP_TOP}"""
+
+
 def q_source_quality_profile(spark, sf_dir):
     """Domain-level rollup: per-source doc counts, exact-integer average
     quality, high-quality share, bottom-decile flag
@@ -4796,6 +4864,7 @@ DATA_QUERIES = {
     "text_bigram_logppl": q_text_bigram_logppl,
     "text_kn_bigram": q_text_kn_bigram,
     "source_quality_profile": q_source_quality_profile,
+    "source_vocab_overlap": q_source_vocab_overlap,
     "pack_sequences": q_pack_sequences,
     "dedup_minhash_calibration": q_dedup_minhash_calibration,
     "langid_confusion": q_langid_confusion,
@@ -4920,6 +4989,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "text_bigram_logppl": ORACLE_BIGRAM_LOGPPL,
         "text_kn_bigram": ORACLE_KN_BIGRAM,
         "source_quality_profile": _source_profile_oracle(),
+        "source_vocab_overlap": ORACLE_SOURCE_VOCAB_OVERLAP,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "dedup_minhash_calibration": _oracle_minhash_calibration(),
         "langid_confusion": _langid_confusion_oracle(),
