@@ -1904,6 +1904,64 @@ CROSS JOIN kn_t t
 ORDER BY b.c DESC, b.w1, b.w2"""
 
 
+TRUNC_MAX_LEN = 48  # context length L for the truncation-loss table
+
+
+def q_text_truncation_stats(spark, sf_dir):
+    """Context-length truncation loss at L=48 tokens, per source — the
+    "what do we lose if we train at context length L" table that picks a
+    sequence length before packing: docs over L, tokens cut, and the
+    exact integer loss fraction. Pure map-side column math (one token
+    count per row) into one dict-bounded groupBy; the alternative to
+    LOSING those tokens is pack_sequences' concat-and-chunk manifest —
+    this table is how you decide whether to care."""
+    staged = _docs(spark, sf_dir).select(
+        "source", F.size(D.tokens_col("text")).cast("long").alias("n_tok")
+    )
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("n_tok") > TRUNC_MAX_LEN).cast("long")).alias(
+                "n_truncated"
+            ),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.sum(F.greatest(F.col("n_tok") - TRUNC_MAX_LEN, F.lit(0)))
+            .cast("long")
+            .alias("tokens_lost"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CAST(tokens_lost * 1000000 div tokens_total AS BIGINT)"
+            ).alias("lost_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TRUNCATION_STATS = f"""
+WITH tr_tok AS (
+  SELECT source,
+         CAST(len(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+              AS BIGINT) AS n_tok
+  FROM documents
+),
+tr_agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(*) FILTER (WHERE n_tok > {TRUNC_MAX_LEN}) AS BIGINT)
+           AS n_truncated,
+         CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+         CAST(sum(greatest(n_tok - {TRUNC_MAX_LEN}, 0)) AS BIGINT)
+           AS tokens_lost
+  FROM tr_tok GROUP BY source
+)
+SELECT source, n_docs, n_truncated, tokens_total, tokens_lost,
+       CAST(tokens_lost * 1000000 // tokens_total AS BIGINT) AS lost_micro
+FROM tr_agg ORDER BY source"""
+
+
 VOCAB_OVERLAP_TOP = 15
 
 
@@ -4865,6 +4923,7 @@ DATA_QUERIES = {
     "text_kn_bigram": q_text_kn_bigram,
     "source_quality_profile": q_source_quality_profile,
     "source_vocab_overlap": q_source_vocab_overlap,
+    "text_truncation_stats": q_text_truncation_stats,
     "pack_sequences": q_pack_sequences,
     "dedup_minhash_calibration": q_dedup_minhash_calibration,
     "langid_confusion": q_langid_confusion,
@@ -4990,6 +5049,7 @@ def data_oracle_sqls() -> dict[str, str]:
         "text_kn_bigram": ORACLE_KN_BIGRAM,
         "source_quality_profile": _source_profile_oracle(),
         "source_vocab_overlap": ORACLE_SOURCE_VOCAB_OVERLAP,
+        "text_truncation_stats": ORACLE_TRUNCATION_STATS,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "dedup_minhash_calibration": _oracle_minhash_calibration(),
         "langid_confusion": _langid_confusion_oracle(),
