@@ -800,6 +800,93 @@ FROM cms_b GROUP BY event_type, r, bucket
 ORDER BY event_type, r, bucket"""
 
 
+PARETO_FRACS = (1, 5, 10, 25, 50)  # top-f% probes
+
+
+def q_events_value_pareto(spark, sf_dir):
+    """Revenue concentration (the 80/20 table): for each probe fraction
+    f, the share of total spend held by users at or above the (1-f)
+    spend quantile — whale-dependence in one bounded table. "Top f%" is
+    DEFINED by the quantile threshold (ties included on both sides), so
+    no global rank window over the user population exists anywhere: one
+    per-user aggregation (spend integerized pre-sum), one percentile
+    aggregate broadcast back, a constant probe fan-out. At 10^12 events
+    that is two corpus-free dict passes after the per-user groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+            "spend_micro"
+        )
+    )
+    cuts = F.broadcast(
+        per.agg(
+            F.sum("spend_micro").alias("_total"),
+            *[
+                F.percentile("spend_micro", 1.0 - f / 100.0).alias(f"_q{f}")
+                for f in PARETO_FRACS
+            ],
+        )
+    )
+    probes = per.crossJoin(cuts).select(
+        "spend_micro",
+        "_total",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).cast("int").alias("top_pct"),
+                        F.col(f"_q{f}").alias("cut"),
+                    )
+                    for f in PARETO_FRACS
+                ]
+            )
+        ).alias("p"),
+    )
+    return (
+        probes.filter(F.col("spend_micro") >= F.col("p.cut"))
+        .groupBy(F.col("p.top_pct").alias("top_pct"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.expr(
+                "CAST(sum(spend_micro) * 1000000 div first(_total) AS BIGINT)"
+            ).alias("share_micro"),
+        )
+        .orderBy("top_pct")
+    )
+
+
+def _pareto_oracle() -> str:
+    cuts = ", ".join(
+        f"quantile_cont(spend_micro, {1.0 - f / 100.0}) AS q{f}"
+        for f in PARETO_FRACS
+    )
+    probes = ", ".join(f"({f}, 'q{f}')" for f in PARETO_FRACS)
+    branches = " ".join(
+        f"WHEN 'q{f}' THEN q{f}" for f in PARETO_FRACS
+    )
+    return f"""
+WITH pv_per AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS spend_micro
+  FROM events GROUP BY user_id
+),
+pv_cuts AS (
+  SELECT CAST(sum(spend_micro) AS BIGINT) AS total, {cuts} FROM pv_per
+),
+pv_probes(top_pct, qname) AS (VALUES {probes}),
+pv_j AS (
+  SELECT CAST(p.top_pct AS INT) AS top_pct, e.spend_micro, c.total,
+         (CASE p.qname {branches} END) AS cut
+  FROM pv_per e CROSS JOIN pv_cuts c CROSS JOIN pv_probes p
+)
+SELECT top_pct,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(spend_micro) * 1000000 // max(total) AS BIGINT) AS share_micro
+FROM pv_j WHERE spend_micro >= cut
+GROUP BY top_pct ORDER BY top_pct"""
+
+
 def q_events_rfm_segments(spark, sf_dir):
     """RFM segmentation (recency / frequency / monetary quartiles) — the
     classic lifecycle-marketing rollup. Per-user metrics are ONE
@@ -2306,6 +2393,7 @@ REL_QUERIES = {
     "events_anomaly_mad": q_events_anomaly_mad,
     "events_path_ngrams": q_events_path_ngrams,
     "events_rfm_segments": q_events_rfm_segments,
+    "events_value_pareto": q_events_value_pareto,
     "events_behavior_rank": q_events_behavior_rank,
     "tpch_rollup_revenue": q_tpch_rollup_revenue,
     "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
@@ -2360,6 +2448,7 @@ def rel_oracle_sqls() -> dict[str, str]:
         "events_anomaly_mad": ORACLE_EVENTS_ANOMALY_MAD,
         "events_path_ngrams": ORACLE_EVENTS_PATH_NGRAMS,
         "events_rfm_segments": _rfm_oracle(),
+        "events_value_pareto": _pareto_oracle(),
         "events_behavior_rank": _pagerank_oracle(
             n_iter=8,
             edge_sql=_BEHAVIOR_EDGE_SQL,
