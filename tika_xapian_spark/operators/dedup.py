@@ -283,22 +283,39 @@ def _shingle_candidates(
     sh: DataFrame, max_shingle_df: int
 ) -> tuple[DataFrame, DataFrame]:
     """Shared candidate machinery for the exact shingle-overlap scorers:
-    hot-shingle df prune -> self equi-join on shingle (doc_a < doc_b) ->
-    per-pair intersection counts, plus per-doc shingle sizes. Returns
-    (inter(doc_a, doc_b, n_inter), sizes(doc, n_sh))."""
-    df_per_shingle = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
-    pruned = sh.join(
-        df_per_shingle.filter(F.col("sdf") <= max_shingle_df).select("shingle"),
-        "shingle",
+    one groupBy(shingle) collects each shingle's (capped) doc list, the
+    hot-shingle prune falls out of the grouped row for free, and ordered
+    candidate pairs are generated map-side from the sorted list — never a
+    cartesian. Returns (inter(doc_a, doc_b, n_inter), sizes(doc, n_sh)).
+
+    Round-7 shape (was: df-count agg + join-back + self equi-join): the old
+    plan shuffled the shingle table three times (df agg, join-back, both
+    self-join sides) before the pair aggregation; at sf1.0 the candidate
+    volume is ~127M pair rows with ~114M DISTINCT pairs (avg n_inter 1.1),
+    so map-side partial aggregation buys nothing and every extra pass over
+    the pair stream is pure cost. Now: Exchange(shingle) -> collect_list
+    (the df cap is size(list)) -> staged array_sort (own projection — the
+    HOF re-inlining rule) -> flatten/transform pair explode (map-side) ->
+    ONE Exchange + aggregation keyed (doc_a, doc_b). 2 exchanges of the
+    (small) shingle table replaced by 1, and the pair stream crosses the
+    wire once. Per-shingle pair arrays are bounded by the df cap
+    (<= cap^2/2 structs) before exploding."""
+    grouped = sh.groupBy("shingle").agg(F.collect_list("doc").alias("ds0"))
+    small = grouped.filter(F.size("ds0") <= max_shingle_df).select(
+        F.array_sort("ds0").alias("ds")
     )
-    a = pruned.select(F.col("doc").alias("doc_a"), "shingle")
-    b = pruned.select(F.col("doc").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    pairs = small.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (a, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                "b -> named_struct('a', a, 'b', b))))"
+            )
+        ).alias("p")
     )
+    inter = pairs.groupBy(
+        F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
+    ).agg(F.count(F.lit(1)).alias("n_inter"))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     return inter, sizes
 
@@ -366,20 +383,36 @@ def containment_top_pairs(
     containment of src in dst, ties (src, dst) ascending."""
     sh = shingles if shingles is not None else shingles_df(docs, key, text_col, k)
     inter, sizes = _shingle_candidates(sh, max_shingle_df)
-    directed = inter.selectExpr(
-        "doc_a AS src_doc", "doc_b AS dst_doc", "n_inter"
-    ).unionByName(
-        inter.selectExpr("doc_b AS src_doc", "doc_a AS dst_doc", "n_inter")
-    )
-    scored = directed.join(
-        sizes.select(F.col("doc").alias("src_doc"), F.col("n_sh").alias("n_src")),
-        "src_doc",
-    ).select(
-        "src_doc",
-        "dst_doc",
-        F.expr("CAST((n_inter * 1000000) div n_src AS BIGINT)").alias(
-            "containment_micro"
-        ),
+    # Round-7: both directions come from ONE pass over the aggregated pair
+    # table. The previous union-of-two-selects referenced `inter` twice, so
+    # the ~114M-group pair aggregation above the (reused) exchange executed
+    # TWICE — once per union branch. Joining the per-doc sizes onto the
+    # unordered pair row (both sides) and exploding the two directed scores
+    # keeps the aggregation single-execution; the sizes joins are unhinted
+    # (one row per doc — AQE broadcasts them when small, the no-forced-
+    # broadcast rule for corpus-scale relations otherwise applies).
+    scored = (
+        inter.join(
+            sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "array(named_struct('src_doc', doc_a, 'dst_doc', doc_b,"
+                    " 'containment_micro',"
+                    " CAST((n_inter * 1000000) div n_a AS BIGINT)),"
+                    " named_struct('src_doc', doc_b, 'dst_doc', doc_a,"
+                    " 'containment_micro',"
+                    " CAST((n_inter * 1000000) div n_b AS BIGINT)))"
+                )
+            ).alias("d")
+        )
+        .select("d.src_doc", "d.dst_doc", "d.containment_micro")
     )
     return scored.orderBy(
         F.desc("containment_micro"), "src_doc", "dst_doc"

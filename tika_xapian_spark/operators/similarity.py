@@ -706,19 +706,83 @@ def semdedup(
         )
         .localCheckpoint(eager=False)  # consumers: both pair sides + output
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    pairs = a.join(
-        b, (F.expr("a.cluster = b.cluster")) & (F.expr("a.vid < b.vid"))
-    ).selectExpr(
-        "b.vid AS vid",
-        "CAST(round(CAST(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0L,"
-        " (acc, e) -> acc + e) AS DOUBLE)"
-        " / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))"
-        " * 1000000) AS BIGINT) AS cos_micro",
-    )
-    dup = pairs.groupBy("vid").agg(
-        F.max("cos_micro").alias("mx"),
-        F.sum((F.col("cos_micro") >= tau_micro).cast("long")).alias("nd"),
+    # Round-7: the in-cluster pairwise stage is a dense integer gram matrix
+    # — exactly the shape the guide's §4.2 rule ("hand whole batches to
+    # vectorized native code") is for. The previous self-join on `cluster`
+    # had two scale problems measured at sf1.0 (20k vecs, k=8): (1) the
+    # join key has k distinct values, so the shuffle join ran on 8 reducers
+    # regardless of core count; (2) every one of the ~25M candidate pairs
+    # evaluated a 64-element zip_with/aggregate lambda in the interpreted
+    # HOF path (~1.6G interpreted ops) — 57s wall at sf1.0. Per-cluster
+    # NumPy computes the same numbers in milliseconds via one gemm.
+    #
+    # Exactness is preserved, not approximated:
+    #   * dot products: micro ints |x| <= ~1e7, dim-bounded partial sums
+    #     stay far below 2^53, so float64 gemm accumulates EXACT integers
+    #     (each partial sum exactly representable; addition of exact ints
+    #     below 2^53 is exact in any order). A loud guard falls back to
+    #     int64 matmul if a corpus ever violates the bound.
+    #   * cosine doubles: computed in the SAME IEEE op order as the old
+    #     JVM expression — CAST(dot AS DOUBLE) / (sqrt(na2) * sqrt(nb2))
+    #     * 1e6 — so every c is bit-identical to what the engine computed.
+    #   * rounding stays in the ENGINE: the kernel returns the unrounded
+    #     max (round is monotone, so max commutes with it) and counts
+    #     duplicates via c >= tau - 0.5, which equals round_half_up(c) >=
+    #     tau exactly (tau - 0.5 is representable); Spark applies its own
+    #     round() below, as before.
+    # The kernel sees only (cluster, vid, v, n2) — §4.1 column pruning —
+    # and emits one row per vector that HAS a lower-id cluster-mate
+    # (mirroring the old pairs-groupBy, whose groups were exactly those).
+    # Parallelism is one task per cluster — the k-vs-cluster-size knob the
+    # operator already exposes — with column-blocked processing inside the
+    # kernel so memory stays bounded for jumbo clusters.
+    thr = float(tau_micro) - 0.5
+
+    def _cluster_pair_stats(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vid").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vid": [], "mx_raw": [], "nd": []}).astype(
+                {"vid": "int64", "mx_raw": "float64", "nd": "int64"}
+            )
+        V = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+        n2 = pdf["n2"].to_numpy(dtype=np.int64)
+        # float64 gemm is exact while partial sums stay below 2^53
+        exact_f8 = V.shape[1] * float(np.abs(V).max()) ** 2 < 2.0**53
+        Vf = V.astype(np.float64)
+        sq = np.sqrt(n2.astype(np.float64))
+        mx = np.empty(n, dtype=np.float64)
+        nd = np.zeros(n, dtype=np.int64)
+        bs = 2048
+        for j0 in range(1, n, bs):
+            j1 = min(j0 + bs, n)
+            if exact_f8:
+                dot = Vf @ Vf[j0:j1].T  # exact integer values in float64
+            else:
+                dot = (V @ V[j0:j1].T).astype(np.float64)
+            # same op order as the old JVM expr: dot / (sa * sb) * 1e6
+            c = dot / (sq[:, None] * sq[j0:j1][None, :]) * 1e6
+            jj = np.arange(j0, j1)
+            lower = np.arange(n)[:, None] < jj[None, :]  # a.vid < b.vid
+            c_masked = np.where(lower, c, -np.inf)
+            mx[j0:j1] = c_masked.max(axis=0)
+            nd[j0:j1] = (c_masked >= thr).sum(axis=0)
+        return pd.DataFrame(
+            {"vid": pdf["vid"].to_numpy()[1:], "mx_raw": mx[1:], "nd": nd[1:]}
+        )
+
+    dup = (
+        assigned.select("cluster", "vid", "v", "n2")
+        .groupBy("cluster")
+        .applyInPandas(_cluster_pair_stats, "vid long, mx_raw double, nd long")
+        .select(
+            "vid",
+            F.expr("CAST(round(mx_raw) AS BIGINT) AS mx"),  # engine rounding
+            "nd",
+        )
     )
     return (
         assigned.join(dup, "vid", "left")

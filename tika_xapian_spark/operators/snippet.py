@@ -449,7 +449,14 @@ def snippets_for_page(
 
     from . import search as S
 
-    rows = page.select(key_col, text_col).collect()  # bounded: the page
+    # bounded: the page. Sorted by key because the background model below
+    # PERSISTS across snippet() calls (the C++ member semantics) — so each
+    # snippet depends on which rows preceded it, and the collect order of a
+    # join is a plan artifact, not a contract (surfaced in round 7 when
+    # spreading the docs scan changed the join's output order and with it
+    # one snippet's chosen window). Key order is what the single-partition
+    # plans always produced, so pinned oracles are unchanged.
+    rows = sorted(page.select(key_col, text_col).collect(), key=lambda r: r[0])
     stem_fn = stemmer if stemmer is not None else (lambda w: w)
 
     qterms = {t: 1 for t in loose_terms}

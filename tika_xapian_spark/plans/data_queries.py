@@ -18,6 +18,7 @@ from ..operators import packing as P
 from ..operators import similarity as SIM
 from ..operators import sketches as SK
 from ..operators import textstats as T
+from ..sources.scan import read_spread
 
 # ------------------------------------------------------------------ helpers
 
@@ -35,7 +36,9 @@ tok AS (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # read_spread: single-row-group test files otherwise serialize every
+    # downstream map stage onto one core (sources/scan.py)
+    return read_spread(spark, f"{sf_dir}/documents.parquet", "doc_id")
 
 
 _SHINGLE_CACHE: dict[tuple[str, int], DataFrame] = {}
@@ -56,7 +59,7 @@ def _shingles(spark: SparkSession, sf_dir: str, k: int = D.SHINGLE_K) -> DataFra
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return read_spread(spark, f"{sf_dir}/embeddings.parquet", "vec_id")
 
 
 # ------------------------------------------------------------------- dedup
@@ -3649,7 +3652,7 @@ def q_embedding_quantize(spark, sf_dir):
     """Per-vector int8 quantization profile (scale, saturation count, L2
     reconstruction error) — zero-shuffle map pass
     (operators/similarity.py::quantize_int8)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return _ordered_perdoc(SIM.quantize_int8(emb), "vec_id")
 
 
@@ -3722,7 +3725,7 @@ def q_embedding_kmeans_step(spark, sf_dir):
     """One exact Lloyd iteration from the IVF seed quantizer: broadcast
     argmin assignment + a single wide centroid-update aggregate
     (operators/similarity.py::kmeans_step)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return (
         SIM.kmeans_step(emb)
         .repartition(1)
@@ -3808,7 +3811,7 @@ def q_embedding_power_iteration(spark, sf_dir):
     """Dominant principal direction of the embedding matrix — two exact
     integer power-iteration steps, two global aggregates total
     (operators/similarity.py::power_iteration_component)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return SIM.power_iteration_component(emb).repartition(1).sortWithinPartitions("dim")
 
 

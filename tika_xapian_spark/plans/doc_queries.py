@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..operators import search as S
 from ..operators.index import InvertedIndex
+from ..sources.scan import read_spread
 from . import oracles
 
 _INDEX_CACHE: dict[tuple[str, bool], InvertedIndex] = {}
@@ -27,7 +28,10 @@ K = 100
 def get_index(spark: SparkSession, sf_dir: str, stem: bool = True) -> InvertedIndex:
     key = (sf_dir, stem)
     if key not in _INDEX_CACHE:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # read_spread: the persisted postings carrier inherits the scan's
+        # partitioning, and a single-row-group file pins it (and with it the
+        # postings scan of EVERY search query) at 1 partition (sources/scan.py)
+        docs = read_spread(spark, f"{sf_dir}/documents.parquet", "doc_id")
         _INDEX_CACHE[key] = InvertedIndex.build_from_body(
             docs, key="doc_id", body_col="text", stem=stem
         )
@@ -35,7 +39,7 @@ def get_index(spark: SparkSession, sf_dir: str, stem: bool = True) -> InvertedIn
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_spread(spark, f"{sf_dir}/documents.parquet", "doc_id")
 
 
 def _finalize(matches: DataFrame, k: int = K) -> DataFrame:
