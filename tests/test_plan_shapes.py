@@ -862,10 +862,14 @@ class TestRound6SessionPlans:
 
     def test_containment_join_is_keyed(self, docs):
         from tika_xapian_spark.operators.dedup import containment_top_pairs
+        from tika_xapian_spark.plans.planlint import lint_plan_text
 
         plan = plan_of(containment_top_pairs(docs, key="doc_id", k=3))
         assert "CartesianProduct" not in plan
-        assert "BroadcastNestedLoopJoin" not in plan
+        # round 7: the bootstrap threshold + corpus-min size ride as
+        # broadcast 1-row scalars (Cross BNLJ — the sanctioned pattern the
+        # lint rule distinguishes); a NON-Cross BNLJ is still a violation
+        assert lint_plan_text(plan).ok, lint_plan_text(plan).violations
         # bounded top-k, not a global sort of all pairs
         assert "TakeOrderedAndProject" in plan
 

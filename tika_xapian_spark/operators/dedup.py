@@ -185,31 +185,39 @@ def lsh_candidates(
 
 def exact_jaccard(candidates: DataFrame, shingles: DataFrame) -> DataFrame:
     """(doc_a, doc_b, jaccard_micro): exact Jaccard over distinct shingle
-    sets, verified by joining the shingle index twice (broadcast the small
-    candidate set)."""
-    sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = shingles.select(F.col("doc").alias("doc_a"), "shingle")
-    sb = shingles.select(F.col("doc").alias("doc_b"), "shingle")
-    inter = (
-        candidates.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    sets, verified against per-doc shingle ARRAYS.
+
+    Round-7 shape (was: candidates joined against the flat shingle table
+    twice — the second join re-shuffled the whole shingle stream by
+    (doc, shingle), twice more for sizes): group the shingle table ONCE
+    into per-doc arrays (reuses the reader's hash(doc) partitioning — no
+    exchange of the big side), attach the two arrays to each candidate
+    pair (two joins whose big side is already partitioned by doc; only
+    the bounded candidate rows move), and compute the intersection
+    map-side with `array_intersect` (sets are distinct by construction,
+    so its size IS n_inter and the array sizes ARE n_a/n_b — the sizes
+    joins are gone). Candidate pairs whose doc has no shingles drop on
+    the inner join, exactly as the old sizes inner-join dropped them."""
+    arrs = shingles.groupBy("doc").agg(
+        F.collect_list("shingle").alias("_sh_arr")
     )
-    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        candidates.join(inter, ["doc_a", "doc_b"], "left_outer")
-        .na.fill({"n_inter": 0})
-        .join(na, "doc_a")
-        .join(nb, "doc_b")
+        candidates.join(
+            arrs.select(F.col("doc").alias("doc_a"), F.col("_sh_arr").alias("_sa")),
+            "doc_a",
+        )
+        .join(
+            arrs.select(F.col("doc").alias("doc_b"), F.col("_sh_arr").alias("_sb")),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("n_inter") * 1_000_000.0
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-            ).cast("long").alias("jaccard_micro"),
+            F.expr(
+                "CAST(round(CAST(size(array_intersect(_sa, _sb)) AS DOUBLE)"
+                " * 1000000.0 / CAST(size(_sa) + size(_sb)"
+                " - size(array_intersect(_sa, _sb)) AS DOUBLE)) AS BIGINT)"
+            ).alias("jaccard_micro"),
         )
     )
 
@@ -286,7 +294,9 @@ def _shingle_candidates(
     one groupBy(shingle) collects each shingle's (capped) doc list, the
     hot-shingle prune falls out of the grouped row for free, and ordered
     candidate pairs are generated map-side from the sorted list — never a
-    cartesian. Returns (inter(doc_a, doc_b, n_inter), sizes(doc, n_sh)).
+    cartesian. Returns (inter(doc_a, doc_b, n_inter, n_a, n_b),
+    sizes(doc, n_sh)) — per-doc sizes ride the pair rows (see below), so
+    consumers score without re-joining the pair stream.
 
     Round-7 shape (was: df-count agg + join-back + self equi-join): the old
     plan shuffled the shingle table three times (df agg, join-back, both
@@ -300,23 +310,37 @@ def _shingle_candidates(
     (small) shingle table replaced by 1, and the pair stream crosses the
     wire once. Per-shingle pair arrays are bounded by the df cap
     (<= cap^2/2 structs) before exploding."""
-    grouped = sh.groupBy("shingle").agg(F.collect_list("doc").alias("ds0"))
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    # per-doc size rides each (doc, shingle) row INTO the grouped pair
+    # generation, so the scorers never join the (corpus-sized: one row per
+    # doc) sizes table onto the pair stream — at sf1.0 the planner ran
+    # those as two extra sort-merge shuffles of the ~114M-row pair table
+    # (~8s); here the only size join is shingle-table-level and
+    # co-partitioned with the groupBy(doc) that produced it.
+    sh_n = sh.join(sizes, "doc")
+    grouped = sh_n.groupBy("shingle").agg(
+        F.collect_list(F.struct("doc", "n_sh")).alias("ds0")
+    )
     small = grouped.filter(F.size("ds0") <= max_shingle_df).select(
-        F.array_sort("ds0").alias("ds")
+        F.array_sort("ds0").alias("ds")  # struct sort: by doc, then n_sh
     )
     pairs = small.select(
         F.explode(
             F.expr(
                 "flatten(transform(ds, (a, i) -> "
                 "transform(slice(ds, i + 2, size(ds) - i - 1), "
-                "b -> named_struct('a', a, 'b', b))))"
+                "b -> named_struct('a', a.doc, 'b', b.doc,"
+                " 'na', a.n_sh, 'nb', b.n_sh))))"
             )
         ).alias("p")
     )
     inter = pairs.groupBy(
         F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
-    ).agg(F.count(F.lit(1)).alias("n_inter"))
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    ).agg(
+        F.count(F.lit(1)).alias("n_inter"),
+        F.max("p.na").alias("n_a"),  # constant per doc_a: max == the value
+        F.max("p.nb").alias("n_b"),
+    )
     return inter, sizes
 
 
@@ -335,10 +359,10 @@ def ngram_jaccard_top_pairs(
     pre-persisted ``shingles`` frame to share it across queries (it is read
     four times in this plan)."""
     sh = shingles if shingles is not None else shingles_df(docs, key, text_col, k)
-    inter, sizes = _shingle_candidates(sh, max_shingle_df)
-    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    scored = inter.join(na, "doc_a").join(nb, "doc_b").select(
+    inter, _sizes = _shingle_candidates(sh, max_shingle_df)
+    # sizes ride the pair rows (_shingle_candidates) — no join on the pair
+    # stream
+    scored = inter.select(
         "doc_a",
         "doc_b",
         F.round(
@@ -382,38 +406,25 @@ def containment_top_pairs(
     Returns (src_doc, dst_doc, containment_micro): top pairs by descending
     containment of src in dst, ties (src, dst) ascending."""
     sh = shingles if shingles is not None else shingles_df(docs, key, text_col, k)
-    inter, sizes = _shingle_candidates(sh, max_shingle_df)
+    inter, _sizes = _shingle_candidates(sh, max_shingle_df)
     # Round-7: both directions come from ONE pass over the aggregated pair
-    # table. The previous union-of-two-selects referenced `inter` twice, so
+    # table (the previous union-of-two-selects referenced `inter` twice, so
     # the ~114M-group pair aggregation above the (reused) exchange executed
-    # TWICE — once per union branch. Joining the per-doc sizes onto the
-    # unordered pair row (both sides) and exploding the two directed scores
-    # keeps the aggregation single-execution; the sizes joins are unhinted
-    # (one row per doc — AQE broadcasts them when small, the no-forced-
-    # broadcast rule for corpus-scale relations otherwise applies).
-    scored = (
-        inter.join(
-            sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b")),
-            "doc_b",
-        )
-        .select(
-            F.explode(
-                F.expr(
-                    "array(named_struct('src_doc', doc_a, 'dst_doc', doc_b,"
-                    " 'containment_micro',"
-                    " CAST((n_inter * 1000000) div n_a AS BIGINT)),"
-                    " named_struct('src_doc', doc_b, 'dst_doc', doc_a,"
-                    " 'containment_micro',"
-                    " CAST((n_inter * 1000000) div n_b AS BIGINT)))"
-                )
-            ).alias("d")
-        )
-        .select("d.src_doc", "d.dst_doc", "d.containment_micro")
-    )
+    # TWICE — once per union branch), and the per-doc sizes already ride
+    # the pair rows (see _shingle_candidates), so there is no join on the
+    # pair stream at all before the bounded top-k.
+    scored = inter.select(
+        F.explode(
+            F.expr(
+                "array(named_struct('src_doc', doc_a, 'dst_doc', doc_b,"
+                " 'containment_micro',"
+                " CAST((n_inter * 1000000) div n_a AS BIGINT)),"
+                " named_struct('src_doc', doc_b, 'dst_doc', doc_a,"
+                " 'containment_micro',"
+                " CAST((n_inter * 1000000) div n_b AS BIGINT)))"
+            )
+        ).alias("d")
+    ).select("d.src_doc", "d.dst_doc", "d.containment_micro")
     return scored.orderBy(
         F.desc("containment_micro"), "src_doc", "dst_doc"
     ).limit(top)
@@ -853,23 +864,43 @@ def shared_substring_spans(
 
     if min_tokens is None:
         min_tokens = width
-    # three consumers (df cap + both join sides): materialize once instead
-    # of re-executing the gram scan per reference (the exact_jaccard /
-    # _SHINGLE_CACHE lesson — DataFrames referenced N times run N times)
-    g = window_gram_positions(docs, key, text_col, width).localCheckpoint()
-    rare = (
+    # Round-7 shape (was: localCheckpoint of the gram table + df agg +
+    # semi-join back + a/b self-join = 1 materialization and 4 passes over
+    # the gram stream): ONE groupBy(g) collects each gram's occurrence
+    # list; the df cap reads off the grouped row (distinct docs in the
+    # list), and cross-document (pos_a, pos_b) hit pairs explode MAP-SIDE
+    # from the sorted list — same rows the self-join produced, one shuffle
+    # of the gram stream instead of four, no checkpoint (single consumer).
+    # Per-gram pair fan-out stays bounded by the df cap exactly as before
+    # (within-doc multiplicity bounded upstream — see docstring).
+    g = window_gram_positions(docs, key, text_col, width)
+    occ = (
         g.groupBy("g")
-        .agg(F.countDistinct("doc").alias("_df"))
-        .filter(F.col("_df") <= max_gram_df)
-        .select("g")
+        .agg(F.collect_list(F.struct("doc", "pos")).alias("os0"))
+        .filter(
+            F.expr(
+                f"size(array_distinct(transform(os0, s -> s.doc)))"
+                f" <= {int(max_gram_df)}"
+            )
+        )
+        .select(F.array_sort("os0").alias("os"))  # (doc, pos) ascending
     )
-    g = g.join(rare, "g", "left_semi")
-    a = g.select(F.col("doc").alias("doc_a"), F.col("pos").alias("pa"), "g")
-    b = g.select(F.col("doc").alias("doc_b"), F.col("pos").alias("pb"), "g")
     hits = (
-        a.join(b, "g")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pa", "pb", (F.col("pb") - F.col("pa")).alias("diag"))
+        occ.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(os, (a, i) -> "
+                    "transform(filter(slice(os, i + 2, size(os) - i - 1), "
+                    "b -> b.doc > a.doc), "
+                    "b -> named_struct('doc_a', a.doc, 'doc_b', b.doc,"
+                    " 'pa', a.pos, 'pb', b.pos))))"
+                )
+            ).alias("h")
+        )
+        .select(
+            "h.doc_a", "h.doc_b", "h.pa", "h.pb",
+            (F.col("h.pb") - F.col("h.pa")).alias("diag"),
+        )
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     runs = hits.withColumn("_run", F.col("pa") - F.row_number().over(w))

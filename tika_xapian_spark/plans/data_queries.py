@@ -2495,7 +2495,12 @@ LIMIT 50"""
 # engine's regex implementation; a normalization bug cannot cancel out.
 
 def _synth_urls(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
+    # raw read, not _docs: the URL family projects only (doc_id, source)
+    # (the scan prunes `text` entirely) and its per-row work is a cheap
+    # concat, so the read_spread exchange is pure overhead here — measured
+    # +0.4-1.0s per url_*/crawl_*/pagerank query at sf1.0 with no
+    # compensating parallel win.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     url = F.concat(
         F.lit("HTTPS://www."),
         F.col("source"),
@@ -2727,7 +2732,10 @@ ORDER BY canonical_url"""
 
 
 def _synth_edges(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
+    # raw read — same rationale as _synth_urls: (doc_id, source) only,
+    # host-level graph, iterative consumer; the spread exchange only adds
+    # per-round task overhead
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
         F.concat("source", F.lit(".example.com")).alias("src"),
         F.concat(

@@ -57,13 +57,21 @@ def _row_groups(path: str) -> int:
 
 
 def spread_parallelism(spark: SparkSession) -> int:
-    # factor over the session's core count: 1 minimizes per-stage task
-    # overhead for the many light queries, 2 balances skewed doc lengths
-    # better for heavy folds; measured at sf1.0 the two are within noise on
-    # the heavy queries and 1 is cheaper on iterative/light ones. Env knob
-    # so a cluster deployment can tune without code edits.
-    factor = int(os.environ.get("SPARK_GRAFT_SPREAD_FACTOR", "1"))
-    return max(spark.sparkContext.defaultParallelism * factor, 1)
+    # Match the session's shuffle partition count so downstream
+    # groupBy/join on the spread key REUSE the reader's partitioning
+    # (guide §2.4: same key + same partition count = no second exchange;
+    # a mismatched count forces ENSURE_REQUIREMENTS to re-shuffle).
+    # Scale-adaptive by construction — it follows whatever the deployment
+    # sets `spark.sql.shuffle.partitions` to; env knob for tuning without
+    # code edits.
+    env = os.environ.get("SPARK_GRAFT_SPREAD_N")
+    if env:
+        return max(int(env), 1)
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n = spark.sparkContext.defaultParallelism
+    return max(n, 1)
 
 
 def read_spread(spark: SparkSession, path: str, key: str) -> DataFrame:
