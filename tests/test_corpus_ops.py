@@ -793,3 +793,74 @@ class TestContainmentPairs:
         assert got[(2, 1)] == (2 * 1_000_000) // 40
         jac = ngram_jaccard_top_pairs(docs, key="doc_id", k=2).collect()
         assert jac[0].jaccard_micro == round(2 * 1_000_000 / 40)
+
+
+# ------------------------------------------- round-7 pair-pipeline shapes
+
+
+class TestPairPipelineRound7:
+    """Pins for the round-7 restructures: sizes ride the pair rows (no
+    join above the pair aggregation), exact_jaccard verifies via per-doc
+    arrays, and the substring-span candidate pass is a single grouped
+    explode — alongside the row-level results that prove the shapes
+    compute the same thing."""
+
+    def test_containment_scoring_is_join_free(self, spark):
+        from tika_xapian_spark.operators.dedup import containment_top_pairs
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma w{i} delta") for i in range(12)],
+            "doc_id long, text string",
+        )
+        df = containment_top_pairs(docs, key="doc_id", k=2, top=5)
+        plan = plan_of(df)
+        # exactly ONE join, and it is the shingle-table-level size attach
+        # keyed on doc — NOT a join on the (corpus-quadratic) pair stream:
+        # n_a/n_b are carried through the pair aggregation
+        join_lines = [ln for ln in plan.splitlines() if "Join [" in ln]
+        assert len(join_lines) == 1, plan
+        assert "[doc#" in join_lines[0], join_lines[0]
+        assert "TakeOrderedAndProject" in plan, plan
+        assert len(df.collect()) == 5
+
+    def test_containment_df_cap_still_prunes_hot_shingles(self, spark):
+        from tika_xapian_spark.operators.dedup import containment_top_pairs
+
+        # "hot hot hot" shingle shared by ALL docs is dropped by the cap,
+        # so only the alpha/beta pair survives with its private shingle
+        rows = [(i, f"hot hot hot u{i} v{i}") for i in range(10)]
+        rows += [(100, "hot hot hot alpha beta"), (101, "alpha beta only x")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = containment_top_pairs(
+            docs, key="doc_id", k=2, top=50, max_shingle_df=5
+        ).collect()
+        pairs = {(r.src_doc, r.dst_doc) for r in got}
+        assert (100, 101) in pairs and (101, 100) in pairs
+        # no pair between the hot-only docs: their every shingle is capped
+        assert not any(r.src_doc < 100 and r.dst_doc < 100 for r in got)
+
+    def test_exact_jaccard_zero_overlap_candidate_scores_zero(self, spark):
+        from tika_xapian_spark.operators.dedup import exact_jaccard, shingles_df
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "x y z w")], "doc_id long, text string"
+        )
+        sh = shingles_df(docs, key="doc_id")
+        cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        rows = exact_jaccard(cand, sh).collect()
+        # the candidate row survives (old left_outer+fill semantics) at 0
+        assert [(r.doc_a, r.doc_b, r.jaccard_micro) for r in rows] == [(1, 2, 0)]
+
+    def test_substring_spans_single_gram_shuffle_no_joins(self, spark):
+        from tika_xapian_spark.operators.dedup import shared_substring_spans
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{(i * 3 + j) % 9}" for j in range(15)))
+             for i in range(20)],
+            "doc_id long, text string",
+        )
+        df = shared_substring_spans(docs, key="doc_id", width=4)
+        plan = plan_of(df)
+        assert "Join" not in plan, plan  # candidate pass is grouped explode
+        # one gram exchange + one span-merge exchange + the final top-k
+        assert plan.count("Exchange hashpartitioning") == 2, plan

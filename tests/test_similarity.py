@@ -473,3 +473,76 @@ class TestPqAssign:
         assert got[2][0] == 2 and got[2][1:4] == (0, 0, 0)
         # ADC for v2 = d2(q_sub0, cent(code c0=2)) = 16 * (1-(-1))^2 = 64
         assert got[2][4] == 64_000_000
+
+
+class TestSemDedupKernelRound7:
+    """The round-7 per-cluster NumPy kernel must compute EXACTLY what the
+    old JVM pair expression computed: exact integer micro dots, cosine in
+    the same IEEE op order, engine-side rounding. Verified against a
+    direct JVM evaluation of the old expression on the same pairs — both
+    for the float64-gemm fast path and the int64 fallback (values large
+    enough that float64 accumulation would round)."""
+
+    def _jvm_reference(self, spark, vecs, tau_micro):
+        rows = [(i, v) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vid long, emb array<double>")
+        iv = df.selectExpr(
+            "vid",
+            "transform(emb, x -> CAST(round(x * 1000000) AS BIGINT)) AS v",
+        )
+        a, b = iv.alias("a"), iv.alias("b")
+        from pyspark.sql import functions as F
+
+        pairs = a.join(b, F.expr("a.vid < b.vid")).selectExpr(
+            "b.vid AS vid",
+            "CAST(round(CAST(aggregate(zip_with(a.v, b.v, (x, y) -> x * y),"
+            " 0L, (acc, e) -> acc + e) AS DOUBLE)"
+            " / (sqrt(CAST(aggregate(zip_with(a.v, a.v, (x, y) -> x * y),"
+            " 0L, (acc, e) -> acc + e) AS DOUBLE))"
+            " * sqrt(CAST(aggregate(zip_with(b.v, b.v, (x, y) -> x * y),"
+            " 0L, (acc, e) -> acc + e) AS DOUBLE)))"
+            " * 1000000) AS BIGINT) AS cos_micro",
+        )
+        out = {}
+        for r in pairs.collect():
+            mx, nd = out.get(r["vid"], (-(10**18), 0))
+            out[r["vid"]] = (
+                max(mx, r["cos_micro"]),
+                nd + (1 if r["cos_micro"] >= tau_micro else 0),
+            )
+        return out
+
+    def _check(self, spark, vecs):
+        from tika_xapian_spark.operators import similarity as SIM
+
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        # k=1: every vector in one cluster (seed id 0), all pairs compared
+        got = {
+            r["vec_id"]: (r["max_lower_cos_micro"], r["n_dups_lower"])
+            for r in SIM.semdedup(emb, k=1).collect()
+            if r["vec_id"] > 0
+        }
+        # reference uses the DOUBLE-cast micro vectors like the operator
+        ref_vecs = [[float(x) for x in v] for v in vecs]
+        ref = self._jvm_reference(spark, ref_vecs, SIM.SEMDEDUP_TAU_MICRO)
+        assert got == ref, (got, ref)
+
+    def test_fast_path_matches_old_jvm_expression(self, spark):
+        vecs = [
+            [0.25 * ((i * 7 + j * 3) % 11 - 5) for j in range(8)]
+            for i in range(6)
+        ]
+        self._check(spark, vecs)
+
+    def test_int64_fallback_matches_old_jvm_expression(self, spark):
+        # |micros| ~ 3e8 -> dim * max^2 ~ 7e17 > 2^53: float64 gemm would
+        # round, the kernel must take the exact int64 matmul branch
+        vecs = [
+            [(-1 if (i + j) % 3 == 0 else 1) * (240.0 + ((i * 5 + j) % 7) * 13.5)
+             for j in range(8)]
+            for i in range(6)
+        ]
+        self._check(spark, vecs)

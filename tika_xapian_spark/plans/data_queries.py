@@ -18,7 +18,7 @@ from ..operators import packing as P
 from ..operators import similarity as SIM
 from ..operators import sketches as SK
 from ..operators import textstats as T
-from ..sources.scan import read_spread
+from ..sources.scan import DEFAULT_SPREAD_MIN_ROWS, read_spread
 
 # ------------------------------------------------------------------ helpers
 
@@ -37,7 +37,19 @@ tok AS (
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read_spread: single-row-group test files otherwise serialize every
-    # downstream map stage onto one core (sources/scan.py)
+    # downstream map stage onto one core (sources/scan.py). Default is
+    # size-gated: small tables stay raw because the exchange tax beats the
+    # parallelism for light-to-moderate per-row work.
+    return read_spread(
+        spark, f"{sf_dir}/documents.parquet", "doc_id",
+        min_rows=DEFAULT_SPREAD_MIN_ROWS,
+    )
+
+
+def _docs_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs reader for HEAVY per-row folds (char-trigram entropy, gopher
+    run-length stats, shingle/gram explode): always spread — these win
+    from full parallelism even on a 5k-row table (see sources/scan.py)."""
     return read_spread(spark, f"{sf_dir}/documents.parquet", "doc_id")
 
 
@@ -53,12 +65,21 @@ def _shingles(spark: SparkSession, sf_dir: str, k: int = D.SHINGLE_K) -> DataFra
     key = (sf_dir, k)
     if key not in _SHINGLE_CACHE:
         _SHINGLE_CACHE[key] = D.shingles_df(
-            _docs(spark, sf_dir), key="doc_id", k=k
+            _docs_hot(spark, sf_dir), key="doc_id", k=k
         ).persist()
     return _SHINGLE_CACHE[key]
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_spread(
+        spark, f"{sf_dir}/embeddings.parquet", "vec_id",
+        min_rows=DEFAULT_SPREAD_MIN_ROWS,
+    )
+
+
+def _emb_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-spread embeddings reader for heavy per-vector work (the
+    SemDeDup assignment fold) — wins even at 2k vectors."""
     return read_spread(spark, f"{sf_dir}/embeddings.parquet", "vec_id")
 
 
@@ -978,7 +999,7 @@ ORDER BY 1, 2"""
 
 def q_text_quality(spark, sf_dir):
     return (
-        T.quality_features(_docs(spark, sf_dir), key="doc_id")
+        T.quality_features(_docs_hot(spark, sf_dir), key="doc_id")
         .select(
             F.col("doc").alias("doc_id"),
             "n_chars",
@@ -1030,7 +1051,7 @@ def q_gopher_repetition(spark, sf_dir):
     fractions and n-gram character coverage — per-row linear folds over
     sorted arrays, zero shuffle (operators/textstats.py)."""
     return (
-        T.gopher_repetition(_docs(spark, sf_dir), key="doc_id")
+        T.gopher_repetition(_docs_hot(spark, sf_dir), key="doc_id")
         .select(
             F.col("doc").alias("doc_id"),
             "n_lines",
@@ -1118,7 +1139,7 @@ def q_gopher_quality(spark, sf_dir):
         # stopword ('the'), so the paper's >=2 floor would zero the flag
         # corpus-wide; the parameterized floor keeps the composite rule
         # discriminating here while the default stays Gopher's 2
-        T.gopher_quality(_docs(spark, sf_dir), key="doc_id", min_stop=1)
+        T.gopher_quality(_docs_hot(spark, sf_dir), key="doc_id", min_stop=1)
         .select(
             F.col("doc").alias("doc_id"),
             "n_words",
@@ -2117,7 +2138,7 @@ def q_text_char_entropy(spark, sf_dir):
     hygiene signal; zero-shuffle linear fold
     (operators/textstats.py::char_ngram_entropy)."""
     return _ordered_perdoc(
-        T.char_ngram_entropy(_docs(spark, sf_dir), key="doc_id")
+        T.char_ngram_entropy(_docs_hot(spark, sf_dir), key="doc_id")
         .withColumnRenamed("doc", "doc_id"),
         "doc_id",
     )
@@ -2441,7 +2462,7 @@ def q_dedup_substring_spans(spark, sf_dir):
     spans >= 8 tokens shared between doc pairs — window-gram inverted index
     + gaps-and-islands diagonal merge (operators/dedup.py)."""
     return D.shared_substring_spans(
-        _docs(spark, sf_dir), key="doc_id", width=SUBSTR_WIDTH, top=50
+        _docs_hot(spark, sf_dir), key="doc_id", width=SUBSTR_WIDTH, top=50
     )
 
 
@@ -4071,7 +4092,7 @@ def q_quality_classifier(spark, sf_dir):
     map-side (zero shuffles), keep = score >= 0. The GPT-3/LLaMA-style
     model-based filter stage with a deterministic weight stand-in."""
     return (
-        T.quality_classifier(_docs(spark, sf_dir), key="doc_id")
+        T.quality_classifier(_docs_hot(spark, sf_dir), key="doc_id")
         .select(
             F.col("doc").alias("doc_id"),
             "n_tokens",
@@ -4241,7 +4262,7 @@ ORDER BY event_type"""
 def q_embedding_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): cluster-then-pairwise semantic dedup —
     within-cluster cosine above tau drops the higher id."""
-    return SIM.semdedup(_emb(spark, sf_dir))
+    return SIM.semdedup(_emb_hot(spark, sf_dir))
 
 
 def _semdedup_oracle(

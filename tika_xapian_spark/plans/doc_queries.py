@@ -39,7 +39,14 @@ def get_index(spark: SparkSession, sf_dir: str, stem: bool = True) -> InvertedIn
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_spread(spark, f"{sf_dir}/documents.parquet", "doc_id")
+    # size-gated: these consumers (metadata filters, page fetch) do light
+    # per-row work, so small tables stay raw (sources/scan.py)
+    from ..sources.scan import DEFAULT_SPREAD_MIN_ROWS
+
+    return read_spread(
+        spark, f"{sf_dir}/documents.parquet", "doc_id",
+        min_rows=DEFAULT_SPREAD_MIN_ROWS,
+    )
 
 
 def _finalize(matches: DataFrame, k: int = K) -> DataFrame:
