@@ -2098,9 +2098,13 @@ def q_pack_sequences(spark, sf_dir):
     which fixed-128-token training chunk, where, with how many tokens
     (operators/packing.py — two-level distributed prefix sum, no
     single-task global window)."""
+    # raw read (measured 4.2s vs 5.0s spread at sf1.0): the per-doc work is
+    # one size(tokens) projection and the two-level prefix-sum chain pays
+    # the spread's per-stage task tax across its window/checkpoint stages
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
         P.pack_sequences(
-            _docs(spark, sf_dir), key="doc_id", budget=PACK_BUDGET
+            docs, key="doc_id", budget=PACK_BUDGET
         )
         .withColumnRenamed("doc", "doc_id")
         .orderBy("chunk_id", "chunk_offset")
@@ -3936,7 +3940,9 @@ def q_text_zipf_fit(spark, sf_dir):
     """Zipf slope/R^2 of the unigram distribution (operators/textstats.py::
     zipf_fit) — decimal-exact OLS sums, float only in the final
     divisions."""
-    return T.zipf_fit(_docs(spark, sf_dir))
+    # raw read — vocabulary-bounded word counts partial-aggregate map-side
+    # (the bpe_merges rationale); measured 1.05s raw vs 1.18s spread at sf1.0
+    return T.zipf_fit(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 ORACLE_ZIPF_FIT = """
@@ -3983,7 +3989,12 @@ def q_bpe_merges(spark, sf_dir):
     dict (Sennrich et al. 2016) — the tokenizer-training stage that touches
     the full corpus is the single word-count shuffle; every merge round runs
     on the vocabulary-bounded dict (operators/bpe.py)."""
-    return B.bpe_merges(_docs(spark, sf_dir), key="doc_id", n_merges=B.N_MERGES)
+    # raw read (measured 3.6s vs 4.5s spread at sf1.0): the single corpus
+    # pass partial-aggregates map-side into the vocabulary-bounded word
+    # dict, so the spread exchange buys little and taxes the 6 dict-level
+    # merge-round stages that follow
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return B.bpe_merges(docs, key="doc_id", n_merges=B.N_MERGES)
 
 
 def q_bpe_encode(spark, sf_dir):
